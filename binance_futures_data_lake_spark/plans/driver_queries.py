@@ -1,0 +1,793 @@
+"""Driver-contract query pack: every operator surfaced as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL string.
+
+Conventions for hash parity with the DuckDB oracle (the driver compares
+row count + schema + order-insensitive value hash, sorting columns by name):
+
+- every COMPUTED double (sum/avg/division/stddev) is ``round(x, 6)`` in both
+  engines — float summation order differs between engines, rounding makes
+  the comparison stable; EWM columns round to 4 (the closed-form oracle
+  amplifies float error by the weight range);
+- values picked without arithmetic (min/max/min_by/first) stay unrounded —
+  they are bit-identical out of parquet in both engines;
+- all first/last/top-k choices carry explicit deterministic tiebreaks;
+- column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.functions import windows as W
+from binance_futures_data_lake_spark.functions.ewm import ewm_apply, span_to_alpha
+from binance_futures_data_lake_spark.operators.asof import asof_join_backward
+from binance_futures_data_lake_spark.operators.dedup import dedup_keep_last
+from binance_futures_data_lake_spark.operators.gaps import missing_ranges
+from binance_futures_data_lake_spark.operators.resample import bucket_start, tick_ohlcv
+from binance_futures_data_lake_spark.session import configure_session
+from binance_futures_data_lake_spark.sources.testdata import load_events, load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def r6(c) -> F.Column:
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — OHLCV bucket aggregation (flagship)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ohlcv_5m",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           round(sum(value), 6) AS volume,
+           count(*) AS n_ticks,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ohlcv_5m(spark, sf_dir):
+    """SURVEY A1: tick→bar OHLCV with time-ordered open/close."""
+    ev = load_events(spark, sf_dir)
+    bars = tick_ohlcv(ev, 5, ["event_type"], tiebreak_col="event_id")
+    return bars.withColumn("volume", r6(F.col("volume")))
+
+
+@register(
+    "bucket_stats_daily",
+    sql="""
+    SELECT user_id, date_trunc('day', ts) AS day_ts,
+           count(*) AS n_rows,
+           count(DISTINCT ts) AS n_uniq_ts,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_bucket_stats_daily(spark, sf_dir):
+    """SURVEY A2/A5: calendar-bucket completeness statistics."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("ts").alias("n_uniq_ts"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            r6(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ohlcv_1h_right_closed",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((CAST(ceil(epoch_us(ts) / 3600000000.0) AS BIGINT)) * 3600000000) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           round(sum(value), 6) AS volume, count(*) AS n_ticks,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ohlcv_1h_right_closed(spark, sf_dir):
+    """SURVEY A4: right-closed/right-labeled buckets
+    (pandas resample(label='right', closed='right'),
+    ref build_h1_regime_router_v2.py:93)."""
+    ev = load_events(spark, sf_dir)
+    bars = tick_ohlcv(ev, 60, ["event_type"], tiebreak_col="event_id", right_closed=True)
+    return bars.withColumn("volume", r6(F.col("volume")))
+
+
+# ---------------------------------------------------------------------------
+# W1-W9 — window-function family
+# ---------------------------------------------------------------------------
+
+@register(
+    "lag_lead_returns",
+    sql="""
+    SELECT event_id, user_id, ts, value,
+      lag(value) OVER w AS prev_value,
+      lead(value) OVER w AS next_value,
+      round(value - lag(value) OVER w, 6) AS dvalue,
+      round(value / lag(value) OVER w - 1.0, 6) AS ret,
+      CASE WHEN lag(value) OVER w > 0 AND value > 0
+           THEN round(ln(value / lag(value) OVER w), 6) END AS log_ret
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q_lag_lead_returns(spark, sf_dir):
+    """SURVEY W1-W3: shift/lead/diff/pct_change/log-return."""
+    ev = load_events(spark, sf_dir)
+    by, order = ["user_id"], ["ts"]
+    prev = W.lag_col("value", 1, by, order)
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        prev.alias("prev_value"),
+        W.lead_col("value", 1, by, order).alias("next_value"),
+        r6(W.diff_col("value", by, order)).alias("dvalue"),
+        r6(W.pct_change("value", by, order)).alias("ret"),
+        F.when(
+            (prev > 0) & (F.col("value") > 0),
+            r6(W.log_return("value", by, order)),
+        ).alias("log_ret"),
+    )
+
+
+@register(
+    "rolling_stats",
+    sql="""
+    SELECT event_id, user_id, ts, value,
+      CASE WHEN count(value) OVER w >= 5 THEN round(avg(value) OVER w, 6) END AS roll_mean5,
+      CASE WHEN count(value) OVER w >= 5 THEN round(stddev_pop(value) OVER w, 6) END AS roll_std5,
+      CASE WHEN count(value) OVER w >= 5 THEN max(value) OVER w END AS roll_max5,
+      CASE WHEN count(value) OVER w >= 5 THEN min(value) OVER w END AS roll_min5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_stats(spark, sf_dir):
+    """SURVEY W4: bounded rolling aggs with pandas min_periods semantics
+    (stddev is ddof=0 → stddev_pop, SURVEY §7.2)."""
+    ev = load_events(spark, sf_dir)
+    by, order = ["user_id"], ["ts"]
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        r6(W.rolling_mean("value", 5, by, order)).alias("roll_mean5"),
+        r6(W.rolling_std("value", 5, by, order, ddof=0)).alias("roll_std5"),
+        W.rolling_max("value", 5, by, order).alias("roll_max5"),
+        W.rolling_min("value", 5, by, order).alias("roll_min5"),
+    )
+
+
+@register(
+    "cumsum_runmax",
+    sql="""
+    SELECT event_id, user_id, ts,
+      round(sum(value) OVER w, 6) AS cum_value,
+      max(value) OVER w AS run_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_cumsum_runmax(spark, sf_dir):
+    """SURVEY W7/W9: cumulative sum (CVD/equity) + running max (drawdown)."""
+    ev = load_events(spark, sf_dir)
+    by, order = ["user_id"], ["ts"]
+    return ev.select(
+        "event_id", "user_id", "ts",
+        r6(W.cumsum("value", by, order)).alias("cum_value"),
+        W.running_max("value", by, order).alias("run_max"),
+    )
+
+
+@register(
+    "vwap_daily",
+    sql="""
+    SELECT event_id, user_id, ts,
+      round(sum(value * wt) OVER w / nullif(sum(wt) OVER w, 0), 6) AS vwap
+    FROM (
+      SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS wt,
+             date_trunc('day', ts) AS d
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id, d ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_vwap_daily(spark, sf_dir):
+    """SURVEY W8/A7: day-anchored VWAP via grouped cumulative sums
+    (feature_builder_m1_structure_v1.py:56-66). Weight parsed from the JSON
+    props column."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "wt", F.get_json_object("props", "$.k").cast("double")
+    )
+    vwap = W.anchored_vwap("value", "wt", ["user_id"], ["ts"], anchor=F.to_date("ts"))
+    return ev.select("event_id", "user_id", "ts", r6(vwap).alias("vwap"))
+
+
+@register(
+    "rolling_pctl_of_last",
+    sql="""
+    SELECT event_id, user_id, ts, value,
+      CASE WHEN len(l) >= 20
+           THEN round(len(list_filter(l, x -> x <= value)) * 1.0 / len(l), 6) END AS pctl20
+    FROM (
+      SELECT *, list(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+)
+def q_rolling_pctl_of_last(spark, sf_dir):
+    """SURVEY W5: empirical-CDF percentile of the current value within its
+    trailing window (build_m5_vol_regime.py:143-168)."""
+    ev = load_events(spark, sf_dir)
+    pct = W.rolling_pctl_of_last("value", 20, ["user_id"], ["ts"])
+    return ev.select("event_id", "user_id", "ts", "value", r6(pct).alias("pctl20"))
+
+
+@register(
+    "ema_per_user",
+    sql="""
+    WITH r AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), t AS (
+      SELECT *, value * (CASE WHEN rn = 1 THEN 1.0 ELSE 2.0 / 11.0 END)
+                * power(9.0 / 11.0, -rn) AS term
+      FROM r
+    )
+    SELECT event_id, user_id, ts, value,
+      round(sum(term) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * power(9.0 / 11.0, rn), 4) AS ema10
+    FROM t
+    """,
+)
+def q_ema_per_user(spark, sf_dir):
+    """SURVEY W6: pandas ewm(span=10, adjust=False) parity via the per-key
+    applyInPandas kernel; oracle uses the closed-form expansion (valid for
+    the short per-user series of this table)."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = ewm_apply(ev, {"ema10": ("value", span_to_alpha(10.0))}, ["user_id"], ["ts"])
+    return out.withColumn("ema10", F.round("ema10", 4))
+
+
+@register(
+    "true_range_atr",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    ), bars AS (
+      SELECT event_type, bucket_ts,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM r GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, bucket_ts, high, low, close,
+        CASE WHEN lag(close) OVER w IS NULL THEN high - low
+             ELSE greatest(high - low,
+                           abs(high - lag(close) OVER w),
+                           abs(low - lag(close) OVER w)) END AS true_range
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+    )
+    SELECT event_type, bucket_ts, high, low, close,
+      round(true_range, 6) AS true_range,
+      CASE WHEN count(*) OVER wf >= 5 THEN round(avg(true_range) OVER wf, 6) END AS atr5
+    FROM tr
+    WINDOW wf AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_true_range_atr(spark, sf_dir):
+    """SURVEY W10 + A1 composition: hourly bars → true range → SMA-ATR
+    (build_h1_regime_router_v2.py:30-34, build_m1_features.py:70)."""
+    ev = load_events(spark, sf_dir)
+    bars = tick_ohlcv(ev, 60, ["event_type"], tiebreak_col="event_id").select(
+        "event_type", "bucket_ts", "high", "low", "close"
+    )
+    by, order = ["event_type"], ["bucket_ts"]
+    tr = W.true_range(by, order)
+    bars = bars.withColumn("true_range", tr)
+    atr = W.rolling_mean("true_range", 5, by, order)
+    return bars.select(
+        "event_type", "bucket_ts", "high", "low", "close",
+        r6(F.col("true_range")).alias("true_range"),
+        r6(atr).alias("atr5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — as-of join; P5 — dedup; J6/J7 — gaps
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_user_hourly",
+    sql="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h_ts,
+             round(sum(value), 6) AS h_value_sum, count(*) AS h_n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, h.h_ts, h.h_value_sum, h.h_n
+    FROM events e ASOF LEFT JOIN hourly h
+      ON e.user_id = h.user_id AND e.ts >= h.h_ts
+    """,
+)
+def q_asof_user_hourly(spark, sf_dir):
+    """SURVEY J1: backward as-of join (allow_exact_matches=True) of the
+    event stream against its own hourly rollup, per user."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h_ts"))
+        .agg(r6(F.sum("value")).alias("h_value_sum"), F.count(F.lit(1)).alias("h_n"))
+    )
+    right = hourly.select(
+        "user_id", F.col("h_ts").alias("ts"), "h_ts", "h_value_sum", "h_n"
+    )
+    left = ev.select("event_id", "user_id", "ts", "value")
+    return asof_join_backward(left, right, on="ts", by=["user_id"])
+
+
+@register(
+    "dedup_keep_last",
+    sql="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_last(spark, sf_dir):
+    """SURVEY P5/S13: dedup-keep-last with explicit precedence
+    (compact_staging.py:89-93 made deterministic)."""
+    ev = load_events(spark, sf_dir)
+    return dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "gap_ranges_hourly",
+    sql="""
+    WITH present AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS ts FROM events),
+    bounds AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM present GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM bounds),
+    missing AS (
+      SELECT g.user_id, g.ts FROM grid g
+      LEFT JOIN present p ON g.user_id = p.user_id AND g.ts = p.ts
+      WHERE p.ts IS NULL
+    ), isl AS (
+      SELECT user_id, ts,
+        epoch_us(ts) // 3600000000 - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS island
+      FROM missing
+    )
+    SELECT user_id, min(ts) AS gap_start, max(ts) AS gap_end, count(*) AS n_missing
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def q_gap_ranges_hourly(spark, sf_dir):
+    """SURVEY J6/J7: generated-grid anti-join + gaps-and-islands
+    consolidation (backfill_gaps.py:104-122, gaps_report.py:13-29)."""
+    ev = load_events(spark, sf_dir)
+    present = ev.select("user_id", F.date_trunc("hour", "ts").alias("ts")).distinct()
+    return missing_ranges(present, 60, ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style scan/filter/agg/join coverage (P*, A8-A11, J3/J5, O1-O2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 6) AS sum_qty,
+      round(sum(l_extendedprice), 6) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+      round(avg(l_quantity), 6) AS avg_qty,
+      round(avg(l_extendedprice), 6) AS avg_price,
+      round(avg(l_discount), 6) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full-scan groupBy agg with pushed-down predicate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r6(F.sum(disc_price)).alias("sum_disc_price"),
+            r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    sql="""
+    SELECT n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: star join with broadcast dimensions. The fact table
+    (lineitem) is never shuffled for the dim joins — explicit broadcast()."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_top_orders(spark, sf_dir):
+    """SURVEY O1/O2: deterministic top-N (multi-key sort + limit)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "priority_ship_exists",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY 1
+    """,
+)
+def q_priority_ship_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "brand_volume",
+    sql="""
+    SELECT p_brand, round(sum(l_quantity), 6) AS sum_qty,
+           round(avg(l_extendedprice), 6) AS avg_price, count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_brand_volume(spark, sf_dir):
+    """Broadcast dim join + agg (SURVEY J3)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "quantile_value_by_type",
+    sql="""
+    SELECT event_type,
+      round(quantile_cont(value, 0.5), 6) AS p50,
+      round(quantile_cont(value, 0.95), 6) AS p95,
+      round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+      count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_quantile_value_by_type(spark, sf_dir):
+    """SURVEY A11: exact continuous quantiles (np.quantile parity —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both interpolate
+    linearly)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        r6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        r6(F.expr("percentile(value, 0.95)")).alias("p95"),
+        r6(F.min("value")).alias("vmin"),
+        r6(F.max("value")).alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT = r"\s+"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+@register(
+    "doc_token_stats",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars,
+      len(toks) AS n_tokens,
+      round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / nullif(len(toks), 0), 6) AS avg_token_len,
+      len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stopwords
+    FROM t
+    """,
+)
+def q_doc_token_stats(spark, sf_dir):
+    """Text analysis: token counting + quality features over documents."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        n_tok.alias("n_tokens"),
+        r6(tok_chars.cast("double") / F.nullif(n_tok.cast("double"), F.lit(0.0))).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
+@register(
+    "doc_exact_dedup",
+    sql="""
+    SELECT md5(lower(text)) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text, keep lowest doc_id
+    (the map-side-combinable formulation — one shuffle of 16-byte hashes,
+    never of document bodies)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.md5(F.lower("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "word_jaccard_pairs",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.75
+    """,
+)
+def q_word_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection: word-set Jaccard via token inverted index
+    (explode → self-equi-join on token → count intersections). The
+    MinHash/LSH variant (rows-only checked) scales this to corpora where
+    the token join is too dense."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.75)
+        .select("doc_a", "doc_b", "n_common", r6(jac).alias("jaccard"))
+    )
+
+
+@register(
+    "cosine_topk",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ), s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ), r AS (
+      SELECT q_id, neighbor_id, round(sim, 6) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Similarity search baseline: brute-force cosine top-k for a query set,
+    broadcast queries × corpus scan (SURVEY §7.1 step 10). Ranking uses the
+    ROUNDED similarity + vec_id tiebreak so ordering is engine-stable."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        vec.alias("vec"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm")
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = (dot / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim")
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", sim)
+        .withColumn("cosine", r6(F.col("sim")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@register(
+    "lang_stats",
+    sql="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_lang_stats(spark, sf_dir):
+    """Corpus composition report (groupBy + exact median, SURVEY A8)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        r6(F.expr("percentile(n_chars, 0.5)")).alias("p50_chars"),
+    )

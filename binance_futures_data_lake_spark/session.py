@@ -1,0 +1,73 @@
+"""SparkSession construction with the engine's required configuration.
+
+The reference runs single-process pandas; our execution substrate is Spark.
+Session-level invariants (UTC timezone, adaptive execution, Arrow transfer)
+live here so every entry point — tests, bench, driver contract — agrees.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable (SQL confs). ``configure_session`` applies
+# these to an externally provided session (e.g. the verification driver's),
+# since we cannot control its builder.
+RUNTIME_CONFS = {
+    # The synthetic events table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default; read as long and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # pandas/DuckDB-parity arithmetic: x/0 → NULL (DuckDB double division by
+    # zero yields NULL; Spark 4's default ANSI mode would throw instead)
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime in this Spark build — loaders have
+            # explicit-schema fallbacks for the one load-bearing conf.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "bfdl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32);
+    ``spark.sql.shuffle.partitions`` defaults to the same so a local run has
+    one shuffle partition per core. On a real cluster these are overridden by
+    the deployment, not this code.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        # 128 MiB parquet split targets: at 100 TB this yields ~800k input
+        # partitions — fine for a 1000-executor cluster; AQE coalesces the
+        # small tail.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure_session(spark)

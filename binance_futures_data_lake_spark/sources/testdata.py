@@ -1,0 +1,58 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}``.
+
+The only special case is ``events``: its ``ts`` is parquet TIMESTAMP(NANOS),
+which Spark's reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
+is set. We set that conf at runtime and convert nanos → microsecond
+timestamps (identical truncation to DuckDB's ns→µs read, so oracle
+comparisons agree), with an explicit-schema fallback if the conf cannot be
+set on the hosting session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.schemas import EVENTS_SCHEMA
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events with ``ts`` as a proper (µs) TimestampType column."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    except Exception:
+        df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer division — ns epochs (~1.7e18) overflow double precision,
+        # so `col / 1000` would be off by ±1µs on some rows
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
