@@ -1,0 +1,137 @@
+"""Integrity audits as Spark queries (SURVEY §5 port strategy).
+
+The reference has no unit tests; correctness is enforced by data-quality
+audit programs (src/bfdl/transforms/verify_all.py:247-338,
+integrity_checks.py:26-85, audit_derived.py:98-162). Those invariants are
+re-expressed here as ONE aggregation pass per table + the gap machinery:
+
+- zero duplicate (symbol, open_time_ms) keys
+- strict per-symbol time monotonicity
+- zero missing grid steps; rows == expected grid rows
+- ts == open_time_ms (the anti-lookahead re-derivation check,
+  compact_staging.py:86-87)
+- OHLC bar invariants (FIXTURES.md conventions): low <= min(o,c),
+  high >= max(o,c), taker <= volume, volumes >= 0
+
+Everything is a distributed aggregation: one shuffle on symbol, tiny
+result to the driver. Exit-code semantics (verify_all.py:341-348) map to
+``ok`` booleans per check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.gaps import missing_ranges
+
+
+def audit_klines(
+    df: DataFrame,
+    step_ms: int = 60_000,
+    by: Sequence[str] = ("symbol",),
+) -> dict:
+    """Full temporal + schema integrity audit; returns a report dict.
+
+    ``step_ms`` is 60_000 for M1, n·60_000 for derived TFs
+    (audit_derived.py grid: step = n_minutes * 60_000).
+    """
+    by = list(by)
+    key = [*by, "open_time_ms"]
+
+    dup_count = (
+        df.groupBy(*key).count().filter(F.col("count") > 1).count()
+    )
+
+    w = Window.partitionBy(*by).orderBy("open_time_ms")
+    with_prev = df.select(*key).withColumn("__prev", F.lag("open_time_ms").over(w))
+    non_monotonic = with_prev.filter(
+        F.col("__prev").isNotNull() & (F.col("open_time_ms") <= F.col("__prev"))
+    ).count()
+    off_grid_steps = with_prev.filter(
+        F.col("__prev").isNotNull()
+        & ((F.col("open_time_ms") - F.col("__prev")) % step_ms != 0)
+    ).count()
+
+    bounds = df.groupBy(*by).agg(
+        F.min("open_time_ms").alias("t0"),
+        F.max("open_time_ms").alias("t1"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_symbol = bounds.select(
+        *by,
+        "n_rows",
+        ((F.col("t1") - F.col("t0")) / step_ms + 1).cast("long").alias("expected_rows"),
+    )
+    totals = per_symbol.agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("expected_rows").alias("expected_rows")
+    ).first()
+
+    ts_mismatch = df.filter(
+        F.unix_millis("ts") != F.col("open_time_ms")
+    ).count() if "ts" in df.columns else None
+
+    bar_violations = df.filter(
+        (F.col("low") > F.least("open", "close"))
+        | (F.col("high") < F.greatest("open", "close"))
+        | (F.col("taker_buy_base") > F.col("volume_base"))
+        | (F.col("volume_base") < 0)
+        | (F.col("n_trades") < 0)
+    ).count() if "low" in df.columns else None
+
+    gaps = missing_ranges(
+        df.select(*by, "ts"), step_ms / 60_000.0, by
+    )
+    gap_rows = gaps.agg(F.sum("n_missing")).first()[0] or 0
+
+    report = {
+        "n_rows": int(totals["n_rows"] or 0),
+        "expected_rows": int(totals["expected_rows"] or 0),
+        "n_duplicate_keys": int(dup_count),
+        "n_non_monotonic": int(non_monotonic),
+        "n_off_grid_steps": int(off_grid_steps),
+        "n_missing_grid_rows": int(gap_rows),
+        "n_ts_mismatch": None if ts_mismatch is None else int(ts_mismatch),
+        "n_bar_invariant_violations": None if bar_violations is None else int(bar_violations),
+    }
+    report["ok"] = (
+        report["n_duplicate_keys"] == 0
+        and report["n_non_monotonic"] == 0
+        and report["n_missing_grid_rows"] == 0
+        and not report["n_ts_mismatch"]
+        and not report["n_bar_invariant_violations"]
+        and report["n_rows"] == report["expected_rows"]
+    )
+    return report
+
+
+def gaps_report(
+    df: DataFrame,
+    step_minutes: float,
+    by: Sequence[str] = ("symbol",),
+    top_n: int = 10,
+) -> dict:
+    """Gap summary (gaps_report.py:32-68): totals, largest, top-N ranges."""
+    ranges = missing_ranges(df.select(*by, "ts"), step_minutes, by).cache()
+    try:
+        agg = ranges.agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("n_missing").alias("total_missing"),
+            F.max("n_missing").alias("largest_gap"),
+            F.expr("percentile(n_missing, 0.5)").alias("median_gap"),
+        ).first()
+        top = [
+            r.asDict()
+            for r in ranges.orderBy(F.col("n_missing").desc(), "gap_start").limit(top_n).collect()
+        ]
+        return {
+            "n_gaps": int(agg["n_gaps"] or 0),
+            "total_missing": int(agg["total_missing"] or 0),
+            "largest_gap": int(agg["largest_gap"] or 0) if agg["largest_gap"] is not None else 0,
+            "median_gap": float(agg["median_gap"]) if agg["median_gap"] is not None else 0.0,
+            "top_gaps": top,
+        }
+    finally:
+        ranges.unpersist()

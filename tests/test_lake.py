@@ -1,0 +1,86 @@
+"""Lake layout round-trip: staged append → compaction (staging wins) →
+integrity audit → gap machinery. FIXTURES.md F1 variants (a)-(c)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.maintenance import audit_klines, gaps_report
+from binance_futures_data_lake_spark.sources import lake
+from binance_futures_data_lake_spark.sources.synthetic import synthetic_klines_m1
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="bfdl_lake_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lake_roundtrip_compact_and_audit(spark, tmp_root):
+    df = synthetic_klines_m1(spark, symbols=("AAA", "BBB"), n_minutes=2 * 1440)
+    lake.write_canonical(df, tmp_root)
+
+    back = lake.read_lake(spark, tmp_root)
+    assert back.count() == 2 * 2 * 1440
+
+    # partition pruning must reach the scan: only AAA/month=1 rows read
+    pruned = back.filter((F.col("symbol") == "AAA") & (F.col("month") == 1))
+    assert pruned.count() == 2 * 1440
+
+    report = audit_klines(back.drop("year", "month"))
+    assert report["ok"], report
+
+    # staged append of an overlapping + corrected slice: staging must win
+    patch = (
+        df.filter(F.col("open_time_ms") < df.agg(F.min("open_time_ms")).first()[0] + 60 * 60_000)
+        .withColumn("close", F.col("close") + 1.0)
+    )
+    n_patch = patch.count()
+    lake.stage_append(patch, tmp_root)
+    merged_preview = lake.read_lake(spark, tmp_root, with_staging=True)
+    assert merged_preview.count() == 2 * 2 * 1440 + n_patch
+
+    folded = lake.compact_staging(spark, tmp_root)
+    assert folded == n_patch
+    after = lake.read_lake(spark, tmp_root)
+    assert after.count() == 2 * 2 * 1440  # dedup kept one row per key
+    # staging version (close+1) won
+    orig_first = df.orderBy("open_time_ms").filter(F.col("symbol") == "AAA").first()
+    new_first = after.orderBy("open_time_ms").filter(F.col("symbol") == "AAA").first()
+    assert abs(new_first["close"] - (orig_first["close"] + 1.0)) < 1e-9
+
+    report2 = audit_klines(after.drop("year", "month"))
+    assert report2["ok"], report2
+
+
+def test_gap_detection_on_holed_grid(spark, tmp_root):
+    df = synthetic_klines_m1(spark, symbols=("AAA",), n_minutes=1440)
+    # carve two known holes: minutes [100, 110) and [500, 503)
+    t0 = df.agg(F.min("open_time_ms")).first()[0]
+    holed = df.filter(
+        ~(
+            (F.col("open_time_ms") >= t0 + 100 * 60_000)
+            & (F.col("open_time_ms") < t0 + 110 * 60_000)
+        )
+        & ~(
+            (F.col("open_time_ms") >= t0 + 500 * 60_000)
+            & (F.col("open_time_ms") < t0 + 503 * 60_000)
+        )
+    )
+    report = audit_klines(holed)
+    assert not report["ok"]
+    assert report["n_missing_grid_rows"] == 13
+    g = gaps_report(holed, 1.0)
+    assert g["n_gaps"] == 2
+    assert g["largest_gap"] == 10
+    assert g["total_missing"] == 13
+
+
+def test_checkpoint_sidecars(tmp_root):
+    lake.write_checkpoint(tmp_root, 1700000000000)
+    assert lake.read_checkpoint(tmp_root) == 1700000000000
+    lake.write_meta(tmp_root, {"symbol": "AAA", "interval": "m1", "anti_lookahead": True})
+    assert lake.read_meta(tmp_root)["anti_lookahead"] is True

@@ -1,0 +1,76 @@
+"""resample_bars parity vs pandas resample (the reference's semantics:
+aggregate_tf.py:70-110, build_m5_from_m1.py:57-91) including completeness
+filtering and anti-lookahead availability columns."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.resample import (
+    resample_bars,
+    with_availability,
+)
+from binance_futures_data_lake_spark.sources.synthetic import synthetic_klines_m1
+
+
+@pytest.fixture(scope="module")
+def m1(spark):
+    return synthetic_klines_m1(spark, symbols=("AAA", "BBB"), n_minutes=1440).cache()
+
+
+def _pandas_resample(pdf: pd.DataFrame, n_min: int) -> pd.DataFrame:
+    pdf = pdf.sort_values("open_time_ms")
+    pdf = pdf.set_index(pd.to_datetime(pdf["open_time_ms"], unit="ms"))
+    agg = pdf.resample(f"{n_min}min").agg(
+        open=("open", "first"),
+        high=("high", "max"),
+        low=("low", "min"),
+        close=("close", "last"),
+        volume_base=("volume_base", "sum"),
+        n=("open_time_ms", "count"),
+    )
+    return agg[agg["n"] == n_min]
+
+
+@pytest.mark.parametrize("n_min", [5, 60, 240])
+def test_resample_matches_pandas(spark, m1, n_min):
+    out = resample_bars(m1, n_min).filter(F.col("symbol") == "AAA").toPandas()
+    out = out.sort_values("open_time_ms").reset_index(drop=True)
+    ref = _pandas_resample(
+        m1.filter(F.col("symbol") == "AAA").toPandas(), n_min
+    ).reset_index(drop=True)
+    assert len(out) == len(ref) == 1440 // n_min
+    for col in ("open", "high", "low", "close", "volume_base"):
+        assert (out[col] - ref[col]).abs().max() < 1e-9, col
+
+
+def test_completeness_filter_drops_partial_buckets(spark, m1):
+    # remove one minute inside the second 5-min bucket of AAA
+    t0 = m1.agg(F.min("open_time_ms")).first()[0]
+    holed = m1.filter(
+        ~((F.col("symbol") == "AAA") & (F.col("open_time_ms") == t0 + 7 * 60_000))
+    )
+    strict = resample_bars(holed, 5).filter(F.col("symbol") == "AAA")
+    loose = resample_bars(holed, 5, complete_only=False).filter(F.col("symbol") == "AAA")
+    assert strict.count() == 1440 // 5 - 1
+    assert loose.count() == 1440 // 5
+    # the dropped bucket is exactly the holed one
+    missing = set(r[0] for r in loose.select("open_time_ms").collect()) - set(
+        r[0] for r in strict.select("open_time_ms").collect()
+    )
+    assert missing == {t0 + 5 * 60_000}
+
+
+def test_availability_columns_anti_lookahead(spark, m1):
+    m5 = with_availability(resample_bars(m1, 5), 5, lag_minutes=2)
+    bad = m5.filter(F.col("available_from") < F.col("bucket_end")).count()
+    assert bad == 0
+    row = m5.orderBy("open_time_ms").first()
+    assert (row["bucket_end"] - row["bucket_start"]).total_seconds() == 300
+    assert (row["available_from"] - row["bucket_end"]).total_seconds() == 120
+
+
+def test_resample_keeps_symbol_separation(spark, m1):
+    out = resample_bars(m1, 60)
+    counts = {r["symbol"]: r["count"] for r in out.groupBy("symbol").count().collect()}
+    assert counts == {"AAA": 24, "BBB": 24}
