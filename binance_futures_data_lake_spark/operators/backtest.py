@@ -1,0 +1,457 @@
+"""Backtest engine (SURVEY §2.8 B1-B5): vectorized signals, event-driven
+position kernel, config-grid sweep, trade statistics.
+
+Reference: scripts/backtest/run_sweep_router_v2.py — signal masks :246-330,
+position loop ``run_bt`` :361-643, config grid :646-736; same kernel family
+in backtest_router_event_v1_1.py and trade_backtest_router_short*.py.
+
+Spark decomposition (the part of the reference that is NOT declarative):
+
+- B1 signals are pure boolean column algebra → computed JVM-side AFTER the
+  bars×configs cross join, so one codegen stage evaluates every config's
+  masks (config constants become columns);
+- B2 the position loop carries position state bar-to-bar → per-(key, cfg)
+  ``applyInPandas`` kernel. Groups are independent ⇒ a 100-config sweep on
+  50 symbols is 5000-way parallel — the reference runs these serially;
+- B3 the sweep materializes bars×configs once (a single shuffle on
+  (key, cfg)); stats (A12) are plain aggregations on the trades output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields as dc_fields
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# module-level policy constants (run_sweep_router_v2.py:27-46)
+ONE_POSITION_MAX = True
+ALLOW_LONGS = True
+ALLOW_SHORTS = True
+VOL_EXCLUDE_NA = True
+TREND_VOL_OK = ("MID", "HIGH")
+TREND_TIME_STOP = 60
+TREND_SL_ATR = 1.6
+TREND_TP_R = 1.8
+
+
+@dataclass(frozen=True)
+class Cfg:
+    """Sweep configuration (run_sweep_router_v2.py:111-133)."""
+
+    name: str = "base"
+    mr_tp1_cp: float = 0.50
+    mr_be_offset_r: float = 0.05
+    tp_cp: float = 0.60
+    tp1_fraction: float = 0.50
+    mr_sl_atr: float = 1.8
+    vol_filter_high: bool = True
+    mr_time_stop: int = 20
+    priority: str = "TREND_FIRST"
+    mr_d: float = 0.45
+    mr_rr: float = 1.20
+    mr_cp_low: float = 0.25
+    mr_cp_high: float = 0.75
+    mr_mean_dist: float = 0.15
+    mr_atr_pctl_max: float = 0.85
+    trend_enabled: bool = True
+    trend_d: float = 0.20
+    trend_p: float = 0.65
+    trend_rr: float = 0.80
+    session_name: str = "US_15_16"
+    session_hours: str = "15,16"
+    minute_guard: int = 15
+
+
+BASE_COLS = [
+    "ts", "high", "low", "close", "atr14", "close_pos", "delta_norm",
+    "range_rel", "router_mode_h1", "dir_state", "vol_state", "dir_ready",
+    "tradable_final", "atr_pct_pctl_h1", "hour_utc", "minute_utc",
+    "gate_allow_long", "gate_allow_short",
+    "gate_size_mult_long", "gate_size_mult_short",
+]
+
+def _gate_defaults():
+    # built lazily: Column construction needs an active SparkContext
+    return {
+        "gate_allow_long": F.lit(True),
+        "gate_allow_short": F.lit(True),
+        "gate_size_mult_long": F.lit(1.0),
+        "gate_size_mult_short": F.lit(1.0),
+    }
+
+
+_CFG_DDL_TYPES = {"str": "string", "float": "double", "bool": "boolean", "int": "int"}
+
+
+def configs_df(spark: SparkSession, cfgs: Sequence[Cfg]) -> DataFrame:
+    rows = [tuple(getattr(c, f.name) for f in dc_fields(Cfg)) for c in cfgs]
+    # field annotations are strings under `from __future__ import annotations`
+    schema = ", ".join(f"{f.name} {_CFG_DDL_TYPES[str(f.type)]}" for f in dc_fields(Cfg))
+    return spark.createDataFrame(rows, schema)
+
+
+def with_signals(bars_x_cfg: DataFrame, by: Sequence[str], order: Sequence[str]) -> DataFrame:
+    """B1 vectorized signal masks (run_sweep_router_v2.py:246-330) over the
+    bars×configs frame — config fields are columns, so every comparison is
+    one whole-stage-codegen pass for all configs at once."""
+    from pyspark.sql import Window
+
+    d = bars_x_cfg
+    col = F.col
+    vol_ok = col("vol_state") != "NA" if VOL_EXCLUDE_NA else F.lit(True)
+    base_gate = col("tradable_final") & col("dir_ready") & vol_ok
+    is_trend = F.when(
+        col("trend_enabled"),
+        base_gate & (col("router_mode_h1") == "TREND") & col("vol_state").isin(*TREND_VOL_OK),
+    ).otherwise(F.lit(False))
+    session_mask = F.array_contains(
+        F.transform(F.split(col("session_hours"), ","), lambda x: x.cast("int")),
+        col("hour_utc"),
+    )
+    minute_mask = F.when(
+        col("minute_guard") <= 0, F.lit(True)
+    ).otherwise(
+        (col("minute_utc") >= col("minute_guard"))
+        & (col("minute_utc") <= (59 - col("minute_guard")))
+    )
+    is_range = base_gate & (col("router_mode_h1") == "RANGE") & session_mask & minute_mask
+    is_range = F.when(
+        col("vol_filter_high"), is_range & col("vol_state").isin("LOW", "MID")
+    ).otherwise(is_range)
+
+    impulse_long = (
+        (col("delta_norm") > col("trend_d"))
+        & (col("close_pos") > col("trend_p"))
+        & (col("range_rel") > col("trend_rr"))
+    )
+    impulse_short = (
+        (col("delta_norm") < -col("trend_d"))
+        & (col("close_pos") < (1.0 - col("trend_p")))
+        & (col("range_rel") > col("trend_rr"))
+    )
+    d = d.withColumn(
+        "trend_long_signal",
+        F.coalesce(is_trend & (col("dir_state") == "BULL") & impulse_long, F.lit(False)),
+    ).withColumn(
+        "trend_short_signal",
+        F.coalesce(is_trend & (col("dir_state") == "BEAR") & impulse_short, F.lit(False)),
+    )
+
+    # ATR-percentile cap with auto 0-1 vs 0-100 scale detection
+    # (run_sweep_router_v2.py:286-293): global max over finite values per cfg
+    wcfg = Window.partitionBy("name")
+    finite = F.when(
+        ~F.isnan(F.coalesce(col("atr_pct_pctl_h1"), F.lit(float("nan")))),
+        col("atr_pct_pctl_h1"),
+    )
+    scale_max = F.max(finite).over(wcfg)
+    atr_cap = F.when(scale_max > 1.5, col("mr_atr_pctl_max") * 100.0).otherwise(
+        col("mr_atr_pctl_max")
+    )
+    atr_pctl_ok = finite.isNull() | (col("atr_pct_pctl_h1") <= atr_cap)
+
+    mean_dist_ok = F.abs(col("close_pos") - 0.5) >= col("mr_mean_dist")
+    mr_long_setup = (
+        is_range & mean_dist_ok & atr_pctl_ok
+        & (col("close_pos") <= col("mr_cp_low"))
+        & (col("delta_norm") <= -col("mr_d"))
+        & (col("range_rel") >= col("mr_rr"))
+        & (col("dir_state") == "BULL")
+    )
+    mr_short_setup = (
+        is_range & mean_dist_ok & atr_pctl_ok
+        & (col("close_pos") >= col("mr_cp_high"))
+        & (col("delta_norm") >= col("mr_d"))
+        & (col("range_rel") >= col("mr_rr"))
+        & (col("dir_state") == "BEAR")
+    )
+    w = Window.partitionBy(*by, "name").orderBy(*order)
+    conf_long = (col("delta_norm") > 0) | (col("close_pos") > 0.50)
+    conf_short = (col("delta_norm") < 0) | (col("close_pos") < 0.50)
+    d = d.withColumn(
+        "mr_long_signal",
+        F.coalesce(
+            F.lag(mr_long_setup, 1, False).over(w) & is_range & conf_long, F.lit(False)
+        ),
+    ).withColumn(
+        "mr_short_signal",
+        F.coalesce(
+            F.lag(mr_short_setup, 1, False).over(w) & is_range & conf_short, F.lit(False)
+        ),
+    )
+    return d
+
+
+TRADE_SCHEMA = T.StructType(
+    [
+        T.StructField("cfg", T.StringType()),
+        T.StructField("engine", T.StringType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("entry_ts", T.TimestampType()),
+        T.StructField("exit_ts", T.TimestampType()),
+        T.StructField("entry_price", T.DoubleType()),
+        T.StructField("exit_price", T.DoubleType()),
+        T.StructField("r_mult", T.DoubleType()),
+        T.StructField("exit_reason", T.StringType()),
+        T.StructField("bars_in_trade", T.LongType()),
+    ]
+)
+
+
+def _r_mult(side: str, entry: float, exit_p: float, risk: float) -> float:
+    if risk <= 0 or not np.isfinite(risk):
+        return 0.0
+    return (exit_p - entry) / risk if side == "LONG" else (entry - exit_p) / risk
+
+
+def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> pd.DataFrame:
+    """B2 kernel — exact exit semantics of run_bt (run_sweep_router_v2.py:
+    361-643): MR partial TP1 + break-even runner to TP2, router-flip,
+    vol-kill, time-stop; TREND SL/TP with same-bar SL priority."""
+    pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+    cfg = pdf.iloc[0]
+    g = lambda c: pdf[c].to_numpy()  # noqa: E731
+    ts, high, low, close = pdf["ts"].to_numpy(), g("high"), g("low"), g("close")
+    atr, close_pos = g("atr14"), g("close_pos")
+    router, vol = g("router_mode_h1"), g("vol_state")
+    tl, tsg = g("trend_long_signal"), g("trend_short_signal")
+    ml, ms = g("mr_long_signal"), g("mr_short_signal")
+    gal, gas = g("gate_allow_long"), g("gate_allow_short")
+    gml, gms = g("gate_size_mult_long"), g("gate_size_mult_short")
+
+    pos = None
+    rows = []
+
+    def close_out(i, rr, reason):
+        rows.append(
+            (
+                cfg["name"], pos["engine"], pos["side"],
+                ts[pos["entry_i"]], ts[i],
+                float(pos["entry"]), float(close[i]), float(rr), reason,
+                int(i - pos["entry_i"]),
+            )
+        )
+
+    n = len(pdf)
+    for i in range(n):
+        if pos is not None:
+            bars = i - pos["entry_i"]
+            flip = str(router[i]) != pos["router_need"]
+            vol_kill = (
+                pos["engine"] == "RANGE" and cfg["vol_filter_high"] and str(vol[i]) == "HIGH"
+            )
+            time_exit = bars >= (
+                TREND_TIME_STOP if pos["engine"] == "TREND" else cfg["mr_time_stop"]
+            )
+            if pos["side"] == "LONG":
+                sl_hit = low[i] <= pos["sl"]
+                trend_tp_hit = high[i] >= pos["tp"]
+                mr_tp1_hit = close_pos[i] >= cfg["mr_tp1_cp"]
+                mr_tp2_hit = close_pos[i] >= cfg["tp_cp"]
+            else:
+                sl_hit = high[i] >= pos["sl"]
+                trend_tp_hit = low[i] <= pos["tp"]
+                mr_tp1_hit = close_pos[i] <= (1.0 - cfg["mr_tp1_cp"])
+                mr_tp2_hit = close_pos[i] <= (1.0 - cfg["tp_cp"])
+
+            if pos["engine"] == "RANGE":
+                if sl_hit:
+                    rr = pos["rr_accum"] + pos["qty"] * _r_mult(
+                        pos["side"], pos["entry"], float(pos["sl"]), pos["risk"]
+                    )
+                    close_out(i, rr, "SL")
+                    pos = None
+                else:
+                    if not pos["tp1_done"] and mr_tp1_hit:
+                        qty_exit = min(float(cfg["tp1_fraction"]), pos["qty"])
+                        pos["rr_accum"] += qty_exit * _r_mult(
+                            pos["side"], pos["entry"], float(close[i]), pos["risk"]
+                        )
+                        pos["qty"] -= qty_exit
+                        pos["tp1_done"] = True
+                        off = pos["risk"] * cfg["mr_be_offset_r"]
+                        pos["sl"] = (
+                            pos["entry"] + off if pos["side"] == "LONG" else pos["entry"] - off
+                        )
+                        if pos["qty"] <= 1e-12:
+                            close_out(i, pos["rr_accum"], "TP_CP")
+                            pos = None
+                    if pos is not None:
+                        for hit, reason in (
+                            (mr_tp2_hit, "TP2_CP"),
+                            (flip, "FLIP_ROUTER"),
+                            (vol_kill, "VOL_HIGH_KILL"),
+                            (time_exit, "TIME_STOP"),
+                        ):
+                            if hit:
+                                rr = pos["rr_accum"] + pos["qty"] * _r_mult(
+                                    pos["side"], pos["entry"], float(close[i]), pos["risk"]
+                                )
+                                close_out(i, rr, reason)
+                                pos = None
+                                break
+            else:
+                reason = exit_price = None
+                if sl_hit and trend_tp_hit:
+                    reason, exit_price = "SL_and_TP_same_bar", pos["sl"]
+                elif sl_hit:
+                    reason, exit_price = "SL", pos["sl"]
+                elif trend_tp_hit:
+                    reason, exit_price = "TP_TREND", pos["tp"]
+                elif flip:
+                    reason, exit_price = "FLIP_ROUTER", close[i]
+                elif time_exit:
+                    reason, exit_price = "TIME_STOP", close[i]
+                if reason is not None:
+                    rr = _r_mult(pos["side"], pos["entry"], float(exit_price), pos["risk"])
+                    close_out(i, rr, reason)
+                    pos = None
+
+        if ONE_POSITION_MAX and pos is not None:
+            continue
+
+        cand = [
+            ("RANGE", "LONG", bool(ml[i]) and ALLOW_LONGS and bool(gal[i])),
+            ("RANGE", "SHORT", bool(ms[i]) and ALLOW_SHORTS and bool(gas[i])),
+            ("TREND", "LONG", bool(tl[i]) and ALLOW_LONGS and bool(gal[i])),
+            ("TREND", "SHORT", bool(tsg[i]) and ALLOW_SHORTS and bool(gas[i])),
+        ]
+        if cfg["priority"] != "MR_FIRST":
+            cand = cand[2:] + cand[:2]
+        chosen = next(((e, s) for e, s, ok in cand if ok), None)
+        if chosen is None:
+            continue
+        eng, side = chosen
+        size_mult = float(gml[i] if side == "LONG" else gms[i])
+        if not np.isfinite(size_mult) or size_mult <= 0:
+            continue
+        entry, a = float(close[i]), float(atr[i])
+        if not np.isfinite(a) or a <= 0:
+            continue
+        if eng == "TREND":
+            sl_dist, tp_r, need = TREND_SL_ATR * a, TREND_TP_R, "TREND"
+        else:
+            sl_dist, tp_r, need = float(cfg["mr_sl_atr"]) * a, 0.0, "RANGE"
+        if side == "LONG":
+            sl = entry - sl_dist
+            risk = entry - sl
+            tp = entry + tp_r * risk
+        else:
+            sl = entry + sl_dist
+            risk = sl - entry
+            tp = entry - tp_r * risk
+        if risk <= 0 or not np.isfinite(risk):
+            continue
+        pos = {
+            "engine": eng, "side": side, "entry_i": i, "entry": entry,
+            "sl": sl, "tp": tp, "risk": risk, "router_need": need,
+            "qty": size_mult, "rr_accum": 0.0, "tp1_done": False,
+        }
+
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "cfg", "engine", "side", "entry_ts", "exit_ts", "entry_price",
+            "exit_price", "r_mult", "exit_reason", "bars_in_trade",
+        ],
+    )
+
+
+def run_sweep(
+    bars: DataFrame,
+    cfgs: Sequence[Cfg],
+    by: Sequence[str] = ("symbol",),
+    order: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """B3: cross bars×configs → vectorized signals → per-(key,cfg) position
+    kernel. Returns the per-trade DataFrame (key cols + TRADE_SCHEMA)."""
+    by, order = list(by), list(order)
+    spark = bars.sparkSession
+    # fail fast on missing inputs (the reference's required-column contract,
+    # run_sweep_router_v2.py:793-812) instead of a deep worker KeyError
+    optional = set(_gate_defaults()) | {"hour_utc", "minute_utc"}
+    missing = [c for c in BASE_COLS if c not in bars.columns and c not in optional]
+    if missing:
+        raise ValueError(f"run_sweep input is missing required columns: {missing}")
+    for c, default in _gate_defaults().items():
+        if c not in bars.columns:
+            bars = bars.withColumn(c, default)
+    if "hour_utc" not in bars.columns:
+        bars = bars.withColumn("hour_utc", F.hour("ts")).withColumn(
+            "minute_utc", F.minute("ts")
+        )
+    crossed = bars.crossJoin(F.broadcast(configs_df(spark, cfgs)))
+    sig = with_signals(crossed, by, order)
+
+    out_schema = T.StructType(
+        [f for f in sig.schema.fields if f.name in by] + list(TRADE_SCHEMA.fields)
+    )
+    key_cols = by
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        trades = _position_loop(pdf, order, key_cols)
+        for i, c in enumerate(key_cols):
+            trades.insert(i, c, key[i])
+        return trades
+
+    return (
+        sig.repartition(*by, "name")
+        .groupBy(*by, "name")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+def sweep_stats(trades: DataFrame, by: Sequence[str] = ("cfg",)) -> DataFrame:
+    """A12 trade statistics per config: winrate, avg/sum R, profit factor,
+    R percentiles, exit-reason rates (run_sweep_router_v2.py:603-641)."""
+    r = F.col("r_mult")
+    gains = F.sum(F.when(r > 0, r).otherwise(0.0))
+    losses = -F.sum(F.when(r < 0, r).otherwise(0.0))
+    pf = F.when(losses <= 0, F.when(gains > 0, float("inf")).otherwise(0.0)).otherwise(
+        gains / losses
+    )
+    n = F.count(F.lit(1))
+    rate = lambda cond: F.sum(F.when(cond, 1).otherwise(0)) / n  # noqa: E731
+    return trades.groupBy(*by).agg(
+        n.alias("n_trades"),
+        F.sum(F.when(F.col("engine") == "TREND", 1).otherwise(0)).alias("n_trend"),
+        F.sum(F.when(F.col("engine") == "RANGE", 1).otherwise(0)).alias("n_range"),
+        (F.sum(F.when(r > 0, 1).otherwise(0)) / n).alias("winrate"),
+        F.avg(r).alias("avg_r"),
+        F.sum(r).alias("sum_r"),
+        pf.alias("pf"),
+        F.expr("percentile(r_mult, 0.1)").alias("r_p10"),
+        F.expr("percentile(r_mult, 0.5)").alias("r_p50"),
+        F.expr("percentile(r_mult, 0.9)").alias("r_p90"),
+        rate(F.col("exit_reason").isin("SL", "SL_and_TP_same_bar")).alias("SL_rate"),
+        rate(F.col("exit_reason").isin("TP_CP", "TP2_CP", "TP_TREND")).alias("TP_rate"),
+        rate(F.col("exit_reason").isin("FLIP_ROUTER", "VOL_HIGH_KILL")).alias("FLIP_rate"),
+        rate(F.col("exit_reason") == "TIME_STOP").alias("TIME_rate"),
+    )
+
+
+def mae_mfe(
+    bars: DataFrame,
+    horizon: int,
+    by: Sequence[str] = ("symbol",),
+    order: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """B4/W20: forward-window MAE/MFE per bar — max favorable / adverse
+    excursion over the next ``horizon`` bars relative to this bar's close
+    (trade_diagnostics_mae_mfe_short.py:175-266, vectorizable part)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(1, horizon)
+    cnt = F.count("close").over(w)
+    return (
+        bars.withColumn("fwd_max_high", F.when(cnt >= horizon, F.max("high").over(w)))
+        .withColumn("fwd_min_low", F.when(cnt >= horizon, F.min("low").over(w)))
+        .withColumn("mfe_long", F.col("fwd_max_high") - F.col("close"))
+        .withColumn("mae_long", F.col("close") - F.col("fwd_min_low"))
+    )

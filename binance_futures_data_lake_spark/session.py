@@ -29,6 +29,38 @@ RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    applyInPandas kernels close over module-level functions, which
+    cloudpickle serializes BY REFERENCE — the worker must import the
+    package. When the hosting process wasn't launched from the repo root
+    (e.g. the verification driver), workers can't, so we ship the package
+    source as a zip via addPyFile. Idempotent per content hash.
+    """
+    import hashlib
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    files = sorted(p for p in pkg_dir.rglob("*.py"))
+    digest = hashlib.md5(
+        b"".join(p.read_bytes() for p in files)
+    ).hexdigest()[:12]
+    zip_path = Path(tempfile.gettempdir()) / f"bfdl_spark_pkg_{digest}.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in files:
+                z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+        tmp.replace(zip_path)
+    try:
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:
+        pass  # already registered in this session
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session."""
     for k, v in RUNTIME_CONFS.items():
@@ -38,6 +70,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # Conf not settable at runtime in this Spark build — loaders have
             # explicit-schema fallbacks for the one load-bearing conf.
             pass
+    _ship_package(spark)
     return spark
 
 
