@@ -1,0 +1,143 @@
+"""ML pipeline operators (SURVEY §2.9, M1-M12).
+
+The reference trains numpy logistic regression with temporal splits
+(run_ml_m15_v1.py:67-75, run_ml_regime_week_v1.py:214-240). The Spark-first
+re-expression is spark.ml: ``LogisticRegression`` over an assembled feature
+vector, deterministic hash-based splits instead of RNG so results are
+reproducible under any partitioning, and evaluation as plain DataFrame
+aggregations (confusion counts / per-class precision-recall — SURVEY M9).
+
+Everything distributed-friendly: feature standardization fits on the TRAIN
+split only (M5's train-stats rule), transforms are narrow, and the returned
+evaluation is a tiny aggregate — no driver-side materialization of the
+training data beyond what spark.ml itself does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def temporal_split(df: DataFrame, ts_col: str, train_end, val_end):
+    """SURVEY M4 (run_ml_m15_v1.py:280-285): temporal train/val/test split —
+    no shuffling, no leakage; pure partition-prunable filters."""
+    train = df.filter(F.col(ts_col) < F.lit(train_end))
+    val = df.filter((F.col(ts_col) >= F.lit(train_end)) & (F.col(ts_col) < F.lit(val_end)))
+    test = df.filter(F.col(ts_col) >= F.lit(val_end))
+    return train, val, test
+
+
+def deterministic_split(df: DataFrame, id_col: str, train_frac: float = 0.8):
+    """Hash-based reproducible split (crc32 of the id modulo 1000) — stable
+    across partitionings and engines, unlike randomSplit."""
+    bucket = F.crc32(F.col(id_col).cast("string")) % 1000
+    cut = int(train_frac * 1000)
+    return df.filter(bucket < cut), df.filter(bucket >= cut)
+
+
+def lr_on_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """SURVEY M1/M3/M9: multinomial logistic regression on the embeddings
+    table (reference: numpy one-vs-rest LR, run_ml_regime_week_v1.py:214-240
+    → spark.ml multinomial LR). Deterministic 80/20 split; returns one row
+    per class with support / predicted / correct counts and precision,
+    recall, f1 — the macro-F1 surface of run_ml_regime_week_v1.py:87-116.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "features"
+        ),
+    ).filter(F.col("label").isNotNull())
+
+    train, test = deterministic_split(base, "id", train_frac)
+    lr = LogisticRegression(
+        maxIter=50,
+        regParam=0.01,
+        elasticNetParam=0.0,  # L2 — the reference's ridge penalty (M1)
+        family="multinomial",
+        standardization=True,
+    )
+    model = lr.fit(train)
+    pred = model.transform(test).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("prediction").cast("long").alias("prediction"),
+    )
+
+    support = pred.groupBy("label").agg(F.count(F.lit(1)).alias("n_true"))
+    predicted = pred.groupBy(F.col("prediction").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    correct = (
+        pred.filter(F.col("label") == F.col("prediction"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    out = (
+        support.join(predicted, "label", "full")
+        .join(correct, "label", "full")
+        .fillna(0, ["n_true", "n_pred", "n_correct"])
+    )
+    prec = F.col("n_correct") / F.nullif(F.col("n_pred").cast("double"), F.lit(0.0))
+    rec = F.col("n_correct") / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
+    f1 = 2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))
+    return out.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.round(prec, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+        F.round(f1, 4).alias("f1"),
+    ).orderBy("label")
+
+
+def platt_calibrate(scores: DataFrame, score_col: str, label_col: str):
+    """SURVEY M2 (run_ml_m15_v1.py:78-85): Platt scaling — a 1-D logistic
+    regression on raw scores. Fit via spark.ml on a single feature."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=[score_col], outputCol="features")
+    lr = LogisticRegression(maxIter=100, regParam=0.0)
+    model = lr.fit(va.transform(scores.withColumnRenamed(label_col, "label")))
+    a = float(model.coefficients[0])
+    b = float(model.intercept)
+
+    def apply(df: DataFrame, col: str = score_col, out: str = "p_cal") -> DataFrame:
+        return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-(a * F.col(col) + b))))
+
+    return apply, (a, b)
+
+
+def train_standardize(train: DataFrame, df: DataFrame, cols: list[str]):
+    """SURVEY M5 (run_ml_m15_v1.py:287-306): median-impute + z-standardize
+    with statistics computed on the TRAIN split only, applied to any split.
+    Uses approx medians (exact percentile would collect per-column)."""
+    medians = dict(
+        zip(cols, (train.approxQuantile(c, [0.5], 1e-4)[0] for c in cols))
+    )
+    imputed = train.select(
+        *[F.coalesce(F.col(c), F.lit(medians[c])).alias(c) for c in cols]
+    )
+    stats = imputed.agg(
+        *[F.avg(c).alias(f"{c}__mu") for c in cols],
+        *[F.stddev_pop(c).alias(f"{c}__sd") for c in cols],
+    ).first()
+    out = df
+    for c in cols:
+        mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"]
+        sd = sd if sd else 1.0
+        out = out.withColumn(
+            f"{c}_z", (F.coalesce(F.col(c), F.lit(medians[c])) - F.lit(mu)) / F.lit(sd)
+        )
+    return out

@@ -1,0 +1,234 @@
+"""Large-scale text deduplication (beyond-reference training-data ops).
+
+Exact dedup is a hash-groupBy (driver_queries.doc_exact_dedup). The scale
+path for NEAR-duplicate detection is implemented here:
+
+- **MinHash + LSH**: word shingles → k independent min-hashes → band
+  buckets → candidate pairs from bucket joins → exact-Jaccard verification
+  of candidates only. The token self-join of the naive approach is
+  replaced by a join on band hashes: at 100 TB the shuffle carries
+  (doc_id, band_hash) pairs — ~b rows/doc — instead of one row per token
+  occurrence, and bucket sizes stay bounded because collisions need
+  r simultaneous equal min-hashes.
+- **SimHash**: token-hash sign aggregation to a 32-bit fingerprint;
+  near-dup candidates share at least one of 4 byte-bands (pigeonhole:
+  hamming ≤ 3 ⇒ some band equal), verified by exact hamming distance.
+
+All hashing is md5-derived and engine-portable, so the signature and
+candidate computations are DuckDB-oracle-checkable (no dependence on
+Spark's xxhash seed or Python's PYTHONHASHSEED).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# prime > 2^32 for universal hashing h_j(t) = (a_j·t + b_j) mod P
+MINHASH_P = 4_294_967_311
+
+
+def words(col, lowercase: bool = True):
+    c = F.lower(col) if lowercase else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles as strings ("a b c")."""
+    toks = words(col)
+    if n <= 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def token_hash(col):
+    """Portable 32-bit token hash: first 8 hex chars of md5 as integer.
+    (Identical in DuckDB: ('0x' || substring(md5(t),1,8))::BIGINT.)"""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long-format MinHash signatures: (doc_id, h [0..k), minhash).
+
+    h_j(t) = ((2j+1)·t + 12345j + 1) mod P — odd multipliers, portable
+    arithmetic. One explode of shingles × k hash indices, then a min
+    aggregate; map-side partial aggregation keeps the shuffle at
+    k rows/doc.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("tok"),
+    ).withColumn("t", token_hash(F.col("tok")))
+    crossed = tok.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
+    )
+    hashed = crossed.withColumn(
+        "hv",
+        ((2 * F.col("h") + 1) * F.col("t") + 12345 * F.col("h") + 1) % MINHASH_P,
+    )
+    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the long-format signature and emit candidate (doc_a, doc_b)
+    pairs sharing at least one band. Jaccard s collides in a band with
+    probability s^r; P(candidate) = 1-(1-s^r)^b — the classic LSH S-curve."""
+    banded = (
+        sig.withColumn("band", F.floor(F.col("h") / rows_per_band))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", F.col("h"), F.col("minhash")))))).alias(
+                "band_hash"
+            )
+        )
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (the verify stage)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup chain: sign → band → candidates → exact verify."""
+    sig = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    return jaccard_verify(docs, cand, shingle_n=shingle_n, threshold=threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash: per token-hash bit, +count if set else −count;
+    fingerprint bit set where the sum is positive."""
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("t", token_hash(F.col("tok")))
+    )
+    bitted = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.when(
+            F.floor(F.col("t") / F.pow(F.lit(2.0), F.col("b")).cast("long")) % 2 == 1,
+            F.col("cnt"),
+        )
+        .otherwise(-F.col("cnt"))
+        .alias("contrib"),
+    )
+    return (
+        bitted.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band candidates (pigeonhole over 4
+    bands guarantees recall for hamming ≤ 3), exact bit_count(xor) verify."""
+    bandsel = [
+        (F.floor(F.col("simhash") / F.lit(256 ** i)) % 256).alias(f"b{i}") for i in range(4)
+    ]
+    banded = sims.select("doc_id", "simhash", *bandsel)
+    pairs = None
+    for i in range(4):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), F.col(f"b{i}").alias("bv")
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), F.col(f"b{i}").alias("bv")
+        )
+        p = a.join(b, "bv").filter(F.col("doc_a") < F.col("doc_b")).drop("bv")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force baseline). For corpora
+    where O(n²) is not viable, route through similarity.lsh_buckets first."""
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    a = base.select(F.col("id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+    )

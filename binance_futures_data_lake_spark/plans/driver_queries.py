@@ -791,3 +791,508 @@ def q_lang_stats(spark, sf_dir):
         r6(F.avg("n_chars")).alias("avg_chars"),
         r6(F.expr("percentile(n_chars, 0.5)")).alias("p50_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — scale dedup (MinHash/SimHash), text analysis, Ichimoku,
+# structure windows, ML labels (SURVEY W11-W18, M4-M6, extensions)
+# ---------------------------------------------------------------------------
+
+_SH_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SHINGLES = f"""
+  CASE WHEN len({_SH_TOKS}) >= 3
+       THEN list_distinct(list_transform(generate_series(1, len({_SH_TOKS}) - 2),
+                          i -> array_to_string(({_SH_TOKS})[i:i+2], ' ')))
+       ELSE [array_to_string({_SH_TOKS}, ' ')] END
+"""
+
+
+@register(
+    "minhash_signatures",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS t FROM sh
+    ), hx AS (
+      SELECT doc_id, j AS h, ((2*j + 1) * t + 12345*j + 1) % 4294967311 AS hv
+      FROM th, generate_series(0, 7) g(j)
+    )
+    SELECT doc_id, h, min(hv) AS minhash FROM hx GROUP BY 1, 2
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures over word 3-shingles with portable md5-derived
+    universal hashing (the LSH dedup scale path, operators/textdedup.py)."""
+    from binance_futures_data_lake_spark.operators.textdedup import minhash_signatures
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_signatures(docs, num_hashes=8, shingle_n=3)
+
+
+@register(
+    "simhash_values",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokw
+      FROM documents
+    ), cnts AS (
+      SELECT doc_id, tokw, count(*) AS cnt,
+             ('0x' || substring(md5(tokw), 1, 8))::BIGINT AS t
+      FROM tok GROUP BY 1, 2
+    ), bitted AS (
+      SELECT doc_id, b,
+             CASE WHEN (t // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN cnt ELSE -cnt END AS contrib
+      FROM cnts, generate_series(0, 31) g(b)
+    ), sums AS (
+      SELECT doc_id, b, CAST(sum(contrib) AS BIGINT) AS s FROM bitted GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM sums GROUP BY 1
+    """,
+)
+def q_simhash_values(spark, sf_dir):
+    """32-bit SimHash fingerprints (near-dup scale path)."""
+    from binance_futures_data_lake_spark.operators.textdedup import simhash
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash(docs)
+
+
+@register("minhash_near_dup_pairs")  # rows-only: LSH chain; recall vs exact is pytest-checked
+def q_minhash_near_dup_pairs(spark, sf_dir):
+    from binance_futures_data_lake_spark.operators.textdedup import minhash_dedup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=3)
+
+
+@register("simhash_near_pairs")  # rows-only: banded hamming candidates
+def q_simhash_near_pairs(spark, sf_dir):
+    from binance_futures_data_lake_spark.operators.textdedup import simhash, simhash_near_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_pairs(simhash(docs), max_hamming=3)
+
+
+@register(
+    "shingle_jaccard_pairs",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q_shingle_jaccard_pairs(spark, sf_dir):
+    """Exact 3-shingle Jaccard pairs — ground truth for the MinHash path."""
+    from binance_futures_data_lake_spark.operators.textdedup import shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+    )
+
+
+@register(
+    "doc_quality",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS nc,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      len(toks) AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+      round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / nullif(len(toks), 0), 6) AS avg_token_len,
+      round((nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / nullif(nc, 0), 6) AS punct_ratio,
+      round((nc - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / nullif(nc, 0), 6) AS digit_ratio
+    FROM t
+    """,
+)
+def q_doc_quality(spark, sf_dir):
+    """Quality-scoring feature columns (Gopher-rule shape)."""
+    from binance_futures_data_lake_spark.operators.text import quality_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "n_tokens_bpe", "avg_token_len", "punct_ratio", "digit_ratio"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    sql="""
+    WITH n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN length(norm) = 0 THEN 0
+           ELSE list_reduce(
+                  list_transform(list_filter(string_split(norm, ''), c -> c <> ''), c -> ord(c)::BIGINT),
+                  (a, b) -> (a * 131 + b) % 2147483647) END AS fp
+    FROM n
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (portable arithmetic)."""
+    from binance_futures_data_lake_spark.operators.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "lang_id",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','zu','in','ein','eine','ist','von'))) AS score_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS score_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','es','por'))) AS score_es,
+        len(list_filter(toks, x -> x IN ('le','la','de','et','que','en','un','une','est','pour'))) AS score_fr
+      FROM t
+    )
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+           WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+           WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+           WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-overlap language heuristic with deterministic tiebreak."""
+    from binance_futures_data_lake_spark.operators.text import lang_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lang_scores(docs).select(
+        "doc_id", "lang", "score_de", "score_en", "score_es", "score_fr", "lang_pred"
+    )
+
+
+_HOURLY_BARS_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ), rr AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    ), bars AS (
+      SELECT event_type, bucket_ts,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM rr GROUP BY 1, 2
+    )
+"""
+
+
+def _hourly_bars(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return tick_ohlcv(ev, 60, ["event_type"], tiebreak_col="event_id").select(
+        "event_type", "bucket_ts", "open", "high", "low", "close"
+    )
+
+
+@register(
+    "ichimoku_hourly",
+    sql=_HOURLY_BARS_SQL + """
+    , r AS (
+      SELECT event_type, bucket_ts, close,
+        CASE WHEN count(*) OVER w9 >= 9 THEN (max(high) OVER w9 + min(low) OVER w9) / 2 END AS tenkan,
+        CASE WHEN count(*) OVER w26 >= 26 THEN (max(high) OVER w26 + min(low) OVER w26) / 2 END AS kijun,
+        CASE WHEN count(*) OVER w52 >= 52 THEN (max(high) OVER w52 + min(low) OVER w52) / 2 END AS mid52
+      FROM bars
+      WINDOW
+        w9 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        w26 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        w52 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    ), d AS (
+      SELECT event_type, bucket_ts, close, tenkan, kijun,
+        lag((tenkan + kijun) / 2, 26) OVER wo AS senkou_a,
+        lag(mid52, 26) OVER wo AS senkou_b
+      FROM r WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    )
+    SELECT event_type, bucket_ts,
+      round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
+      round(senkou_a, 6) AS senkou_a, round(senkou_b, 6) AS senkou_b,
+      ((close > greatest(senkou_a, senkou_b))::INT + (tenkan > kijun)::INT
+       + (close > kijun)::INT + (senkou_a > senkou_b)::INT) AS bull_score,
+      ((close < least(senkou_a, senkou_b))::INT + (tenkan < kijun)::INT
+       + (close < kijun)::INT + (senkou_a < senkou_b)::INT) AS bear_score
+    FROM d
+    """,
+)
+def q_ichimoku_hourly(spark, sf_dir):
+    """SURVEY W11: Ichimoku lines + 4-component bull/bear scores on hourly
+    bars (compute_ichimoku_mtf_trend_v1.py:99-148)."""
+    bars = _hourly_bars(spark, sf_dir)
+    cols = W.ichimoku_cols(["event_type"], ["bucket_ts"])
+    return bars.select(
+        "event_type", "bucket_ts",
+        r6(cols["tenkan"]).alias("tenkan"),
+        r6(cols["kijun"]).alias("kijun"),
+        r6(cols["senkou_a"]).alias("senkou_a"),
+        r6(cols["senkou_b"]).alias("senkou_b"),
+        cols["bull_score"].alias("bull_score"),
+        cols["bear_score"].alias("bear_score"),
+    )
+
+
+@register(
+    "zscore_er_slope",
+    sql=_HOURLY_BARS_SQL + """
+    , diffed AS (
+      SELECT event_type, bucket_ts, close,
+        abs(close - lag(close) OVER wo) AS abs_d1,
+        lag(close, 14) OVER wo AS close_l14,
+        lag(close, 6) OVER wo AS close_l6
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    )
+    SELECT event_type, bucket_ts, close,
+      CASE WHEN count(*) OVER w20 >= 20 AND stddev_pop(close) OVER w20 <> 0
+           THEN round((close - avg(close) OVER w20) / stddev_pop(close) OVER w20, 6) END AS close_z20,
+      CASE WHEN count(*) OVER w14 >= 14 AND sum(abs_d1) OVER w14 <> 0
+           THEN round(abs(close - close_l14) / sum(abs_d1) OVER w14, 6) END AS er14,
+      round((close - close_l6) / 6.0, 6) AS slope6
+    FROM diffed
+    WINDOW
+      w20 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      w14 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_zscore_er_slope(spark, sf_dir):
+    """SURVEY W12-W14: rolling z-score, efficiency ratio, slope-per-bar."""
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    return bars.select(
+        "event_type", "bucket_ts", "close",
+        r6(W.rolling_zscore("close", 20, by, order)).alias("close_z20"),
+        r6(W.efficiency_ratio("close", 14, by, order)).alias("er14"),
+        r6(W.slope_per_bar("close", 6, by, order)).alias("slope6"),
+    )
+
+
+@register(
+    "k_consecutive_and_islands",
+    sql="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value, (value > 100.0) AS hot FROM events
+    ), k AS (
+      SELECT *,
+        (count(*) OVER w3 = 3 AND CAST(sum(hot::INT) OVER w3 AS BIGINT) = 3) AS hot3,
+        CASE WHEN lag(hot) OVER wo IS NULL OR hot <> lag(hot) OVER wo THEN 1 ELSE 0 END AS boundary
+      FROM f
+      WINDOW
+        wo AS (PARTITION BY user_id ORDER BY ts),
+        w3 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, hot, hot3,
+      CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+    FROM k
+    """,
+)
+def q_k_consecutive_and_islands(spark, sf_dir):
+    """SURVEY W18: k-consecutive-true detection + gaps-and-islands segment
+    ids (find_ichimoku_flat_levels_v1.py, build_range_boxes_from_flats_v2.py)."""
+    ev = load_events(spark, sf_dir)
+    by, order = ["user_id"], ["ts"]
+    hot = (F.col("value") > 100.0).alias("hot")
+    d = ev.select("event_id", "user_id", "ts", "value", hot)
+    k3 = W.k_consecutive_true(F.col("hot"), 3, by, order)
+    prev = F.lag("hot").over(W.w_ordered(by, order))
+    boundary = F.when(prev.isNull() | (F.col("hot") != prev), 1).otherwise(0)
+    return d.select(
+        "event_id", "user_id", "ts", "hot",
+        k3.alias("hot3"),
+        W.island_id(boundary == 1, by, order).alias("segment_id"),
+    )
+
+
+@register(
+    "mae_mfe_hourly",
+    sql=_HOURLY_BARS_SQL + """
+    SELECT event_type, bucket_ts, close,
+      CASE WHEN count(*) OVER wf >= 5 THEN max(high) OVER wf END AS fwd_max_high,
+      CASE WHEN count(*) OVER wf >= 5 THEN min(low) OVER wf END AS fwd_min_low,
+      CASE WHEN count(*) OVER wf >= 5 THEN round(max(high) OVER wf - close, 6) END AS mfe_long,
+      CASE WHEN count(*) OVER wf >= 5 THEN round(close - min(low) OVER wf, 6) END AS mae_long
+    FROM bars
+    WINDOW wf AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING)
+    """,
+)
+def q_mae_mfe_hourly(spark, sf_dir):
+    """SURVEY W20/B4: forward-window MAE/MFE."""
+    from binance_futures_data_lake_spark.operators.backtest import mae_mfe
+
+    bars = _hourly_bars(spark, sf_dir)
+    out = mae_mfe(bars, horizon=5, by=["event_type"], order=["bucket_ts"])
+    return out.select(
+        "event_type", "bucket_ts", "close", "fwd_max_high", "fwd_min_low",
+        r6(F.col("mfe_long")).alias("mfe_long"),
+        r6(F.col("mae_long")).alias("mae_long"),
+    )
+
+
+@register(
+    "rma_atr_hourly",
+    sql=_HOURLY_BARS_SQL + """
+    , tr AS (
+      SELECT event_type, bucket_ts, high, low, close,
+        CASE WHEN lag(close) OVER wo IS NULL THEN high - low
+             ELSE greatest(high - low, abs(high - lag(close) OVER wo),
+                           abs(low - lag(close) OVER wo)) END AS true_range,
+        row_number() OVER wo AS rn
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), t AS (
+      SELECT *, true_range * (CASE WHEN rn = 1 THEN 1.0 ELSE 1.0/14.0 END)
+                * power(13.0/14.0, -rn) AS term
+      FROM tr
+    )
+    SELECT event_type, bucket_ts, round(true_range, 6) AS true_range,
+      round(sum(term) OVER (PARTITION BY event_type ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * power(13.0/14.0, rn), 4) AS atr_rma14
+    FROM t
+    """,
+)
+def q_rma_atr_hourly(spark, sf_dir):
+    """SURVEY W6 (alpha=1/n RMA form): Wilder ATR via the exact EWM kernel;
+    closed-form oracle."""
+    from binance_futures_data_lake_spark.functions.ewm import ewm_apply
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    bars = bars.withColumn("true_range", W.true_range(by, order))
+    out = ewm_apply(bars, {"atr_rma14": ("true_range", 1.0 / 14.0)}, by, order)
+    return out.select(
+        "event_type", "bucket_ts",
+        r6(F.col("true_range")).alias("true_range"),
+        F.round("atr_rma14", 4).alias("atr_rma14"),
+    )
+
+
+@register(
+    "case_label_ladder",
+    sql="""
+    SELECT event_id, user_id, event_type, value,
+      CASE WHEN value < 50 THEN 'P0_50' WHEN value < 150 THEN 'P50_150'
+           WHEN value < 300 THEN 'P150_300' ELSE 'P300_PLUS' END AS value_bucket,
+      CASE WHEN event_type IN ('purchase', 'signup') THEN 'CONVERSION'
+           WHEN event_type = 'error' THEN 'FAILURE' ELSE 'ENGAGEMENT' END AS event_class,
+      CASE event_type WHEN 'purchase' THEN 2 WHEN 'signup' THEN 1
+                      WHEN 'error' THEN -1 ELSE 0 END AS event_code
+    FROM events
+    """,
+)
+def q_case_label_ladder(spark, sf_dir):
+    """SURVEY P10/P11 + §2.7 code maps: when-ladders, membership tests,
+    label→code mapping (_rp_bucket, run_ml_m15_v1.py:153-155)."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.when(F.col("value") < 50, "P0_50")
+        .when(F.col("value") < 150, "P50_150")
+        .when(F.col("value") < 300, "P150_300")
+        .otherwise("P300_PLUS")
+        .alias("value_bucket"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "CONVERSION")
+        .when(F.col("event_type") == "error", "FAILURE")
+        .otherwise("ENGAGEMENT")
+        .alias("event_class"),
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "error", -1)
+        .otherwise(0)
+        .alias("event_code"),
+    )
+
+
+@register(
+    "ml_forward_labels",
+    sql=_HOURLY_BARS_SQL + """
+    SELECT event_type, bucket_ts, close,
+      lead(open) OVER wo AS entry_next_open,
+      lead(close, 4) OVER wo AS future_close,
+      CASE WHEN lead(open) OVER wo IS NOT NULL AND lead(close, 4) OVER wo IS NOT NULL
+           THEN round(lead(close, 4) OVER wo / lead(open) OVER wo - 1.0, 6) END AS ret_fwd,
+      CASE WHEN lead(open) OVER wo IS NOT NULL AND lead(close, 4) OVER wo IS NOT NULL
+           THEN (lead(close, 4) OVER wo / lead(open) OVER wo - 1.0 > 0.0) END AS y
+    FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    """,
+)
+def q_ml_forward_labels(spark, sf_dir):
+    """SURVEY M6/W2: next-open entry + forward-horizon label
+    (run_ml_m15_v1.py:157-160) — the anti-lookahead ML labeling."""
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    entry = W.lead_col("open", 1, by, order)
+    fut = W.lead_col("close", 4, by, order)
+    ret = F.when(entry.isNotNull() & fut.isNotNull(), fut / entry - 1.0)
+    return bars.select(
+        "event_type", "bucket_ts", "close",
+        entry.alias("entry_next_open"),
+        fut.alias("future_close"),
+        r6(ret).alias("ret_fwd"),
+        (ret > 0.0).alias("y"),
+    )
+
+
+@register("sticky_regime_hourly")  # rows-only: inherently sequential state machine
+def q_sticky_regime_hourly(spark, sf_dir):
+    from binance_futures_data_lake_spark.operators.regime import DirectionParams, sticky_state
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    score = F.tanh(W.rolling_zscore("close", 20, by, order))
+    scored = bars.withColumn("score", score)
+    out = sticky_state(
+        scored, by, order, "score",
+        DirectionParams(enter_th=0.3, exit_th=0.15, enter_persist=2, exit_persist=2, min_hold_bars=2),
+    )
+    return out.select("event_type", "bucket_ts", "dir_state", "dir_regime_id", "dir_state_age")
+
+
+@register("ml_lr_embeddings")  # rows-only: MLlib training is not SQL-expressible
+def q_ml_lr_embeddings(spark, sf_dir):
+    """SURVEY M1/M3/M9: multinomial LR on the embeddings table with a
+    deterministic 80/20 split; returns per-class precision/recall rows."""
+    from binance_futures_data_lake_spark.operators.ml import lr_on_embeddings
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lr_on_embeddings(emb)
