@@ -1,0 +1,235 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Three tiers, all over ``array<float>`` columns (the `embeddings` table):
+
+- **Brute force** (`brute_force_topk`): broadcast the query set, scan the
+  corpus once, window top-k. Exact; O(|Q|·|C|) similarity evaluations but
+  only ONE pass over the corpus and no corpus shuffle — at 100 TB this is
+  the right baseline when |Q| is small (the query side broadcasts, the
+  corpus side streams).
+- **Random-hyperplane LSH** (`rh_signatures` / `lsh_topk`): sign-of-dot-
+  product bit signatures banded into buckets; candidates = corpus vectors
+  sharing ≥1 band bucket with the query, then exact cosine on candidates
+  only. The corpus shuffle carries (id, band, band_key) — `bands` rows per
+  vector — instead of the |Q|·|C| cross product. Hyperplanes are derived
+  deterministically from md5, so signatures are reproducible across runs,
+  partitionings, and engines (no RNG state).
+- **IVF** (`ivf_assign` / `ivf_topk`): k-means coarse quantizer; each
+  vector is assigned to its nearest centroid (one narrow pass, centroids
+  broadcast), queries probe the `nprobe` nearest cells. At scale the cell
+  id doubles as a partition key: write the corpus `partitionBy(cell)` and a
+  probe reads nprobe/num_cells of the data (partition pruning on cell).
+
+Recall of both approximate tiers against the brute-force baseline is
+pytest-checked (tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_double_vec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def normalized(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, vec double[], nrm) projection shared by every tier."""
+    v = _as_double_vec(F.col(vec_col))
+    return emb.select(F.col(id_col).alias("id"), v.alias("vec")).withColumn("nrm", _norm(F.col("vec")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × one corpus scan.
+
+    Ranking uses the 6-dp-rounded similarity with an id tiebreak so the
+    result set is deterministic and engine-comparable.
+    """
+    c = normalized(corpus, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
+    q = (
+        normalized(queries, id_col, vec_col)
+        .select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"))
+    )
+    sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "rh-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    Component (j, d) comes from md5(f"{seed}:{j}:{d}") — no RNG object, so
+    any engine (or a re-run on different partitioning) derives the exact
+    same planes.
+    """
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def rh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rh-lsh",
+) -> DataFrame:
+    """(id, vec, nrm, bits array<int>) — sign-of-dot-product signature.
+
+    Narrow (per-row) computation: hyperplanes ship as literals inside the
+    plan, no join and no shuffle to sign a vector.
+    """
+    base = normalized(df, id_col, vec_col)
+    bits = []
+    for plane in hyperplanes(dim, n_planes, seed):
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(_dot(F.col("vec"), p) >= 0, 1).otherwise(0))
+    return base.withColumn("bits", F.array(*bits))
+
+
+def _band_keys(bits_col, bands: int, rows_per_band: int):
+    """One string key per band: "band:bit,bit,…" over its slice of bits."""
+    keys = []
+    for b in range(bands):
+        sl = F.slice(bits_col, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.concat_ws(":", F.lit(str(b)), F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))))
+    return F.array(*keys)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH banding + exact re-rank.
+
+    Candidate generation is a join on (band_key): the corpus explodes to
+    `bands` rows/vector — at 100 TB that is the entire shuffle, and bucket
+    skew is bounded because a collision needs rows_per_band simultaneous
+    equal sign bits. Exact cosine runs on candidates only.
+    """
+    rpb = n_planes // bands
+    csig = rh_signatures(corpus, dim, n_planes, id_col, vec_col)
+    qsig = rh_signatures(queries, dim, n_planes, id_col, vec_col)
+    cband = csig.select(
+        F.col("id").alias("neighbor_id"), "vec", "nrm",
+        F.explode(_band_keys(F.col("bits"), bands, rpb)).alias("band_key"),
+    )
+    qband = qsig.select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
+        F.explode(_band_keys(F.col("bits"), bands, rpb)).alias("band_key"),
+    )
+    cand = (
+        cband.join(F.broadcast(qband), "band_key")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", "vec", "nrm", "q_vec", "q_nrm")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def ivf_train_centroids(corpus: DataFrame, num_cells: int = 16, seed: int = 7,
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """K-means coarse quantizer; returns centroids as a plain list of lists
+    (tiny — num_cells × dim — always broadcastable)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = normalized(corpus, id_col, vec_col).select(array_to_vector("vec").alias("features"))
+    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(feat)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec_col, centroids: list[list[float]], n: int):
+    """Array of the n nearest centroid ids by L2 — computed as a literal
+    expression chain (centroids are plan literals, no join)."""
+    dists = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(F.zip_with(vec_col, lit, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda a, x: a + x)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+    ranked = F.array_sort(F.array(*dists))  # struct sort: by d, then cell
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+
+def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, nrm, cell) — at scale, write this partitionBy("cell") so a
+    probe is a partition-pruned read."""
+    base = normalized(corpus, id_col, vec_col)
+    return base.withColumn("cell", _nearest_cells(F.col("vec"), centroids, 1)[0])
+
+
+def ivf_topk(
+    corpus_cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing the nprobe nearest cells per query: the corpus is
+    filtered to probed cells via a broadcast semi-structure join, then
+    exact cosine re-ranks."""
+    q = normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
+        F.explode(_nearest_cells(F.col("vec"), centroids, nprobe)).alias("cell"),
+    )
+    cand = (
+        corpus_cells.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -740,38 +740,10 @@ def q_cosine_topk(spark, sf_dir):
     """Similarity search baseline: brute-force cosine top-k for a query set,
     broadcast queries × corpus scan (SURVEY §7.1 step 10). Ranking uses the
     ROUNDED similarity + vec_id tiebreak so ordering is engine-stable."""
-    from pyspark.sql import Window
+    from binance_futures_data_lake_spark.operators.similarity import brute_force_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
-    vec = F.transform("embedding", lambda x: x.cast("double"))
-    base = emb.select(
-        "vec_id",
-        vec.alias("vec"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
-    q = base.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm")
-    )
-    c = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm")
-    )
-    dot = F.aggregate(
-        F.zip_with("q_vec", "c_vec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    sim = (dot / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim")
-    pairs = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", sim)
-        .withColumn("cosine", r6(F.col("sim")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("q_id", "neighbor_id", "cosine", "rnk")
-    )
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @register(
@@ -1296,3 +1268,30 @@ def q_ml_lr_embeddings(spark, sf_dir):
 
     emb = load_table(spark, "embeddings", sf_dir)
     return lr_on_embeddings(emb)
+
+
+@register("ann_lsh_topk")  # rows-only: recall@k vs brute force is pytest-checked
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH band buckets → candidate join →
+    exact cosine re-rank (operators/similarity.py). The corpus shuffle is
+    bands rows/vector instead of the |Q|·|C| cross product."""
+    from binance_futures_data_lake_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+                    n_planes=16, bands=8)
+
+
+@register("ann_ivf_topk")  # rows-only: kmeans quantizer (RNG-seeded, not SQL-expressible)
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN via IVF coarse quantization: kmeans cells, nprobe-cell probe,
+    exact cosine re-rank. At scale the cell id is a partition key so a
+    probe is a partition-pruned read."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_assign, ivf_topk, ivf_train_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_train_centroids(emb, num_cells=8, seed=7)
+    cells = ivf_assign(emb, cents)
+    return ivf_topk(cells, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)

@@ -1,0 +1,119 @@
+"""ANN tiers vs the exact brute-force baseline.
+
+The approximate paths (LSH, IVF) must find a large fraction of the true
+top-k — recall@k is the standard ANN quality gate. Ground truth is
+`brute_force_topk` on the same corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
+    lsh_topk,
+    rh_signatures,
+    hyperplanes,
+)
+from binance_futures_data_lake_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 5
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, "embeddings", SF).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def truth(spark, emb):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    return {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=K).collect()
+    }
+
+
+def _recall(found_pairs, truth):
+    return len(found_pairs & truth) / len(truth)
+
+
+def test_brute_force_shape(spark, emb):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = brute_force_topk(emb, q, k=K)
+    rows = out.collect()
+    assert len(rows) == N_QUERIES * K
+    # per-query ranks are 1..K with strictly ordered (rounded) similarity
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, K + 1))
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q_id for r in rs)
+
+
+def test_lsh_recall(spark, emb, truth):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    found = {
+        (r.q_id, r.neighbor_id)
+        for r in lsh_topk(emb, q, dim=64, k=K, n_planes=16, bands=8).collect()
+    }
+    # 8 bands × 2 rows/band is a permissive S-curve — recall should be high
+    assert _recall(found, truth) >= 0.6
+
+
+def test_lsh_precision_of_found(spark, emb, truth):
+    """Anything LSH returns at rank<=K with cosine >= the true kth cosine
+    must BE a true neighbor: the re-rank is exact, so errors are only
+    misses, never wrong similarities."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    bf = {(r.q_id, r.neighbor_id): r.cosine for r in brute_force_topk(emb, q, k=K).collect()}
+    for r in lsh_topk(emb, q, dim=64, k=K, n_planes=16, bands=8).collect():
+        key = (r.q_id, r.neighbor_id)
+        if key in bf:
+            assert abs(bf[key] - r.cosine) < 1e-9
+
+
+def test_ivf_recall(spark, emb, truth):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = ivf_train_centroids(emb, num_cells=8, seed=7)
+    cells = ivf_assign(emb, cents)
+    found = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_topk(cells, q, cents, k=K, nprobe=4).collect()
+    }
+    assert _recall(found, truth) >= 0.6
+
+
+def test_ivf_cells_cover_corpus(spark, emb):
+    cents = ivf_train_centroids(emb, num_cells=8, seed=7)
+    cells = ivf_assign(emb, cents)
+    assert cells.count() == emb.count()
+    assert cells.filter(F.col("cell").isNull()).count() == 0
+    n_cells = cells.select("cell").distinct().count()
+    assert 2 <= n_cells <= 8
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplanes(16, 4, seed="s")
+    b = hyperplanes(16, 4, seed="s")
+    c = hyperplanes(16, 4, seed="other")
+    assert a == b
+    assert a != c
+    flat = [x for row in a for x in row]
+    assert all(-1.0 <= x <= 1.0 for x in flat)
+
+
+def test_signatures_stable_across_partitioning(spark, emb):
+    s1 = rh_signatures(emb, 64, 8).select("id", "bits").collect()
+    s2 = rh_signatures(emb.repartition(13), 64, 8).select("id", "bits").collect()
+    assert {r.id: tuple(r.bits) for r in s1} == {r.id: tuple(r.bits) for r in s2}

@@ -1,0 +1,184 @@
+"""Text dedup + analysis operators: recall of the LSH chain vs exact
+Jaccard, SimHash banding guarantees, language-ID on constructed docs,
+fingerprint invariances, and the ML surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.text import (
+    fingerprint,
+    lang_scores,
+    quality_features,
+)
+from binance_futures_data_lake_spark.operators.textdedup import (
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from binance_futures_data_lake_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, "documents", SF).cache()
+    df.count()
+    return df
+
+
+def _exact_pairs(spark, docs, threshold):
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return {
+        (r.doc_a, r.doc_b)
+        for r in joined.withColumn("j", jac).filter(F.col("j") >= threshold).collect()
+    }
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """With 16 hashes in 8 bands (r=2), a pair at Jaccard 0.5 collides in a
+    band w.p. 1-(1-0.25)^8 ≈ 0.90 — the chain should find most true pairs,
+    and every pair it reports must be a true pair (verify stage is exact)."""
+    truth = _exact_pairs(spark, docs, 0.5)
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(
+            docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=3
+        ).collect()
+    }
+    assert found <= truth  # no false positives — exact verify
+    if truth:
+        assert len(found & truth) / len(truth) >= 0.7
+
+
+def test_minhash_signature_is_min_over_hashes(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs, num_hashes=4, shingle_n=3).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r.doc_id, {})[r.h] = r.minhash
+    # identical text → identical signature rows for every hash index
+    assert by_doc[1] == by_doc[2]
+    assert set(by_doc[1]) == {0, 1, 2, 3}
+
+
+def test_lsh_identical_docs_always_candidates(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    cand = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig, 4, 2).collect()}
+    assert (1, 2) in cand
+    ver = jaccard_verify(docs, lsh_candidate_pairs(sig, 4, 2), threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in ver] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight"),
+         (2, "one two three four five six seven eight"),
+         (3, "nine ten eleven twelve thirteen fourteen")],
+        ["doc_id", "text"],
+    )
+    sims = simhash(docs)
+    vals = {r.doc_id: r.simhash for r in sims.collect()}
+    assert vals[1] == vals[2]
+    assert 0 <= vals[1] < 2 ** 32
+    pairs = simhash_near_pairs(sims, max_hamming=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
+
+
+def test_simhash_banding_guarantee(spark, docs):
+    """Pigeonhole: any pair with hamming<=3 differs in at most 3 of the 4
+    byte-bands, so at least one band matches → banding finds ALL such
+    pairs. Verify against a direct all-pairs hamming scan."""
+    sims = simhash(docs).cache()
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", ham).filter(F.col("h") <= 3).collect()
+    }
+    found = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(sims, max_hamming=3).collect()}
+    assert found == truth
+
+
+def test_lang_id_on_constructed_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat is in the house and it is warm", "en"),
+         (2, "le chat est dans la maison et il est chaud", "fr"),
+         (3, "der hund ist in das haus und er ist warm", "de"),
+         (4, "el gato es de la casa y es un animal", "es"),
+         (5, "zzz qqq xxx www", "und")],
+        ["doc_id", "text", "expect"],
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_scores(docs).collect()}
+    expect = {r.doc_id: r.expect for r in docs.collect()}
+    assert out == expect
+
+
+def test_fingerprint_whitespace_case_invariant(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD  "), (4, "goodbye world")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+    assert 0 <= fps[1] < 2_147_483_647
+
+
+def test_quality_features_values(spark):
+    docs = spark.createDataFrame([(1, "ab cd ef gh ij kl")], ["doc_id", "text"])
+    r = quality_features(docs).collect()[0]
+    assert r.n_tokens == 6
+    assert r.avg_token_len == 2.0
+    assert r.punct_ratio == 0.0
+    assert r.quality_keep is True
+    short = quality_features(
+        spark.createDataFrame([(2, "one two")], ["doc_id", "text"])
+    ).collect()[0]
+    assert short.quality_keep is False  # fewer than 5 tokens
+
+
+def test_lr_on_embeddings_machinery(spark):
+    """The testdata labels are independent of the embeddings (holdout
+    nearest-centroid = chance), so no accuracy gate is meaningful here —
+    assert the evaluation machinery: counts reconcile, metrics well-formed,
+    and the deterministic split makes repeated runs identical."""
+    from binance_futures_data_lake_spark.operators.ml import lr_on_embeddings
+
+    emb = load_table(spark, "embeddings", SF)
+    rows = lr_on_embeddings(emb).collect()
+    labels = {r.label for r in rows}
+    assert labels <= set(range(10))
+    total_true = sum(r.n_true for r in rows)
+    total_pred = sum(r.n_pred for r in rows)
+    total_correct = sum(r.n_correct for r in rows)
+    assert total_true == total_pred  # every test row predicted exactly once
+    assert 0 <= total_correct <= total_true
+    for r in rows:
+        assert r.n_correct <= min(r.n_true, r.n_pred)
+        if r.precision is not None:
+            assert 0.0 <= r.precision <= 1.0
+        if r.recall is not None:
+            assert 0.0 <= r.recall <= 1.0
+    rows2 = lr_on_embeddings(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
