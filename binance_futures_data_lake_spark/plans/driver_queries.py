@@ -1295,3 +1295,60 @@ def q_ann_ivf_topk(spark, sf_dir):
     cents = ivf_train_centroids(emb, num_cells=8, seed=7)
     cells = ivf_assign(emb, cents)
     return ivf_topk(cells, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)
+
+
+@register("streaming_ohlcv_bars")  # rows-only: Structured Streaming pipeline
+def q_streaming_ohlcv_bars(spark, sf_dir):
+    """SURVEY §2.10 end-to-end: file stream → watermarked tumbling-window
+    OHLCV (append mode = emit-on-close) → foreachBatch keyed upsert.
+    Stream/batch bar parity is asserted in tests/test_streaming.py; here the
+    emitted bars are returned for a rows/schema check. Runs availableNow on
+    a temp copy of the events table split into 3 time-ordered chunks so the
+    watermark advances across micro-batches."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from binance_futures_data_lake_spark.streaming.pipeline import run_ohlcv_ingest
+
+    work = tempfile.mkdtemp(prefix="bfdl_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ev = load_events(spark, sf_dir).orderBy("ts", "event_id").toPandas()
+    ev["ts"] = ev["ts"].astype("int64")
+    n = len(ev)
+    cuts = [0, int(n * 0.4), int(n * 0.8), n]
+    for i in range(3):
+        p = os.path.join(src, f"chunk-{i}.parquet")
+        ev.iloc[cuts[i]:cuts[i + 1]].to_parquet(p, index=False)
+        mtime = time.time() - (3 - i) * 60
+        os.utime(p, (mtime, mtime))
+    sink = os.path.join(work, "lake")
+    q = run_ohlcv_ingest(
+        spark, src, sink, os.path.join(work, "ckpt"),
+        minutes=60, key_cols=("event_type",), watermark="30 minutes",
+    )
+    q.awaitTermination(600)
+    out = spark.read.parquet(sink).select(
+        "event_type", "bucket_ts", "open", "high", "low", "close",
+        r6(F.col("volume")).alias("volume"), "n_ticks",
+    )
+    out = out.cache()
+    out.count()  # materialize before the temp dir can be reclaimed
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register("media_image_features")  # rows-only: Arrow mapInPandas with stubbed decode
+def q_media_image_features(spark, sf_dir):
+    """Multimodal plumbing: documents → synthetic binary media table →
+    Arrow-batched decode (deterministic stub) → fixed-width feature rows
+    (intensity stats + aHash fingerprint). The binary column never crosses
+    a shuffle boundary."""
+    from binance_futures_data_lake_spark.operators.multimodal import (
+        image_features, synthetic_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return image_features(synthetic_media(docs, kind="image"))

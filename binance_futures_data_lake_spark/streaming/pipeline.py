@@ -1,0 +1,232 @@
+"""Structured Streaming re-expression of the reference's batch-emulated
+streaming semantics (SURVEY §2.10).
+
+Reference → Spark mapping implemented here:
+
+- safe-lag 2 min (klines_m1.py:28,58-63)          → ``withWatermark``
+- tumbling bucket agg (aggregate_tf.py:85-102)    → ``window()`` groupBy
+- emit-on-window-close (aggregate_tf.py:65-76)    → append output mode
+- dedup keep-last on key within safe lag          → ``dropDuplicatesWithinWatermark``
+- staged append + compaction + checkpoint
+  (klines_m1.py:146-185, compact_staging.py)      → ``foreachBatch`` upsert +
+                                                     streaming checkpointLocation
+- sticky regime state machine (W17)               → ``applyInPandasWithState``
+
+Batch/stream parity is the test contract: the streaming windowed bars must
+equal the batch ``tick_ohlcv`` result for every window the watermark has
+closed (tests/test_streaming.py).
+
+Scale note: a streaming window agg shuffles on (keys, window) exactly like
+the batch groupBy; state lives in the state store partitioned the same way,
+so the 1000-executor story is unchanged — keys spread the state, watermark
+bounds its size, and checkpointLocation makes restarts exactly-once into an
+idempotent (upsert) sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from binance_futures_data_lake_spark.schemas import EVENTS_SCHEMA
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet (the micro-batch stand-in for
+    the reference's REST poll loop — each new file ≙ one poll response)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_ohlcv_stream(
+    events: DataFrame,
+    minutes: int,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling OHLCV bars; append mode emits a bar only when
+    its window is closed — the complete-buckets-only rule (A2) for free.
+
+    first/last are time-ordered via ``min_by/max_by`` on the event time, the
+    same determinism rule as batch ``tick_ohlcv``.
+    """
+    v = F.col(value_col)
+    order = F.col(ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(ts_col, f"{minutes} minutes").alias("win"))
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.sum(v).alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            *key_cols,
+            F.col("win.start").alias("bucket_ts"),
+            "open", "high", "low", "close", "volume", "n_ticks",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Exactly-once on the ingest key within the safe lag: the streaming
+    form of dedup-keep-last (compact_staging.py:89-93). State for a key is
+    dropped once the watermark passes it, so state size is bounded by
+    (arrival rate × watermark), not history length."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def parquet_upsert(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    keys: Sequence[str],
+    part_ts_col: str = "bucket_ts",
+) -> None:
+    """Generic keyed upsert into a day-partitioned parquet table: union the
+    touched day partitions with the new rows, dedup new-wins, dynamic-
+    overwrite only those partitions. The streaming analogue of the lake's
+    staging-wins compaction (compact_staging.py:44-111) — merge cost is
+    proportional to the new data's partition span, not table size."""
+    from binance_futures_data_lake_spark.operators.dedup import dedup_keep_last
+
+    new_p = new_df.withColumn("p_day", F.to_date(part_ts_col))
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    exists = hpath.getFileSystem(hconf).exists(hpath)
+    if exists:
+        days = [r.p_day for r in new_p.select("p_day").distinct().collect()]
+        overlap = spark.read.parquet(path).filter(F.col("p_day").isin(days))
+        merged = overlap.withColumn("__prec", F.lit(0)).unionByName(
+            new_p.withColumn("__prec", F.lit(1))
+        )
+        result = dedup_keep_last(merged, list(keys), ["__prec"]).drop("__prec")
+    else:
+        result = dedup_keep_last(
+            new_p.withColumn("__prec", F.lit(1)), list(keys), ["__prec"]
+        ).drop("__prec")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result.repartition(F.col("p_day")).write.mode(
+        "overwrite" if exists else "errorifexists"
+    ).partitionBy("p_day").parquet(path)
+
+
+def foreach_batch_upsert(
+    root: str,
+    keys: Sequence[str] = ("symbol", "open_time_ms"),
+    part_ts_col: str = "bucket_ts",
+):
+    """foreachBatch sink: keyed upsert per micro-batch — the collector's
+    append/compact/checkpoint trio with the manual _checkpoint.json replaced
+    by the stream's checkpointLocation.
+
+    Idempotent on replay: a re-delivered micro-batch upserts the same keys
+    to the same values, so at-least-once delivery + this sink = effectively
+    exactly-once (the reference's dedup-keep-last guarantee).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parquet_upsert(batch_df.sparkSession, root, batch_df, keys, part_ts_col)
+
+    return _sink
+
+
+def run_ohlcv_ingest(
+    spark: SparkSession,
+    source_path: str,
+    sink_root: str,
+    checkpoint_dir: str,
+    minutes: int = 5,
+    key_cols: Sequence[str] = ("event_type",),
+    watermark: str = "2 minutes",
+):
+    """End-to-end incremental pipeline: file stream → watermarked window agg
+    → foreachBatch upsert into a parquet lake, availableNow trigger (process
+    everything pending, then stop — the cron-job shape of hourly_job.zsh)."""
+    bars = windowed_ohlcv_stream(
+        stream_events(spark, source_path), minutes, key_cols, watermark=watermark
+    )
+    q = (
+        bars.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(foreach_batch_upsert(sink_root, keys=[*key_cols, "bucket_ts"]))
+        .start()
+    )
+    return q
+
+
+def sticky_counter_stream(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """W17's shape as a custom stateful streaming operator: per key, a
+    running (count, consecutive-above-threshold streak) carried across
+    micro-batches via ``applyInPandasWithState``. The streak state is the
+    minimal sticky-regime kernel — persistence counting over an unbounded
+    stream with bounded (per-key constant) state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("streak_above", LongType()),
+        StructField("max_streak", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("n_events", LongType()),
+        StructField("streak", LongType()),
+        StructField("max_streak", LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, streak, mx = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for v in pdf[value_col]:
+                n += 1
+                streak = streak + 1 if v > threshold else 0
+                mx = max(mx, streak)
+        state.update((n, streak, mx))
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "n_events": [n], "streak_above": [streak], "max_streak": [mx]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
