@@ -39,12 +39,20 @@ def ewm_apply(
     cols: dict[str, tuple[str, float]],
     by: Sequence[str],
     order: Sequence[str],
+    num_buckets: int | None = None,
 ) -> DataFrame:
-    """Append EWM columns via per-key pandas kernels.
+    """Append EWM columns via bucketed pandas kernels.
 
-    ``cols`` maps output name → (source column, alpha). Rows come back in
-    arbitrary Spark order; the kernel sorts by ``order`` internally, so the
-    recursion is well-defined regardless of input partitioning.
+    ``cols`` maps output name → (source column, alpha).
+
+    Scale design: grouping Spark-side by the raw key would create one
+    Python/Arrow round trip per key — with millions of small keys the
+    per-group overhead dominates. Instead the shuffle key is a COARSE
+    bucket ``hash(by) % num_buckets`` (default: session shuffle
+    parallelism), and inside each kernel a cythonized pandas
+    ``groupby(...).ewm(...)`` runs the recursion for every key in the
+    bucket at once. Same semantics (a key maps to exactly one bucket, the
+    kernel sorts by key+order), ~group-count-independent overhead.
     """
     by = list(by)
     order = list(order)
@@ -54,12 +62,21 @@ def ewm_apply(
     out_schema = T.StructType(fields)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf = pdf.sort_values(by + order, kind="mergesort")
+        gb = pdf.groupby(by, sort=False)
         for name, (src, alpha) in cols.items():
-            pdf[name] = pdf[src].ewm(alpha=alpha, adjust=False).mean()
-        return pdf
+            res = gb[src].ewm(alpha=alpha, adjust=False).mean()
+            pdf[name] = res.reset_index(level=list(range(len(by))), drop=True)
+        return pdf.drop(columns=["__ewm_bucket"])
 
-    return df.groupBy(*by).applyInPandas(kernel, schema=out_schema)
+    nb = num_buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = df.withColumn(
+        "__ewm_bucket", F.pmod(F.xxhash64(*by), F.lit(nb))
+    )
+    out_schema_b = T.StructType(
+        [f for f in out_schema.fields]
+    )
+    return bucketed.groupBy("__ewm_bucket").applyInPandas(kernel, schema=out_schema_b)
 
 
 def ewm_closedform(
