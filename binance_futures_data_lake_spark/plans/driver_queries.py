@@ -1352,3 +1352,136 @@ def q_media_image_features(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return image_features(synthetic_media(docs, kind="image"))
+
+
+@register(
+    "structure_breaks_hourly",
+    sql=_HOURLY_BARS_SQL + """
+    , tr AS (
+      SELECT event_type, bucket_ts, high, low, close,
+        CASE WHEN lag(close) OVER wo IS NULL THEN high - low
+             ELSE greatest(high - low, abs(high - lag(close) OVER wo),
+                           abs(low - lag(close) OVER wo)) END AS true_range
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), w AS (
+      SELECT event_type, bucket_ts, high, low, close,
+        CASE WHEN count(*) OVER wp >= 10 THEN max(high) OVER wp END AS prev_high_max,
+        CASE WHEN count(*) OVER wp >= 10 THEN min(low) OVER wp END AS prev_low_min,
+        CASE WHEN count(*) OVER wa >= 14 THEN avg(true_range) OVER wa END AS atr
+      FROM tr
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+        wa AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT *,
+        CASE WHEN high > prev_high_max THEN 1 ELSE 0 END AS is_hh,
+        CASE WHEN low < prev_low_min THEN 1 ELSE 0 END AS is_ll,
+        CASE WHEN high > prev_high_max THEN 1 WHEN low < prev_low_min THEN -1 ELSE 0 END AS hh_hl_state,
+        CASE WHEN close > prev_high_max + 0.2 * atr THEN 1 ELSE 0 END AS bos_up,
+        CASE WHEN close < prev_low_min - 0.2 * atr THEN 1 ELSE 0 END AS bos_down
+      FROM w
+    ), filled AS (
+      SELECT *,
+        last_value(CASE WHEN hh_hl_state <> 0 THEN hh_hl_state END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_ff
+      FROM s
+    ), p AS (
+      SELECT *,
+        coalesce(lag(state_ff) OVER (PARTITION BY event_type ORDER BY bucket_ts), 0) AS prior_state
+      FROM filled
+    )
+    SELECT event_type, bucket_ts, is_hh, is_ll, hh_hl_state, bos_up, bos_down, prior_state,
+      CASE WHEN bos_up = 1 AND prior_state < 0 THEN 1 ELSE 0 END AS choch_up,
+      CASE WHEN bos_down = 1 AND prior_state > 0 THEN 1 ELSE 0 END AS choch_down
+    FROM p
+    """,
+)
+def q_structure_breaks_hourly(spark, sf_dir):
+    """SURVEY W15: HH/LL vs prior swing, BOS vs swing ± 0.2·ATR(SMA14),
+    CHoCH vs last non-neutral prior state (build_mtf_context_h4_v1.py:123-136)."""
+    from binance_futures_data_lake_spark.operators.structure import structure_breaks
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    bars = bars.withColumn(
+        "atr", W.atr_sma(14, by, order, high="high", low="low", close="close")
+    )
+    out = structure_breaks(bars, by, order, swing=10, atr_col="atr")
+    return out.select(
+        "event_type", "bucket_ts", "is_hh", "is_ll", "hh_hl_state",
+        "bos_up", "bos_down", "prior_state", "choch_up", "choch_down",
+    )
+
+
+def _dir_bars(spark, sf_dir):
+    """Hourly bars + multi-horizon direction signs (the 4-TF confluence
+    inputs of audit_regime_cases_v1.py, proxied by lookback horizons)."""
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    out = bars
+    for name, lb in [("dir_w", 168), ("dir_d", 24), ("dir_h4", 4), ("dir_h1", 1)]:
+        prev = W.lag_col("close", lb, by, order)
+        out = out.withColumn(
+            name,
+            F.when(prev.isNull(), None).otherwise(F.signum(F.col("close") - prev)).cast("int"),
+        )
+    return out
+
+
+@register("regime_cases")  # rows-only: recursion on its own previous output
+def q_regime_cases(spark, sf_dir):
+    """SURVEY W19: multi-TF confluence case classifier — needs prev row's
+    assigned case, so applyInPandas per key; pandas-golden-parity tested."""
+    from binance_futures_data_lake_spark.operators.structure import assign_regime_cases
+
+    d = _dir_bars(spark, sf_dir)
+    out = assign_regime_cases(d, ["event_type"], ["bucket_ts"])
+    return out.select("event_type", "bucket_ts", "dir_w", "dir_d", "dir_h4", "dir_h1", "case", "case_age")
+
+
+@register("range_boxes")  # rows-only: per-candidate sequential walk
+def q_range_boxes(spark, sf_dir):
+    """SURVEY W21: narrow-range islands → candidate boxes → bidirectional
+    containment expansion with confirm-bars tolerance (cogrouped kernel)."""
+    from binance_futures_data_lake_spark.operators.structure import expand_boxes
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    rng = W.rolling_max("high", 6, by, order, min_periods=6) - W.rolling_min(
+        "low", 6, by, order, min_periods=6
+    )
+    med = bars.withColumn("rng6", rng).filter(F.col("rng6").isNotNull())
+    narrow = med.withColumn("narrow", F.col("rng6") < F.col("close") * 1.2)
+    isl = narrow.withColumn(
+        "island",
+        W.island_id(
+            F.coalesce(
+                F.col("narrow") != W.lag_col("narrow", 1, by, order), F.lit(True)
+            ),
+            by, order,
+        ),
+    )
+    cands = (
+        isl.filter(F.col("narrow"))
+        .groupBy("event_type", "island")
+        .agg(
+            F.min("bucket_ts").alias("start_ts"),
+            F.max("bucket_ts").alias("end_ts"),
+            F.min("low").alias("range_low"),
+            F.max("high").alias("range_high"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+        .filter(F.col("n_src") >= 2)
+        .withColumn("cand_id", F.dense_rank().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .orderBy("event_type", "start_ts")
+        ).cast("long"))
+        .select("event_type", "cand_id", "start_ts", "end_ts", "range_low", "range_high")
+    )
+    out = expand_boxes(
+        bars, cands, ["event_type"], ts_col="bucket_ts",
+        max_expand_bars=50, contain_tol_frac=0.1, contain_mode="close",
+        break_confirm_bars=2,
+    )
+    return out.orderBy("event_type", "cand_id")
