@@ -1485,3 +1485,106 @@ def q_range_boxes(spark, sf_dir):
         break_confirm_bars=2,
     )
     return out.orderBy("event_type", "cand_id")
+
+
+@register("research_sweep_stats")  # rows-only: position loop is sequential per (key, cfg)
+def q_research_sweep_stats(spark, sf_dir):
+    """SURVEY B1-B3 + A12 end-to-end: the reference's full research chain
+    (M1 features → M15 direction regime → M5 vol regime → as-of joins →
+    H1 router → vectorized signals → per-(symbol, config) position kernel →
+    trade statistics) as ONE lazy DataFrame DAG over the deterministic
+    synthetic kline source. Embarrassingly parallel across symbols × configs."""
+    from binance_futures_data_lake_spark.operators.backtest import Cfg, run_sweep, sweep_stats
+    from binance_futures_data_lake_spark.operators.regime import VolRegimeParams
+    from binance_futures_data_lake_spark.plans.pipeline import joined_research_frame
+    from binance_futures_data_lake_spark.sources.synthetic import synthetic_klines_m1
+
+    m1 = synthetic_klines_m1(spark, symbols=("AAA", "BBB"), n_minutes=5 * 1440, trend_amp=0.08)
+    frame = joined_research_frame(m1, vol_params=VolRegimeParams(lookback=48))
+    all_hours = ",".join(str(h) for h in range(24))
+    # thresholds sized to the synthetic walk's compressed ranges (real-data
+    # defaults gate on range_rel levels this generator rarely reaches)
+    loose = dict(session_hours=all_hours, minute_guard=0, mr_d=0.10,
+                 mr_rr=0.20, mr_mean_dist=0.05, mr_cp_low=0.45, mr_cp_high=0.55)
+    trades = run_sweep(frame, [
+        Cfg(name="base", **loose),
+        Cfg(name="tight", mr_sl_atr=1.2, mr_time_stop=10, **loose),
+    ])
+    out = sweep_stats(trades).orderBy("cfg")
+    keep = ["cfg", "n_trades", "n_trend", "n_range", "winrate", "avg_r", "sum_r", "pf"]
+    return out.select(
+        "cfg", "n_trades", "n_trend", "n_range",
+        r6(F.col("winrate")).alias("winrate"),
+        r6(F.col("avg_r")).alias("avg_r"),
+        r6(F.col("sum_r")).alias("sum_r"),
+        r6(F.col("pf")).alias("pf"),
+    )
+
+
+@register(
+    "ml_confidence_keep",
+    sql=_HOURLY_BARS_SQL + """
+    , lab AS (
+      SELECT event_type, bucket_ts, close,
+        lead(open) OVER wo AS entry_next_open,
+        lead(close, 4) OVER wo AS future_close
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), scored AS (
+      SELECT event_type, bucket_ts,
+        future_close / entry_next_open - 1.0 AS ret_fwd,
+        CASE WHEN count(*) OVER w20 >= 20 AND stddev_pop(close) OVER w20 <> 0
+             THEN (close - avg(close) OVER w20) / stddev_pop(close) OVER w20 END AS score
+      FROM lab
+      WINDOW w20 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), valid AS (
+      SELECT * FROM scored WHERE score IS NOT NULL AND ret_fwd IS NOT NULL
+    ), th AS (
+      SELECT event_type,
+        quantile_cont(score, 0.8) AS q80, quantile_cont(score, 0.2) AS q20
+      FROM valid GROUP BY 1
+    )
+    SELECT v.event_type,
+      count(*) AS n_kept,
+      round(avg(CASE WHEN v.score >= t.q80 THEN v.ret_fwd ELSE -v.ret_fwd END), 6) AS avg_r_directional,
+      round(sum(CASE WHEN (v.score >= t.q80 AND v.ret_fwd > 0)
+                       OR (v.score <= t.q20 AND v.ret_fwd < 0) THEN 1 ELSE 0 END) * 1.0
+            / count(*), 6) AS winrate
+    FROM valid v JOIN th t ON v.event_type = t.event_type
+    WHERE v.score >= t.q80 OR v.score <= t.q20
+    GROUP BY 1
+    """,
+)
+def q_ml_confidence_keep(spark, sf_dir):
+    """SURVEY M7 (run_ml_m15_v1.py:167-214): confidence-keep-fraction
+    selection — exact quantile thresholds on a momentum score, keep the
+    top/bottom 20%, evaluate directional forward return and winrate."""
+    from pyspark.sql import Window as SW
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    entry = W.lead_col("open", 1, by, order)
+    fut = W.lead_col("close", 4, by, order)
+    scored = bars.select(
+        "event_type", "bucket_ts",
+        (fut / entry - 1.0).alias("ret_fwd"),
+        W.rolling_zscore("close", 20, by, order).alias("score"),
+    ).filter(F.col("score").isNotNull() & F.col("ret_fwd").isNotNull())
+    th = scored.groupBy("event_type").agg(
+        F.expr("percentile(score, 0.8)").alias("q80"),
+        F.expr("percentile(score, 0.2)").alias("q20"),
+    )
+    v = scored.join(F.broadcast(th), "event_type").filter(
+        (F.col("score") >= F.col("q80")) | (F.col("score") <= F.col("q20"))
+    )
+    directional = F.when(F.col("score") >= F.col("q80"), F.col("ret_fwd")).otherwise(
+        -F.col("ret_fwd")
+    )
+    win = (
+        ((F.col("score") >= F.col("q80")) & (F.col("ret_fwd") > 0))
+        | ((F.col("score") <= F.col("q20")) & (F.col("ret_fwd") < 0))
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        r6(F.avg(directional)).alias("avg_r_directional"),
+        r6(F.sum(win.cast("int")) / F.count(F.lit(1))).alias("winrate"),
+    )

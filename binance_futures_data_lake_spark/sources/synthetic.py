@@ -25,6 +25,7 @@ def synthetic_klines_m1(
     n_minutes: int = 3 * 24 * 60,
     seed: int = 42,
     base_price: float = 50_000.0,
+    trend_amp: float = 0.0,
 ) -> DataFrame:
     """Seeded random-walk M1 bars on a dense minute grid.
 
@@ -45,7 +46,13 @@ def synthetic_klines_m1(
     t0 = F.lit(start).cast("timestamp")
     open_ms = (F.unix_micros(t0) / 1000).cast("long") + F.col("minute_idx") * 60_000
     # price: base · (1 + small deterministic oscillation + drift by index)
-    osc = (u(1) - 0.5) * 0.02 + F.sin(F.col("minute_idx") / 240.0) * 0.01
+    # optional slow trend (period ≈ 2 days) so regime/backtest consumers see
+    # sustained BULL/BEAR phases; default 0 keeps historical golden outputs
+    osc = (
+        (u(1) - 0.5) * 0.02
+        + F.sin(F.col("minute_idx") / 240.0) * 0.01
+        + F.sin(F.col("minute_idx") / 1440.0) * trend_amp
+    )
     o = F.lit(base_price) * (1 + osc) * (1 + F.col("sym_idx") * 0.5)
     c = o * (1 + (u(2) - 0.5) * 0.004)
     hi = F.greatest(o, c) * (1 + u(3) * 0.002)
