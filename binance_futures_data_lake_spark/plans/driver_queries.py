@@ -1588,3 +1588,113 @@ def q_ml_confidence_keep(spark, sf_dir):
         r6(F.avg(directional)).alias("avg_r_directional"),
         r6(F.sum(win.cast("int")) / F.count(F.lit(1))).alias("winrate"),
     )
+
+
+@register(
+    "calendar_weekly_ohlcv",
+    sql="""
+    WITH b AS (
+      SELECT event_type, date_trunc('week', ts) AS week_ts, ts, event_id, value FROM events
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, week_ts ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, week_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, week_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           round(sum(value), 6) AS volume, count(*) AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_calendar_weekly_ohlcv(spark, sf_dir):
+    """SURVEY A5/A6: calendar-bucket (Monday-start week) OHLCV — pandas
+    to_period('W-MON') ≙ date_trunc('week') (run_ml_regime_week_v1.py:118-131).
+    Spark and DuckDB both start weeks on Monday."""
+    from binance_futures_data_lake_spark.operators.resample import calendar_ohlcv
+
+    ev = load_events(spark, sf_dir)
+    out = calendar_ohlcv(ev, "week", ["event_type"], tiebreak_col="event_id")
+    return out.select(
+        "event_type", F.col("bucket_ts").alias("week_ts"),
+        "open", "high", "low", "close",
+        r6(F.col("volume")).alias("volume"), "n_ticks",
+    )
+
+
+@register(
+    "scrub_ffill_gates",
+    sql="""
+    WITH j AS (
+      SELECT event_id, user_id, ts, value, event_type,
+        CASE WHEN isinf(value / nullif(value - 100.0, 0.0)) OR isnan(value / nullif(value - 100.0, 0.0))
+             THEN NULL ELSE value / nullif(value - 100.0, 0.0) END AS ratio_scrubbed,
+        CASE WHEN event_type IN ('purchase', 'signup') THEN value END AS conv_value
+      FROM events
+    ), f AS (
+      SELECT *,
+        last_value(conv_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_value_ffill
+      FROM j
+    )
+    SELECT event_id, user_id, ts, round(ratio_scrubbed, 6) AS ratio_scrubbed,
+      round(coalesce(conv_value_ffill, 0.0), 6) AS conv_value_filled,
+      (extract(hour FROM ts) BETWEEN 9 AND 16 OR extract(hour FROM ts) BETWEEN 20 AND 22) AS in_session
+    FROM f
+    """,
+)
+def q_scrub_ffill_gates(spark, sf_dir):
+    """SURVEY P12-P15: inf/nan→null scrub, null-guard division, forward
+    fill (last ignoreNulls), fillna constant, interval allow-windows."""
+    ev = load_events(spark, sf_dir)
+    by, order = ["user_id"], ["ts"]
+    raw_ratio = F.col("value") / F.nullif(F.col("value") - 100.0, F.lit(0.0))
+    scrubbed = F.when(F.isnan(raw_ratio) | (F.abs(raw_ratio) == float("inf")), None).otherwise(raw_ratio)
+    conv = F.when(F.col("event_type").isin("purchase", "signup"), F.col("value"))
+    hour = F.hour("ts")
+    return (
+        ev.withColumn("ratio_scrubbed", scrubbed)
+        .withColumn("conv_value", conv)
+        .withColumn("conv_value_ffill", W.ffill(F.col("conv_value"), by, order))
+        .select(
+            "event_id", "user_id", "ts",
+            r6(F.col("ratio_scrubbed")).alias("ratio_scrubbed"),
+            r6(F.coalesce(F.col("conv_value_ffill"), F.lit(0.0))).alias("conv_value_filled"),
+            (hour.between(9, 16) | hour.between(20, 22)).alias("in_session"),
+        )
+    )
+
+
+@register(
+    "point_lookup_neighbors",
+    sql="""
+    WITH target AS (
+      SELECT user_id, max(ts) AS max_ts FROM events GROUP BY 1
+    ), t2 AS (
+      SELECT user_id, max_ts,
+             max_ts - INTERVAL 1 HOUR AS probe_ts
+      FROM target
+    )
+    SELECT e.user_id,
+      max(CASE WHEN e.ts <= t.probe_ts THEN e.ts END) AS prev_ts,
+      min(CASE WHEN e.ts > t.probe_ts THEN e.ts END) AS next_ts
+    FROM events e JOIN t2 t ON e.user_id = t.user_id
+    GROUP BY 1
+    """,
+)
+def q_point_lookup_neighbors(spark, sf_dir):
+    """SURVEY P16 (show_m1_candle.py:65-75): point lookup by timestamp with
+    nearest-neighbor hints — last ts at-or-before / first ts after a probe
+    point, per key. Min/max-skipping makes this a footer-stats read at scale."""
+    ev = load_events(spark, sf_dir)
+    probe = ev.groupBy("user_id").agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("probe_ts")
+    )
+    j = ev.join(F.broadcast(probe), "user_id")
+    return j.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") <= F.col("probe_ts"), F.col("ts"))).alias("prev_ts"),
+        F.min(F.when(F.col("ts") > F.col("probe_ts"), F.col("ts"))).alias("next_ts"),
+    )
