@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scale probe: run the core operator pipeline on a generated dataset far
+larger than the driver testdata, and report per-stage throughput.
+
+`--rows` controls total M1 bar count (default 10M across 100 symbols —
+~3 orders of magnitude above sf0.1). Generation is `spark.range`-based and
+distributed; nothing here collects more than aggregate scalars to the
+driver, so the same script is a valid cluster smoke test: the dataset that
+breaks a driver-side design has no place to hide.
+
+Stages: synthetic generation → M5 resample with completeness → window
+feature pass (lag/rolling/ATR/VWAP/z-score) → bucketed EWM kernels →
+backward as-of join (M1 ← H1 regime) → dedup-keep-last. Prints one JSON
+line: {"rows": N, "stages": {name: {"sec": s, "rows_per_sec": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from binance_futures_data_lake_spark.functions import windows as W  # noqa: E402
+from binance_futures_data_lake_spark.functions.ewm import ewm_apply, span_to_alpha  # noqa: E402
+from binance_futures_data_lake_spark.operators.asof import asof_join_backward  # noqa: E402
+from binance_futures_data_lake_spark.operators.dedup import dedup_keep_last  # noqa: E402
+from binance_futures_data_lake_spark.operators.resample import resample_bars  # noqa: E402
+from binance_futures_data_lake_spark.session import get_spark  # noqa: E402
+from binance_futures_data_lake_spark.sources.synthetic import synthetic_klines_m1  # noqa: E402
+
+
+def force(df) -> "object":
+    # noop sink computes EVERY column (a bare count() would let Catalyst
+    # prune the derived columns and time only the scan)
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
+def main() -> None:
+    total_rows = int(sys.argv[sys.argv.index("--rows") + 1]) if "--rows" in sys.argv else 10_000_000
+    n_symbols = 100
+    n_minutes = max(1440, total_rows // n_symbols)
+    spark = get_spark("bfdl-scale")
+
+    stages: dict[str, dict] = {}
+
+    def stage(name: str, thunk):
+        t0 = time.perf_counter()
+        df = thunk()
+        dt = time.perf_counter() - t0
+        n = df.count()  # outside the timer; pruned count is cheap
+        stages[name] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt) if dt else None, "rows": n}
+        return n
+
+    symbols = tuple(f"SYM{i:03d}" for i in range(n_symbols))
+    m1 = synthetic_klines_m1(spark, symbols=symbols, n_minutes=n_minutes, trend_amp=0.05)
+
+    n = stage("generate_m1", lambda: force(m1))
+    m1c = m1.cache()
+    m1c.count()
+
+    by, order = ["symbol"], ["ts"]
+    stage("resample_m5_complete", lambda: force(resample_bars(m1c, 5, by)))
+
+    def features():
+        d = (
+            m1c.withColumn("prev_close", W.lag_col("close", 1, by, order))
+            .withColumn("ret", W.pct_change("close", by, order))
+            .withColumn("roll_mean20", W.rolling_mean("close", 20, by, order, min_periods=20))
+            .withColumn("close_z20", W.rolling_zscore("close", 20, by, order))
+            .withColumn("tr", W.true_range(by, order))
+            .withColumn("atr14", W.atr_sma(14, by, order))
+            .withColumn(
+                "vwap_d",
+                W.anchored_vwap("close", "volume_base", by, order, anchor=F.to_date("ts")),
+            )
+        )
+        return force(d)
+
+    stage("window_features", features)
+    stage(
+        "ewm_bucketed",
+        lambda: force(ewm_apply(m1c.select("symbol", "ts", "close"),
+                                {"ema20": ("close", span_to_alpha(20.0))}, by, order)),
+    )
+
+    h1 = resample_bars(m1c, 60, by).select(
+        "symbol", "ts", F.col("close").alias("close_h1")
+    )
+
+    def asof():
+        j = asof_join_backward(
+            m1c.select("symbol", "ts", "close"), h1, on="ts", by=by,
+        )
+        return force(j)
+
+    stage("asof_m1_from_h1", asof)
+    stage(
+        "dedup_keep_last",
+        lambda: force(dedup_keep_last(
+            m1c.unionByName(m1c.limit(100_000)), ["symbol", "open_time_ms"], ["ts"]
+        )),
+    )
+
+    print(json.dumps({"rows": n, "n_symbols": n_symbols, "stages": stages}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
