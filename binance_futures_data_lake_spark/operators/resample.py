@@ -101,6 +101,19 @@ def resample_bars(
     bucket_ms = n_minutes * 60_000
     order = F.col("open_time_ms")
     bkt = (F.floor(F.col("open_time_ms") / F.lit(bucket_ms)) * bucket_ms).cast("long")
+
+    # Distinct-minute check. count_distinct plans as Expand + a second
+    # aggregation pass (~2× the shuffle); for n ≤ 62 an exact slot-bitmask
+    # replaces it inside the ONE aggregation: with __cnt == n,
+    # sum(2^slot) == 2^n − 1 ⟺ every slot hit exactly once (a duplicate
+    # slot forces a missing slot, which breaks the bit sum).
+    use_bitmask = n_rows <= 62
+    slot = ((F.col("open_time_ms") - F.col("__bucket_ms")) / F.lit(base_minutes * 60_000)).cast("long")
+    uniq_agg = (
+        F.sum(F.call_function("shiftleft", F.lit(1).cast("long"), slot.cast("int"))).alias("__slot_bits")
+        if use_bitmask
+        else F.count_distinct(F.col("open_time_ms")).alias("__n_uniq")
+    )
     agg = (
         df.withColumn("__bucket_ms", bkt)
         .groupBy(*by, "__bucket_ms")
@@ -115,7 +128,7 @@ def resample_bars(
             F.sum("taker_buy_base").alias("taker_buy_base"),
             F.sum("taker_buy_quote").alias("taker_buy_quote"),
             F.count(F.lit(1)).alias("__cnt"),
-            F.count_distinct(F.col("open_time_ms")).alias("__n_uniq"),
+            uniq_agg,
             F.min("open_time_ms").alias("__min_ms"),
             F.max("open_time_ms").alias("__max_ms"),
             F.max_by("exchange", order).alias("exchange"),
@@ -124,9 +137,14 @@ def resample_bars(
     )
     if complete_only:
         span_ms = (n_rows - 1) * base_minutes * 60_000
+        uniq_ok = (
+            F.col("__slot_bits") == F.lit((1 << n_rows) - 1).cast("long")
+            if use_bitmask
+            else F.col("__n_uniq") == n_rows
+        )
         agg = agg.filter(
             (F.col("__cnt") == n_rows)
-            & (F.col("__n_uniq") == n_rows)
+            & uniq_ok
             & ((F.col("__max_ms") - F.col("__min_ms")) == span_ms)
         )
     out = (
@@ -134,7 +152,7 @@ def resample_bars(
         .withColumn("close_time_ms", F.col("__bucket_ms") + bucket_ms - 1)
         .withColumn("ts", F.timestamp_millis(F.col("open_time_ms")))
         .withColumn("count_base", F.col("__cnt"))
-        .drop("__bucket_ms", "__cnt", "__n_uniq", "__min_ms", "__max_ms")
+        .drop("__bucket_ms", "__cnt", "__n_uniq", "__slot_bits", "__min_ms", "__max_ms")
     )
     cols = [
         "ts", "open", "high", "low", "close", "volume_base", "volume_quote",
