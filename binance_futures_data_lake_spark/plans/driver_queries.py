@@ -49,7 +49,17 @@ def register(name: str, sql: str | None = None):
 
 
 def r6(c) -> F.Column:
-    return F.round(c, 6)
+    """Round to 6 dp with DUCKDB's semantics (round-half-away on the exact
+    binary double: sign·floor(|x·10⁶| + 0.5)/10⁶).
+
+    Spark's ``F.round`` goes through BigDecimal.valueOf(double) — the
+    SHORTEST decimal representation — so a stored 8.00468749999…964 rounds
+    as "8.0046875" → 8.004688, while DuckDB rounds the exact binary value
+    → 8.004687. ~1 row in 10⁵ lands on such a tie; this formulation
+    executes the identical IEEE ops in both engines, so they can't diverge.
+    """
+    scaled = c.cast("double") * F.lit(1e6)
+    return F.signum(scaled) * F.floor(F.abs(scaled) + F.lit(0.5)) / F.lit(1e6)
 
 
 # ---------------------------------------------------------------------------
@@ -442,13 +452,13 @@ def q_gap_ranges_hourly(spark, sf_dir):
     "pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-      round(sum(l_quantity), 6) AS sum_qty,
-      round(sum(l_extendedprice), 6) AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-      round(avg(l_quantity), 6) AS avg_qty,
-      round(avg(l_extendedprice), 6) AS avg_price,
-      round(avg(l_discount), 6) AS avg_disc,
+      CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_price,
+      CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_disc,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -456,21 +466,34 @@ def q_gap_ranges_hourly(spark, sf_dir):
     """,
 )
 def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: full-scan groupBy agg with pushed-down predicate."""
+    """TPC-H Q1 shape: full-scan groupBy agg with pushed-down predicate.
+
+    Sums/avgs aggregate in DECIMAL, not double: decimal addition is exact
+    integer arithmetic, so the result is independent of partial-aggregation
+    order — double sums of ~10⁹ magnitude differ between engines in the 6th
+    decimal purely from summation order. Each summand casts identically
+    from the stored double in both engines (source values have ≤6 dp)."""
     li = load_table(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(28,6)"
+    qty = F.col("l_quantity").cast(dec)
+    price = F.col("l_extendedprice").cast(dec)
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast(dec)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r6(F.sum("l_quantity")).alias("sum_qty"),
-            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r6(F.sum(disc_price)).alias("sum_disc_price"),
-            r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty) / n).cast(dec).cast("double").alias("avg_qty"),
+            (F.sum(price) / n).cast(dec).cast("double").alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(dec)) / n).cast(dec).cast("double").alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
