@@ -216,19 +216,72 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force baseline). For corpora
-    where O(n²) is not viable, route through similarity.lsh_buckets first."""
-    vec = F.transform(vec_col, lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
-        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    )
-    a = base.select(F.col("id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
-    cos = dot / (F.col("na") * F.col("nb"))
+    """Embedding-cosine near-dup pairs, brute force: every (a, b) with
+    a < b and cos(a, b) >= threshold. Exact baseline — O(n²) similarity
+    evaluations, viable per blocking group only; at corpus scale use
+    ``embedding_near_dup_lsh`` (band-bucketed candidates, same verify).
+
+    Returns the RAW cosine (no rounding) so callers choose presentation.
+    """
+    from binance_futures_data_lake_spark.operators.similarity import _dot, normalized
+
+    base = normalized(emb, id_col, vec_col)
+    a = base.select(F.col("id").alias("doc_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("doc_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH
+    banding generates candidates (pairs sharing >= 1 band bucket), exact
+    cosine verifies. The self-join shuffles (id, band_key) — `bands` rows
+    per vector — instead of the n² cross product, which is the difference
+    between a band-key shuffle and an impossible job at 100 TB.
+
+    Designed for the HIGH-threshold regime (true near-dups, cos >= ~0.9)
+    where per-bit collision probability 1 - acos(cos)/pi makes recall
+    ~0.99 at 16 planes / 4 bands; recall degrades at low thresholds —
+    pytest gauges it against the brute-force baseline on planted dups.
+    """
+    from binance_futures_data_lake_spark.operators.similarity import (
+        _band_keys,
+        _dot,
+        rh_signatures,
+    )
+
+    rpb = n_planes // bands
+    sig = rh_signatures(emb, dim, n_planes, id_col, vec_col)
+    banded = sig.select(
+        "id", "vec", "nrm", F.explode(_band_keys(F.col("bits"), bands, rpb)).alias("band_key")
+    )
+    a = banded.select(
+        F.col("id").alias("doc_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"), "band_key"
+    )
+    b = banded.select(
+        F.col("id").alias("doc_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"), "band_key"
+    )
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
     )

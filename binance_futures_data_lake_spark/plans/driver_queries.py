@@ -872,6 +872,45 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 
 @register(
+    "embed_cosine_near_dup",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ), s AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT doc_a, doc_b, round(cos, 6) AS cosine FROM s WHERE cos >= 0.3
+    """,
+)
+def q_embed_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact brute-force baseline
+    (training-data dedup family; the synthetic embeddings are near-random,
+    so the demo threshold is 0.3 — real near-dup runs use ~0.95, where the
+    LSH variant below prunes the n² candidate space)."""
+    from binance_futures_data_lake_spark.operators.textdedup import embedding_near_dup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_near_dup(emb, threshold=0.3)
+    return pairs.select("doc_a", "doc_b", r6(F.col("cosine")).alias("cosine"))
+
+
+@register("embed_near_dup_lsh")  # rows-only: LSH chain; recall vs exact is pytest-checked
+def q_embed_near_dup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: band-bucket self-join candidates,
+    exact cosine verify — shuffles bands·n rows instead of n²/2 pairs."""
+    from binance_futures_data_lake_spark.operators.textdedup import embedding_near_dup_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_near_dup_lsh(emb, dim=64, threshold=0.3, n_planes=16, bands=8)
+    return pairs.select("doc_a", "doc_b", r6(F.col("cosine")).alias("cosine"))
+
+
+@register(
     "shingle_jaccard_pairs",
     sql=f"""
     WITH sh AS (

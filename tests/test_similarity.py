@@ -117,3 +117,69 @@ def test_signatures_stable_across_partitioning(spark, emb):
     s1 = rh_signatures(emb, 64, 8).select("id", "bits").collect()
     s2 = rh_signatures(emb.repartition(13), 64, 8).select("id", "bits").collect()
     assert {r.id: tuple(r.bits) for r in s1} == {r.id: tuple(r.bits) for r in s2}
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (training-data dedup family)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted(spark, emb):
+    """Corpus with planted near-duplicates: for each of the first 15 vectors,
+    a copy at id+100000 with every component nudged deterministically — same
+    direction up to a small perturbation, so cos(orig, copy) ≈ 0.999."""
+    base = emb.select("vec_id", "embedding")
+    dup = base.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.97) + F.lit(0.01)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    df = base.unionByName(dup).cache()
+    df.count()
+    return df
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark, planted):
+    from binance_futures_data_lake_spark.operators.textdedup import embedding_near_dup
+
+    pairs = {(r.doc_a, r.doc_b) for r in embedding_near_dup(planted, threshold=0.95).collect()}
+    for i in range(15):
+        assert (i, i + 100000) in pairs
+    # near-random base vectors must not collide at 0.95
+    assert all(b - a == 100000 for a, b in pairs)
+
+
+def test_embedding_near_dup_lsh_recall_high_threshold(spark, planted):
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    exact = {(r.doc_a, r.doc_b) for r in embedding_near_dup(planted, threshold=0.95).collect()}
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dup_lsh(
+            planted, dim=64, threshold=0.95, n_planes=16, bands=8
+        ).collect()
+    }
+    # verify step makes LSH a strict subset of the exact pair set
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_embedding_near_dup_lsh_matches_driver_threshold(spark, emb):
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    exact = {(r.doc_a, r.doc_b) for r in embedding_near_dup(emb, threshold=0.3).collect()}
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dup_lsh(emb, dim=64, threshold=0.3, n_planes=16, bands=8).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.7
