@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from binance_futures_data_lake_spark.functions.scalars import round_half_away
+
 
 def temporal_split(df: DataFrame, ts_col: str, train_end, val_end):
     """SURVEY M4 (run_ml_m15_v1.py:280-285): temporal train/val/test split —
@@ -95,9 +97,9 @@ def lr_on_embeddings(
         "n_true",
         "n_pred",
         "n_correct",
-        F.round(prec, 4).alias("precision"),
-        F.round(rec, 4).alias("recall"),
-        F.round(f1, 4).alias("f1"),
+        round_half_away(prec, 4).alias("precision"),
+        round_half_away(rec, 4).alias("recall"),
+        round_half_away(f1, 4).alias("f1"),
     ).orderBy("label")
 
 

@@ -30,6 +30,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from binance_futures_data_lake_spark.functions.scalars import round6
+
 
 def _as_double_vec(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -69,7 +71,7 @@ def brute_force_topk(
     sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
     pairs = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+        .select("q_id", "neighbor_id", round6(sim).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -163,7 +165,7 @@ def lsh_topk(
     sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.select("q_id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+        cand.select("q_id", "neighbor_id", round6(sim).alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cosine", "rnk")
@@ -228,7 +230,7 @@ def ivf_topk(
     sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.select("q_id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+        cand.select("q_id", "neighbor_id", round6(sim).alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cosine", "rnk")

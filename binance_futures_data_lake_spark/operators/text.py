@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from binance_futures_data_lake_spark.functions.scalars import round6
+
 from binance_futures_data_lake_spark.operators.textdedup import words
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
@@ -50,10 +52,10 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = (
         docs.withColumn("n_tokens", n_tok)
         .withColumn("n_tokens_bpe", token_count_bpe_ish(c))
-        .withColumn("avg_token_len", F.round(avg_tok_len, 6))
-        .withColumn("punct_ratio", F.round(n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6))
-        .withColumn("digit_ratio", F.round(n_digit / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6))
-        .withColumn("stopword_ratio", F.round(n_stop / F.nullif(n_tok.cast("double"), F.lit(0.0)), 6))
+        .withColumn("avg_token_len", round6(avg_tok_len))
+        .withColumn("punct_ratio", round6(n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0))))
+        .withColumn("digit_ratio", round6(n_digit / F.nullif(n_chars.cast("double"), F.lit(0.0))))
+        .withColumn("stopword_ratio", round6(n_stop / F.nullif(n_tok.cast("double"), F.lit(0.0))))
     )
     return out.withColumn(
         "quality_keep",

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from binance_futures_data_lake_spark.functions.scalars import round6
+
 # prime > 2^32 for universal hashing h_j(t) = (a_j·t + b_j) mod P
 MINHASH_P = 4_294_967_311
 
@@ -128,7 +130,7 @@ def jaccard_verify(
     return (
         joined.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round6(F.col("jaccard")).alias("jaccard"))
     )
 
 

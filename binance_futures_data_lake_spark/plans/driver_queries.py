@@ -49,17 +49,11 @@ def register(name: str, sql: str | None = None):
 
 
 def r6(c) -> F.Column:
-    """Round to 6 dp with DUCKDB's semantics (round-half-away on the exact
-    binary double: sign·floor(|x·10⁶| + 0.5)/10⁶).
+    """6-dp rounding with DuckDB's exact-binary semantics — see
+    functions/scalars.py:round_half_away for why F.round diverges."""
+    from binance_futures_data_lake_spark.functions.scalars import round6
 
-    Spark's ``F.round`` goes through BigDecimal.valueOf(double) — the
-    SHORTEST decimal representation — so a stored 8.00468749999…964 rounds
-    as "8.0046875" → 8.004688, while DuckDB rounds the exact binary value
-    → 8.004687. ~1 row in 10⁵ lands on such a tie; this formulation
-    executes the identical IEEE ops in both engines, so they can't diverge.
-    """
-    scaled = c.cast("double") * F.lit(1e6)
-    return F.signum(scaled) * F.floor(F.abs(scaled) + F.lit(0.5)) / F.lit(1e6)
+    return round6(c)
 
 
 # ---------------------------------------------------------------------------
@@ -825,10 +819,8 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(docs, num_hashes=8, shingle_n=3)
 
 
-@register(
-    "simhash_values",
-    sql="""
-    WITH tok AS (
+_SIMHASH_CTES = """
+    tok AS (
       SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokw
       FROM documents
     ), cnts AS (
@@ -841,11 +833,17 @@ def q_minhash_signatures(spark, sf_dir):
       FROM cnts, generate_series(0, 31) g(b)
     ), sums AS (
       SELECT doc_id, b, CAST(sum(contrib) AS BIGINT) AS s FROM bitted GROUP BY 1, 2
+    ), shv AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM sums GROUP BY 1
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-    FROM sums GROUP BY 1
-    """,
+"""
+
+
+@register(
+    "simhash_values",
+    sql=f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM shv",
 )
 def q_simhash_values(spark, sf_dir):
     """32-bit SimHash fingerprints (near-dup scale path)."""
@@ -855,16 +853,67 @@ def q_simhash_values(spark, sf_dir):
     return simhash(docs)
 
 
-@register("minhash_near_dup_pairs")  # rows-only: LSH chain; recall vs exact is pytest-checked
+@register(
+    "minhash_near_dup_pairs",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS t FROM sh
+    ), hx AS (
+      SELECT doc_id, j AS h, ((2*j + 1) * t + 12345*j + 1) % 4294967311 AS hv
+      FROM th, generate_series(0, 15) g(j)
+    ), sig AS (
+      SELECT doc_id, h, min(hv) AS minhash FROM hx GROUP BY 1, 2
+    ), bandkey AS (
+      SELECT doc_id, h // 2 AS band,
+             string_agg(h || ':' || minhash, ',' ORDER BY h) AS key
+      FROM sig GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), shs AS (
+      SELECT doc_id, {_SHINGLES} AS shl FROM documents
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shl, b.shl)) * 1.0
+               / len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+      FROM cand c
+      JOIN shs a ON a.doc_id = c.doc_a
+      JOIN shs b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM verified WHERE jac >= 0.5
+    """,
+)
 def q_minhash_near_dup_pairs(spark, sf_dir):
+    """Full MinHash near-dup chain: sign (16 md5-derived universal hashes)
+    → band (8 bands × 2 rows) → candidate join → exact shingle-Jaccard
+    verify. Deterministic end-to-end, so the oracle replays the identical
+    band collisions in SQL; recall vs the un-banded exact pair set is
+    separately pytest-gauged (tests/test_textops.py)."""
     from binance_futures_data_lake_spark.operators.textdedup import minhash_dedup_pairs
 
     docs = load_table(spark, "documents", sf_dir)
     return minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=3)
 
 
-@register("simhash_near_pairs")  # rows-only: banded hamming candidates
+@register(
+    "simhash_near_pairs",
+    sql=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs. Spark runs the SCALE algorithm (byte-band
+    candidate join); the oracle brute-forces all n²/2 hamming distances.
+    They agree EXACTLY by pigeonhole: hamming <= 3 over 4 disjoint bytes
+    forces at least one identical byte, so banding loses no pair — the
+    oracle is a genuinely independent algorithm, not a translation."""
     from binance_futures_data_lake_spark.operators.textdedup import simhash, simhash_near_pairs
 
     docs = load_table(spark, "documents", sf_dir)
@@ -899,10 +948,59 @@ def q_embed_cosine_near_dup(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", r6(F.col("cosine")).alias("cosine"))
 
 
-@register("embed_near_dup_lsh")  # rows-only: LSH chain; recall vs exact is pytest-checked
+def _planes_values_sql(dim: int = 64, n_planes: int = 16, seed: str = "rh-lsh") -> str:
+    """The md5-derived hyperplanes as a DuckDB VALUES table. They are pure
+    functions of (seed, j, d) — no RNG state — so the oracle derives the
+    EXACT planes the Spark plan embeds as literals (similarity.hyperplanes)."""
+    from binance_futures_data_lake_spark.operators.similarity import hyperplanes
+
+    rows = []
+    for j, p in enumerate(hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        rows.append(f"({j}, {lit})")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") pl(j, plane)"
+
+
+_RH_BANDKEY_CTES = f"""
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ), planes AS (
+      {{planes}}
+    ), bits AS (
+      SELECT vec_id, j,
+             CASE WHEN list_dot_product(vec, plane) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM n, planes
+    ), bandk AS (
+      SELECT vec_id, j // 2 AS band, string_agg(bit, ',' ORDER BY j) AS key
+      FROM bits GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "embed_near_dup_lsh",
+    sql=f"""
+    WITH {_RH_BANDKEY_CTES.format(planes=_planes_values_sql())},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM bandk a JOIN bandk b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ), s AS (
+      SELECT c.doc_a, c.doc_b,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+      FROM cand c JOIN n a ON a.vec_id = c.doc_a JOIN n b ON b.vec_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(cos, 6) AS cosine FROM s WHERE cos >= 0.3
+    """,
+)
 def q_embed_near_dup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: band-bucket self-join candidates,
-    exact cosine verify — shuffles bands·n rows instead of n²/2 pairs."""
+    exact cosine verify — shuffles bands·n rows instead of n²/2 pairs. The
+    whole chain is deterministic (md5-derived planes), so the oracle
+    replays the identical band collisions in SQL."""
     from binance_futures_data_lake_spark.operators.textdedup import embedding_near_dup_lsh
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1332,11 +1430,34 @@ def q_ml_lr_embeddings(spark, sf_dir):
     return lr_on_embeddings(emb)
 
 
-@register("ann_lsh_topk")  # rows-only: recall@k vs brute force is pytest-checked
+@register(
+    "ann_lsh_topk",
+    sql=f"""
+    WITH {_RH_BANDKEY_CTES.format(planes=_planes_values_sql())},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+      FROM bandk q JOIN bandk c
+        ON q.band = c.band AND q.key = c.key
+       AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), s AS (
+      SELECT cd.q_id, cd.neighbor_id,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+      FROM cand cd JOIN n a ON a.vec_id = cd.q_id JOIN n b ON b.vec_id = cd.neighbor_id
+    ), r AS (
+      SELECT q_id, neighbor_id, round(cos, 6) AS cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    """,
+)
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH band buckets → candidate join →
     exact cosine re-rank (operators/similarity.py). The corpus shuffle is
-    bands rows/vector instead of the |Q|·|C| cross product."""
+    bands rows/vector instead of the |Q|·|C| cross product. Deterministic
+    md5-derived planes let the oracle replay the same buckets in SQL;
+    recall@k vs brute force is separately pytest-gauged."""
     from binance_futures_data_lake_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
