@@ -188,25 +188,39 @@ def simhash(
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band candidates (pigeonhole over 4
-    bands guarantees recall for hamming ≤ 3), exact bit_count(xor) verify."""
-    bandsel = [
-        (F.floor(F.col("simhash") / F.lit(256 ** i)) % 256).alias(f"b{i}") for i in range(4)
-    ]
-    banded = sims.select("doc_id", "simhash", *bandsel)
-    pairs = None
-    for i in range(4):
-        a = banded.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), F.col(f"b{i}").alias("bv")
-        )
-        b = banded.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), F.col(f"b{i}").alias("bv")
-        )
-        p = a.join(b, "bv").filter(F.col("doc_a") < F.col("doc_b")).drop("bv")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    bands guarantees recall for hamming ≤ 3), exact bit_count(xor) verify.
+
+    One EXPLODE over (band, byte) then a single equi-self-join on both —
+    not a per-band union, which would recompute the upstream simhash
+    aggregation once per band per side (a prior version compiled to 16
+    corpus scans; this shape compiles to 2, one per join side)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.floor(F.col("simhash") / F.lit(256 ** i)) % 256).alias("bv"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", "bb.band", "bb.bv"
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bv"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bv"
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        pairs.distinct()
-        .withColumn("hamming", ham)
+        pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
