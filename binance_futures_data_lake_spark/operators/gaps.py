@@ -54,10 +54,14 @@ def missing_buckets(
     by: Sequence[str],
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Grid points with no observed row — the anti-join gap list."""
+    """Grid points with no observed row — the anti-join gap list.
+
+    The right side is deliberately NOT de-duplicated: left_anti semantics
+    ignore right-side multiplicity, so a distinct() there is a pure extra
+    shuffle. When the input is already (key, bucket)-unique, the grid
+    bounds and the anti-join probe both reuse the same exchange."""
     grid = expected_grid(df, step_minutes, by, ts_col)
-    present = df.select(*by, ts_col).distinct()
-    return grid.join(present, on=[*by, ts_col], how="left_anti")
+    return grid.join(df.select(*by, ts_col), on=[*by, ts_col], how="left_anti")
 
 
 def missing_ranges(
@@ -70,21 +74,37 @@ def missing_ranges(
     (backfill_gaps.py:104-122 ``_missing_ranges``; gaps_report.py:13-29).
 
     Output: key cols + gap_start, gap_end, n_missing.
+
+    A run of missing grid points is exactly the open interval between two
+    CONSECUTIVE present buckets, so one ``lag`` over the present rows
+    yields every range directly: gap = [prev+step, cur−step] wherever
+    cur − prev > step. Identical output to the generate-grid + anti-join
+    + islands construction (present min/max bound the grid, so there are
+    no boundary gaps), but with ONE shuffle (the per-key window) and —
+    decisive at 100 TB — no grid materialization: ``sequence()`` over a
+    key's [min, max] span emits rows proportional to elapsed TIME
+    (a years-sparse key explodes to 500k+ rows regardless of data volume),
+    while this shape's cost is proportional to rows present. Timestamps
+    snap to the grid first, so duplicate and off-grid inputs degrade to
+    bucket semantics rather than breaking the recurrence (duplicate
+    buckets produce diff = 0 pairs, which the filter drops).
     """
     step_us = int(step_minutes * 60_000_000)
-    missing = missing_buckets(df, step_minutes, by, ts_col)
-    w = Window.partitionBy(*by).orderBy(ts_col)
-    island = (
-        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step_us))
-        - F.row_number().over(w)
-    ).alias("__island")
+    w = Window.partitionBy(*by).orderBy("__us")
+    snapped = df.select(
+        *by,
+        (F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step_us)) * F.lit(step_us)).alias("__us"),
+    )
+    diff = F.col("__us") - F.lag("__us").over(w)
     return (
-        missing.select(*by, ts_col, island)
-        .groupBy(*by, "__island")
-        .agg(
-            F.min(ts_col).alias("gap_start"),
-            F.max(ts_col).alias("gap_end"),
-            F.count(F.lit(1)).alias("n_missing"),
+        snapped.withColumn("__diff", diff)
+        .filter(F.col("__diff") > F.lit(step_us))
+        .select(
+            *by,
+            F.timestamp_micros(F.col("__us") - F.col("__diff") + F.lit(step_us)).alias(
+                "gap_start"
+            ),
+            F.timestamp_micros(F.col("__us") - F.lit(step_us)).alias("gap_end"),
+            ((F.col("__diff") / F.lit(step_us)).cast("long") - F.lit(1)).alias("n_missing"),
         )
-        .drop("__island")
     )

@@ -15,6 +15,7 @@ set on the hosting session.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,7 +53,24 @@ def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     return df
 
 
+# Analyzed-plan cache: ``spark.read.parquet`` lists the path and reads the
+# footer to infer schema on EVERY call (~50-100 ms). Plans are immutable, so
+# the same (table, dir) DataFrame is safely reusable within a session —
+# without this, plan construction rivals execution time for sub-second
+# queries. Keyed weakly on the session so dead sessions drop their entries.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (name, os.path.normpath(sf_dir))
+    df = per_session.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        per_session[key] = df
+    return df
