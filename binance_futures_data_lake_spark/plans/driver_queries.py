@@ -616,6 +616,45 @@ def q_priority_ship_exists(spark, sf_dir):
 
 
 @register(
+    "range_join_ship_windows",
+    sql="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS w_start,
+             o_orderdate + INTERVAL 30 DAY AS w_end
+      FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    ), pt AS (
+      SELECT l_shipdate FROM lineitem WHERE l_quantity >= 49
+    )
+    SELECT o_orderkey, w_start, w_end, count(*) AS n_shipped
+    FROM iv JOIN pt ON l_shipdate >= w_start AND l_shipdate <= w_end
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_range_join_ship_windows(spark, sf_dir):
+    """True range join (containment predicate, NO equi key): per 30-day
+    order window, how many heavy shipments fell inside it. A naive
+    BETWEEN join is BroadcastNestedLoopJoin — O(|P|·|I|) predicate
+    evaluations; interval_join bucketizes both sides so Catalyst plans a
+    plain equi hash join on the bucket key (operators/rangejoin.py)."""
+    from binance_futures_data_lake_spark.operators.rangejoin import interval_join
+
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    iv = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000)
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+    )
+    pt = li.filter(F.col("l_quantity") >= 49).select("l_shipdate")
+    joined = interval_join(pt, iv, "l_shipdate", "w_start", "w_end", bucket="30 days")
+    return joined.groupBy("o_orderkey", "w_start", "w_end").agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+
+
+@register(
     "brand_volume",
     sql="""
     SELECT p_brand, round(sum(l_quantity), 6) AS sum_qty,
