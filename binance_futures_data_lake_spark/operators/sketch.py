@@ -1,0 +1,78 @@
+"""Distinct-count sketching (KMV) — approximate aggregation you can still
+oracle-check.
+
+Production Spark answers "how many distinct X per group over 100 TB" with
+``approx_count_distinct`` (HyperLogLog++, constant memory, mergeable) —
+that is the deployment path and nothing here replaces it. But HLL results
+are implementation-defined (register layout, bias tables), so no
+cross-engine oracle can verify them. The K-Minimum-Values estimator is
+different: its estimate is a PURE FUNCTION of the data —
+
+    h(v)  = uniform hash of v into [0, 1)
+    KMV   = the k smallest distinct h values
+    n̂     = (k−1) / h_(k)          (or exact n when fewer than k distinct)
+
+so two engines that agree on h agree on the estimate to the bit. We use
+an md5-derived 60-bit hash (portable, no RNG), which makes the driver's
+DuckDB comparison exact — the correctness gate covers the SKETCH
+SEMANTICS, not just a tolerance band.
+
+Scale note: this DataFrame formulation (distinct → per-group rank ≤ k)
+shuffles the distinct set, like exact count_distinct — fine for research
+queries. The bounded-memory form keeps only k values per partition and
+merges (KMV sets are trivially mergeable: union, keep k smallest); that
+is what a custom TypedImperativeAggregate would do, and what
+approx_count_distinct already does with HLL state. Standard error is
+~1/√(k−2) (≈ 12.6% at k = 64).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.functions.scalars import round6
+
+TWO_POW_60 = float(1 << 60)
+
+
+def uniform_hash(col) -> F.Column:
+    """md5-derived uniform double in [0, 1) — 60 bits, engine-portable
+    (DuckDB: ('0x' || substring(md5(v), 1, 15))::BIGINT / 2^60)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return h / F.lit(TWO_POW_60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: by-cols + ``n_exact`` (true distinct, for error inspection) +
+    ``kmv_estimate`` (6-dp rounded). Exact when a group has < k distinct
+    values (the sketch degenerates to the full set).
+    """
+    hashed = (
+        df.select(*by, F.col(value_col).alias("__v"))
+        .distinct()
+        .withColumn("__h", uniform_hash(F.col("__v")))
+    )
+    w = Window.partitionBy(*by).orderBy("__h")
+    ranked = hashed.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("__rn") <= k, F.col("__h"))).alias("__kth"),
+    ).select(
+        *by,
+        "n_exact",
+        round6(
+            F.when(F.col("n_exact") < k, F.col("n_exact").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.col("__kth")
+            )
+        ).alias("kmv_estimate"),
+    )

@@ -616,6 +616,87 @@ def q_priority_ship_exists(spark, sf_dir):
 
 
 @register(
+    "kmv_distinct_users",
+    sql="""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               / power(2, 60) AS hv
+      FROM d
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           count(*) AS n_exact,
+           round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 63.0 / max(CASE WHEN rn <= 64 THEN hv END) END, 6)
+             AS kmv_estimate
+    FROM r GROUP BY 1
+    """,
+)
+def q_kmv_distinct_users(spark, sf_dir):
+    """K-Minimum-Values distinct-count sketch per event_type — an
+    APPROXIMATE aggregate the driver can still hash-check exactly, because
+    KMV's estimate is a pure function of the data (md5-derived hashes, no
+    RNG/register state — unlike HLL). operators/sketch.py; production path
+    at scale is approx_count_distinct (HLL, constant memory)."""
+    from binance_futures_data_lake_spark.operators.sketch import kmv_distinct
+
+    ev = load_events(spark, sf_dir)
+    return kmv_distinct(ev, "user_id", by=["event_type"], k=64)
+
+
+@register(
+    "ohlcv_daily_cascade",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           round(sum(value), 6) AS volume,
+           count(*) AS n_ticks,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ohlcv_daily_cascade(spark, sf_dir):
+    """Hypertable-style rollup cascade: ticks → 5m → 1h → 1d, each level
+    aggregating the previous level's partials (one raw scan total) —
+    while the ORACLE aggregates the raw ticks directly into daily bars.
+    Matching hashes prove the cascade is exact, not approximately
+    composed (open/close pick the same underlying tick; sums associate).
+    Volume is presentation-rounded: the cascade's sum-of-sums groups
+    differently than a direct sum, which perturbs doubles below 6 dp."""
+    from binance_futures_data_lake_spark.operators.resample import rollup_bars, tick_ohlcv
+
+    ev = load_events(spark, sf_dir)
+    m5 = tick_ohlcv(ev, 5, ["event_type"], tiebreak_col="event_id")
+    h1 = rollup_bars(m5, 60, ["event_type"])
+    d1 = rollup_bars(h1, 1440, ["event_type"])
+    return d1.select(
+        "event_type", "bucket_ts", "open", "high", "low", "close",
+        r6(F.col("volume")).alias("volume"), "n_ticks", "first_ts", "last_ts",
+    )
+
+
+@register(
     "range_join_ship_windows",
     sql="""
     WITH iv AS (

@@ -74,3 +74,42 @@ def test_resample_keeps_symbol_separation(spark, m1):
     out = resample_bars(m1, 60)
     counts = {r["symbol"]: r["count"] for r in out.groupBy("symbol").count().collect()}
     assert counts == {"AAA": 24, "BBB": 24}
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """ticks -> 5m -> 1h -> 1d must equal ticks -> 1d directly: open/close
+    pick identical rows, max/min/sum associate; volume compared to 1e-9
+    (sum-of-sums regroups double addition)."""
+    from binance_futures_data_lake_spark.operators.resample import rollup_bars, tick_ohlcv
+    from binance_futures_data_lake_spark.sources.testdata import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    m5 = tick_ohlcv(ev, 5, ["event_type"], tiebreak_col="event_id")
+    d_cascade = rollup_bars(rollup_bars(m5, 60, ["event_type"]), 1440, ["event_type"])
+    d_direct = tick_ohlcv(ev, 1440, ["event_type"], tiebreak_col="event_id")
+    a = {(r.event_type, r.bucket_ts): r for r in d_cascade.collect()}
+    b = {(r.event_type, r.bucket_ts): r for r in d_direct.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        for col in ("open", "high", "low", "close", "n_ticks", "first_ts", "last_ts"):
+            assert getattr(a[k], col) == getattr(b[k], col), (k, col)
+        assert abs(a[k].volume - b[k].volume) < 1e-9 * max(1.0, abs(b[k].volume))
+
+
+def test_rollup_respects_keys(spark):
+    from binance_futures_data_lake_spark.operators.resample import rollup_bars, tick_ohlcv
+    from binance_futures_data_lake_spark.sources.testdata import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    m5 = tick_ohlcv(ev, 5, ["event_type"], tiebreak_col="event_id")
+    h1 = rollup_bars(m5, 60, ["event_type"])
+    # every h1 bar's tick count equals the sum of its five-minute children
+    child = (
+        m5.withColumn("h", F.date_trunc("hour", "bucket_ts"))
+        .groupBy("event_type", "h").agg(F.sum("n_ticks").alias("n"))
+    )
+    joined = h1.join(
+        child, (h1.event_type == child.event_type) & (h1.bucket_ts == child.h)
+    )
+    assert joined.filter(F.col("n_ticks") != F.col("n")).count() == 0
+    assert h1.count() == child.count()
