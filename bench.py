@@ -47,6 +47,17 @@ HEADLINE = [
     "doc_exact_dedup",
     "cosine_topk",
     "lang_stats",
+    # scale-operator families added later in round 1. embed_near_dup_lsh is
+    # deliberately absent: its driver query runs the LOW-threshold (0.3)
+    # demo configuration — random-hyperplane banding cannot prune at low
+    # cosine thresholds (the S-curve is flat there), so at sf0.1 it
+    # approaches the n²/2 cross product by design. The high-threshold
+    # regime it is built for is benchmarked in tests/test_similarity.py's
+    # planted-duplicate suite instead.
+    "ohlcv_daily_cascade",
+    "range_join_ship_windows",
+    "kmv_distinct_users",
+    "simhash_near_pairs",
 ]
 
 
