@@ -107,6 +107,55 @@ def main() -> None:
         )),
     )
 
+    # rollup cascade: h1 and d1 each derive from the PREVIOUS level's
+    # partials — the raw 10M rows are scanned once (for m5), then each
+    # level's input shrinks 5x/12x/24x
+    from binance_futures_data_lake_spark.operators.gaps import missing_ranges
+    from binance_futures_data_lake_spark.operators.rangejoin import interval_join
+    from binance_futures_data_lake_spark.operators.sketch import kmv_distinct
+
+    m5_bars = resample_bars(m1c, 5, by, complete_only=False).cache()
+    m5_bars.count()
+
+    def cascade():
+        h1b = resample_bars(m5_bars, 60, by, complete_only=False, base_minutes=5)
+        d1b = resample_bars(h1b, 1440, by, complete_only=False, base_minutes=60)
+        return force(d1b)
+
+    stage("rollup_cascade_m5_to_d1", cascade)
+
+    def gaps():
+        holey = m1c.filter(((F.col("open_time_ms") / 60000).cast("long")) % 97 != 0)
+        return force(missing_ranges(holey.select("symbol", "ts"), 1, by))
+
+    stage("gap_ranges_lag_based", gaps)
+
+    def rjoin():
+        # ~2 day-long maintenance windows per symbol-week x all M1 points
+        iv = (
+            m5_bars.filter(((F.col("open_time_ms") / 300000).cast("long")) % 672 < 6)
+            .select(
+                "symbol",
+                F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+            )
+        )
+        j = interval_join(
+            m1c.select("symbol", "ts", "close"), iv, "ts", "w_start", "w_end",
+            by=["symbol"], bucket="1 days",
+        )
+        return force(j)
+
+    stage("interval_join_bucketed", rjoin)
+
+    stage(
+        "kmv_distinct_sketch",
+        lambda: force(kmv_distinct(
+            m1c.select("symbol", (F.col("open_time_ms") % 1_000_003).alias("v")),
+            "v", by=["symbol"], k=256,
+        )),
+    )
+
     print(json.dumps({"rows": n, "n_symbols": n_symbols, "stages": stages}))
     spark.stop()
 
