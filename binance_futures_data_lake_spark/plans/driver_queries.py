@@ -616,6 +616,48 @@ def q_priority_ship_exists(spark, sf_dir):
 
 
 @register(
+    "funnel_click_purchase",
+    sql="""
+    SELECT a.user_id AS key,
+           a.event_id AS first_id, a.ts AS first_ts,
+           b.event_id AS then_id,  b.ts AS then_ts,
+           round(epoch_us(b.ts) / 1e6 - epoch_us(a.ts) / 1e6, 6) AS delay_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_funnel_click_purchase(spark, sf_dir):
+    """Keyed time-bounded funnel join (click → purchase within 30 min per
+    user) — the batch twin of streaming/pipeline.funnel_join_stream, whose
+    stream-stream form carries the identical join condition (the time
+    bound is what lets streaming state expire). Batch/stream parity over a
+    finite input is asserted in tests/test_streaming.py."""
+    ev = load_events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), F.col("ts").alias("first_ts"),
+        F.col("event_id").alias("first_id"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key_b"), F.col("ts").alias("then_ts"),
+        F.col("event_id").alias("then_id"),
+    )
+    j = a.join(
+        b,
+        (F.col("key") == F.col("key_b"))
+        & (F.col("then_ts") >= F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    delay = F.unix_micros(F.col("then_ts")) / F.lit(1e6) - F.unix_micros(
+        F.col("first_ts")
+    ) / F.lit(1e6)
+    return j.select(
+        "key", "first_id", "first_ts", "then_id", "then_ts", r6(delay).alias("delay_s")
+    )
+
+
+@register(
     "kmv_distinct_users",
     sql="""
     WITH d AS (

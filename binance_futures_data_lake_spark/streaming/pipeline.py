@@ -96,6 +96,60 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def funnel_join_stream(
+    events: DataFrame,
+    first_type: str,
+    then_type: str,
+    key_col: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream time-bounded self-join: for each ``first_type`` event,
+    every ``then_type`` event by the same key within ``within`` afterwards
+    (the funnel/conversion pattern — e.g. signal fired → order filled).
+
+    Both sides carry a watermark and the join condition bounds event time
+    (0 ≤ then.ts − first.ts ≤ within), which is what lets Spark EXPIRE
+    buffered state: a first-side row is dropped once the watermark passes
+    its ts + within, so state is (arrival rate × horizon), not history.
+    An unbounded-time stream-stream join would buffer forever — the time
+    bound is the scale contract, not a convenience.
+
+    Inner-join semantics: matches emit as soon as both rows arrive (no
+    window-close latency); batch/stream parity over a finite input is
+    exact and tested (tests/test_streaming.py).
+    """
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("first_ts"),
+            F.col("event_id").alias("first_id"),
+            F.col("value").alias("first_value"),
+        )
+        .withWatermark("first_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col(key_col).alias("key_b"),
+            F.col(ts_col).alias("then_ts"),
+            F.col("event_id").alias("then_id"),
+            F.col("value").alias("then_value"),
+        )
+        .withWatermark("then_ts", watermark)
+    )
+    cond = (
+        (F.col("key") == F.col("key_b"))
+        & (F.col("then_ts") >= F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "inner").select(
+        "key", "first_id", "first_ts", "first_value", "then_id", "then_ts", "then_value"
+    )
+
+
 def parquet_upsert(
     spark: SparkSession,
     path: str,

@@ -166,3 +166,48 @@ def test_sticky_counter_stream_matches_pandas(spark, source_dir):
         assert row["n_events"] == len(vals), row["key"]
         assert row["streak_above"] == streak, row["key"]
         assert row["max_streak"] == mx, row["key"]
+
+
+def test_funnel_join_stream_matches_batch(spark, source_dir, tmp_path):
+    """Stream-stream time-bounded self-join == the batch join over the same
+    finite input (inner-join matches emit as both sides arrive; nothing is
+    lost to window-close truncation on availableNow drains)."""
+    from binance_futures_data_lake_spark.streaming.pipeline import funnel_join_stream
+
+    ev_stream = stream_events(spark, source_dir, max_files_per_trigger=1)
+    out = funnel_join_stream(
+        ev_stream, "click", "purchase", within="30 minutes", watermark="10 minutes"
+    )
+    sink = str(tmp_path / "funnel")
+    ckpt = str(tmp_path / "funnel_ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.key, r.first_id, r.then_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    ev = load_events(spark, SF)
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), F.col("ts").alias("first_ts"),
+        F.col("event_id").alias("first_id"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key_b"), F.col("ts").alias("then_ts"),
+        F.col("event_id").alias("then_id"),
+    )
+    want = {
+        (r.key, r.first_id, r.then_id)
+        for r in a.join(
+            b,
+            (F.col("key") == F.col("key_b"))
+            & (F.col("then_ts") >= F.col("first_ts"))
+            & (F.col("then_ts") <= F.col("first_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
