@@ -616,6 +616,87 @@ def q_priority_ship_exists(spark, sf_dir):
 
 
 @register(
+    "user_sessions",
+    sql="""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    """Sessionization via Spark's native ``session_window`` (dynamic-gap
+    tumbling merge; a new session starts when the inter-event gap is >= 30
+    minutes — Spark merges events whose [ts, ts+gap) windows overlap,
+    i.e. strictly-less-than-gap diffs). The oracle derives the identical
+    partition with the lag/cumsum gaps-and-islands construction — an
+    independent algorithm, like the simhash pair check. Emitted bounds are
+    min/max event time (not the gap-padded window end) so both engines
+    agree bit-for-bit. Also the batch twin of a streaming session agg:
+    session_window works under watermarks unchanged."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.sum("value")).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_pivot_daily",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           round(COALESCE(sum(value) FILTER (event_type = 'click'), 0), 6)    AS v_click,
+           round(COALESCE(sum(value) FILTER (event_type = 'view'), 0), 6)     AS v_view,
+           round(COALESCE(sum(value) FILTER (event_type = 'purchase'), 0), 6) AS v_purchase
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pivot_daily(spark, sf_dir):
+    """Wide daily report via ``pivot`` with an EXPLICIT value list — the
+    list keeps the schema static so Catalyst skips the extra distinct-scan
+    job pivot otherwise runs, and makes the plan a single groupBy (pivot
+    compiles to conditional aggregates, same as the oracle's FILTER)."""
+    ev = load_events(spark, sf_dir)
+    piv = (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("v"),
+        )
+    )
+    return piv.select(
+        "day",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("n_purchase"),
+        r6(F.coalesce(F.col("click_v"), F.lit(0.0))).alias("v_click"),
+        r6(F.coalesce(F.col("view_v"), F.lit(0.0))).alias("v_view"),
+        r6(F.coalesce(F.col("purchase_v"), F.lit(0.0))).alias("v_purchase"),
+    )
+
+
+@register(
     "funnel_click_purchase",
     sql="""
     SELECT a.user_id AS key,
