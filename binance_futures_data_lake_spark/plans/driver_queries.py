@@ -616,6 +616,48 @@ def q_priority_ship_exists(spark, sf_dir):
 
 
 @register(
+    "sampled_revenue_by_nation",
+    sql="""
+    WITH sc AS (
+      SELECT * FROM customer
+      WHERE ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+              / power(2, 60) < 0.1
+    ), so AS (
+      SELECT * FROM orders
+      WHERE ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+              / power(2, 60) < 0.1
+    )
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS sampled_revenue
+    FROM so JOIN sc ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_sampled_revenue_by_nation(spark, sf_dir):
+    """Join-preserving 10% sample: customer AND orders sampled by the SAME
+    key hash, so the join of samples is the complete join of the sampled
+    key universe (independent sample() would keep ~1% of pairs and differ
+    per run). Deterministic md5 hashing is what lets the driver
+    hash-check a SAMPLED aggregate — operators/sampling.py."""
+    from binance_futures_data_lake_spark.operators.sampling import consistent_sample
+
+    cust = consistent_sample(load_table(spark, "customer", sf_dir), "c_custkey", 0.1)
+    orders = consistent_sample(load_table(spark, "orders", sf_dir), "o_custkey", 0.1)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.sum("o_totalprice")).alias("sampled_revenue"),
+        )
+    )
+
+
+@register(
     "user_sessions",
     sql="""
     WITH e AS (
