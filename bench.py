@@ -58,6 +58,10 @@ HEADLINE = [
     "range_join_ship_windows",
     "kmv_distinct_users",
     "simhash_near_pairs",
+    "user_sessions",
+    "events_pivot_daily",
+    "funnel_click_purchase",
+    "sampled_revenue_by_nation",
 ]
 
 
