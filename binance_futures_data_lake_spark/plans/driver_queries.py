@@ -604,15 +604,20 @@ def q_top_orders(spark, sf_dir):
     """,
 )
 def q_priority_ship_exists(spark, sf_dir):
-    """TPC-H Q4 shape: correlated EXISTS → left-semi join."""
+    """TPC-H Q4 shape: correlated EXISTS. Rewritten from the left-semi
+    join to an aggregate pushdown — EXISTS(l_shipdate > o_orderdate) ⟺
+    max(l_shipdate) per orderkey > o_orderdate — so the big side collapses
+    to one row per orderkey IN THE MAP-SIDE PARTIAL AGG, before the
+    shuffle: at 100 TB the exchange carries |orderkeys| rows instead of
+    |lineitems|, and the join is equi-only (hashable, skew-tolerant)
+    instead of carrying a residual range predicate."""
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    semi = o.join(
-        li,
-        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-        "left_semi",
+    mx = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__max_ship"))
+    hit = o.join(mx, o.o_orderkey == mx.l_orderkey).filter(
+        F.col("__max_ship") > F.col("o_orderdate")
     )
-    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 @register(
