@@ -1736,13 +1736,81 @@ def q_ml_forward_labels(spark, sf_dir):
     )
 
 
-@register("sticky_regime_hourly")  # rows-only: inherently sequential state machine
+def _sticky_sql() -> str:
+    """Recursive-CTE oracle for the sticky hysteresis machine: the working
+    set carries the full per-key machine state (state, regime id, age, hold,
+    and the four persistence counters) and each iteration applies one bar's
+    transition — the literal SQL form of ``regime.sticky_state``'s kernel
+    with enter_th=0.3, exit_th=0.15, persist=2/2, min_hold=2, no direct
+    flip. The score is rounded to 6 dp on BOTH sides before thresholding so
+    engine-level float drift in stddev cannot flip a comparison."""
+    be1 = "CASE WHEN n.x >= 0.3 THEN w.be + 1 ELSE 0 END"
+    se1 = "CASE WHEN n.x <= -0.3 THEN w.se + 1 ELSE 0 END"
+    hold1 = "CASE WHEN w.st IN ('BULL', 'BEAR') THEN w.hold + 1 ELSE w.hold END"
+    bx1 = "CASE WHEN w.st = 'BULL' THEN CASE WHEN n.x <= 0.15 THEN w.bx + 1 ELSE 0 END ELSE w.bx END"
+    sx1 = "CASE WHEN w.st = 'BEAR' THEN CASE WHEN n.x >= -0.15 THEN w.sx + 1 ELSE 0 END ELSE w.sx END"
+    new = f"""CASE
+      WHEN n.x IS NULL THEN 'NEUTRAL'
+      WHEN w.st = 'NEUTRAL' AND {be1} >= 2 THEN 'BULL'
+      WHEN w.st = 'NEUTRAL' AND {se1} >= 2 THEN 'BEAR'
+      WHEN w.st = 'BULL' AND {hold1} >= 2 AND {bx1} >= 2 THEN 'NEUTRAL'
+      WHEN w.st = 'BEAR' AND {hold1} >= 2 AND {sx1} >= 2 THEN 'NEUTRAL'
+      ELSE w.st END"""
+    changed = f"({new}) <> w.st"
+    # NaN-score bars skip the counter updates entirely (kernel `continue`):
+    # counters carry through unchanged unless the state change zeroed them.
+    carry = lambda one, prev: (  # noqa: E731
+        f"CASE WHEN {changed} THEN 0 WHEN n.x IS NULL THEN {prev} ELSE {one} END"
+    )
+    return _HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + f"""
+    , sc AS (
+      SELECT event_type, bucket_ts,
+        -- this DuckDB build has no tanh(); 1 - 2/(exp(2z)+1) is the
+        -- overflow-stable identity (exp(+inf) -> inf -> 1, exp(-inf) -> -1)
+        CASE WHEN count(*) OVER w20 >= 20 AND stddev_pop(close) OVER w20 <> 0
+             THEN round(1 - 2 / (exp(2 * (close - avg(close) OVER w20) / stddev_pop(close) OVER w20) + 1), 6)
+        END AS x
+      FROM bars
+      WINDOW w20 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), scx AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS INT) AS i
+      FROM sc
+    ), walk AS (
+      SELECT event_type, 0 AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+             'NEUTRAL' AS st, CAST(0 AS BIGINT) AS rid, CAST(0 AS BIGINT) AS age,
+             CAST(0 AS BIGINT) AS hold, CAST(0 AS BIGINT) AS be, CAST(0 AS BIGINT) AS se,
+             CAST(0 AS BIGINT) AS bx, CAST(0 AS BIGINT) AS sx
+      FROM (SELECT DISTINCT event_type FROM sc)
+      UNION ALL
+      SELECT n.event_type, n.i, n.bucket_ts,
+             {new} AS st,
+             w.rid + CASE WHEN {changed} THEN 1 ELSE 0 END AS rid,
+             CASE WHEN n.x IS NULL THEN 0
+                  WHEN {changed} THEN 1 ELSE w.age + 1 END AS age,
+             CASE WHEN n.x IS NULL OR {changed} THEN 0 ELSE {hold1} END AS hold,
+             {carry(be1, "w.be")} AS be,
+             {carry(se1, "w.se")} AS se,
+             {carry(bx1, "w.bx")} AS bx,
+             {carry(sx1, "w.sx")} AS sx
+      FROM walk w JOIN scx n ON n.event_type = w.event_type AND n.i = w.i + 1
+    )
+    SELECT event_type, bucket_ts, st AS dir_state, rid AS dir_regime_id, age AS dir_state_age
+    FROM walk WHERE i > 0
+    """
+
+
+@register("sticky_regime_hourly", sql=_sticky_sql())
 def q_sticky_regime_hourly(spark, sf_dir):
+    """SURVEY W17: sticky BULL/BEAR/NEUTRAL hysteresis over a tanh'd rolling
+    z-score. The machine recurses on its own previous output → per-key
+    ``applyInPandas`` kernel on the Spark side, recursive CTE in the oracle.
+    Score rounded to 6 dp in both engines before thresholding (see
+    ``_sticky_sql``)."""
     from binance_futures_data_lake_spark.operators.regime import DirectionParams, sticky_state
 
     bars = _hourly_bars(spark, sf_dir)
     by, order = ["event_type"], ["bucket_ts"]
-    score = F.tanh(W.rolling_zscore("close", 20, by, order))
+    score = r6(F.tanh(W.rolling_zscore("close", 20, by, order)))
     scored = bars.withColumn("score", score)
     out = sticky_state(
         scored, by, order, "score",
@@ -1811,14 +1879,44 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(cells, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)
 
 
-@register("streaming_ohlcv_bars", cache_plan=False)  # rows-only: runs a stream + temp dir per call
+@register(
+    "streaming_ohlcv_bars",
+    cache_plan=False,  # runs a stream + temp dir per call
+    # Stream/batch parity IS the oracle: append mode emits exactly the
+    # windows the final watermark (max event time − 30 min) has closed, and
+    # each emitted bar must equal the batch tick-OHLCV for that bucket. So
+    # the oracle is the batch hourly OHLCV restricted to closed windows.
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ), rr AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    ), bars AS (
+      SELECT event_type, bucket_ts,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             round(sum(value), 6) AS volume,
+             count(*) AS n_ticks
+      FROM rr GROUP BY 1, 2
+    ), wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT event_type, bucket_ts, open, high, low, close, volume, n_ticks
+    FROM bars, wm WHERE bucket_ts + INTERVAL 1 HOUR <= w
+    """,
+)
 def q_streaming_ohlcv_bars(spark, sf_dir):
     """SURVEY §2.10 end-to-end: file stream → watermarked tumbling-window
     OHLCV (append mode = emit-on-close) → foreachBatch keyed upsert.
-    Stream/batch bar parity is asserted in tests/test_streaming.py; here the
-    emitted bars are returned for a rows/schema check. Runs availableNow on
-    a temp copy of the events table split into 3 time-ordered chunks so the
-    watermark advances across micro-batches."""
+    Runs availableNow on a temp copy of the events table split into 3
+    time-ordered chunks (Spark-side filtered writes — no driver
+    materialization) so the watermark advances across micro-batches."""
+    import glob
     import os
     import shutil
     import tempfile
@@ -1829,13 +1927,26 @@ def q_streaming_ohlcv_bars(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="bfdl_stream_")
     src = os.path.join(work, "src")
     os.makedirs(src)
-    ev = load_events(spark, sf_dir).orderBy("ts", "event_id").toPandas()
-    ev["ts"] = ev["ts"].astype("int64")
-    n = len(ev)
-    cuts = [0, int(n * 0.4), int(n * 0.8), n]
-    for i in range(3):
+    # EVENTS_SCHEMA declares ts as long nanos (the raw TIMESTAMP(NANOS)
+    # physical type); emit the chunks in that shape with an integer div.
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+    )
+    cuts = ev.select(
+        F.percentile_approx("ts", [0.4, 0.8], 10000).alias("c")
+    ).first()["c"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts") <= F.lit(hi))
+        stage = os.path.join(work, f"stage-{i}")
+        chunk.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         p = os.path.join(src, f"chunk-{i}.parquet")
-        ev.iloc[cuts[i]:cuts[i + 1]].to_parquet(p, index=False)
+        shutil.move(part, p)
         mtime = time.time() - (3 - i) * 60
         os.utime(p, (mtime, mtime))
     sink = os.path.join(work, "lake")
@@ -1943,7 +2054,72 @@ def _dir_bars(spark, sf_dir):
     return out
 
 
-@register("regime_cases")  # rows-only: recursion on its own previous output
+def _regime_case_sql(prev: str) -> str:
+    """DuckDB CASE expression mirroring ``structure._case_for_row`` exactly
+    (branch order matters); ``prev`` is the SQL expression holding the
+    previous row's assigned case. Bound to row alias ``n``."""
+    return f"""CASE
+      WHEN n.dir_w IS NULL OR n.dir_d IS NULL OR n.dir_h4 IS NULL OR n.dir_h1 IS NULL
+        THEN 'DATA_GAP_OR_INVALID'
+      WHEN (n.dir_w * n.dir_d = -1) OR (n.dir_d * n.dir_h4 = -1) THEN 'CHAOS_CONFLICT_TF'
+      WHEN n.dir_w = 1 AND n.dir_d = 1 AND n.dir_h4 = -1 AND n.dir_h1 = -1 THEN 'MACRO_BULL_MICRO_BEAR'
+      WHEN n.dir_w = -1 AND n.dir_d = -1 AND n.dir_h4 = 1 AND n.dir_h1 = 1 THEN 'MACRO_BEAR_MICRO_BULL'
+      WHEN n.dir_w = 1 AND n.dir_d = 1 AND n.dir_h4 = 1 AND n.dir_h1 = 1 THEN
+        CASE WHEN {prev} = 'RANGE_NEUTRAL' THEN 'BREAKOUT_UP_FROM_RANGE' ELSE 'TREND_CONTINUATION_LONG' END
+      WHEN n.dir_w = -1 AND n.dir_d = -1 AND n.dir_h4 = -1 AND n.dir_h1 = -1 THEN
+        CASE WHEN {prev} = 'RANGE_NEUTRAL' THEN 'BREAKOUT_DOWN_FROM_RANGE' ELSE 'TREND_CONTINUATION_SHORT' END
+      WHEN n.dir_w = 1 AND n.dir_d = 1 AND (n.dir_h4 < 0 OR n.dir_h1 < 0) THEN 'PULLBACK_LONG_IN_BULL_TREND'
+      WHEN n.dir_w = -1 AND n.dir_d = -1 AND (n.dir_h4 > 0 OR n.dir_h1 > 0) THEN 'PULLBACK_SHORT_IN_BEAR_TREND'
+      WHEN abs(3 * n.dir_w + 3 * n.dir_d + 2 * n.dir_h4 + 2 * n.dir_h1) < 4 THEN
+        CASE WHEN n.dir_w > 0 THEN 'RANGE_BIASED_LONG'
+             WHEN n.dir_w < 0 THEN 'RANGE_BIASED_SHORT'
+             ELSE 'RANGE_NEUTRAL' END
+      WHEN {prev} = 'BREAKOUT_UP_FROM_RANGE' AND n.dir_h1 <= 0 THEN 'FAKE_BREAKOUT_UP'
+      WHEN {prev} = 'BREAKOUT_DOWN_FROM_RANGE' AND n.dir_h1 >= 0 THEN 'FAKE_BREAKOUT_DOWN'
+      ELSE 'LOW_CONFIDENCE_NEUTRAL'
+    END"""
+
+
+@register(
+    "regime_cases",
+    # The classifier recurses on its own previous OUTPUT (prev_case), which
+    # SQL expresses as a recursive CTE: the working set holds one row per key
+    # (the machine state after bar i); each iteration joins bar i+1 and
+    # applies the decision table. One iteration per bar — fine for an oracle,
+    # which is why the Spark side is the scale path (applyInPandas per key).
+    sql=_HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + f"""
+    , d AS (
+      SELECT event_type, bucket_ts,
+        CAST(CASE WHEN lag(close, 168) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 168) OVER wo) END AS INT) AS dir_w,
+        CAST(CASE WHEN lag(close, 24) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 24) OVER wo) END AS INT) AS dir_d,
+        CAST(CASE WHEN lag(close, 4) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 4) OVER wo) END AS INT) AS dir_h4,
+        CAST(CASE WHEN lag(close, 1) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 1) OVER wo) END AS INT) AS dir_h1
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), idx AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS INT) AS i
+      FROM d
+    ), walk AS (
+      SELECT event_type, 0 AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+             CAST(NULL AS INT) AS dir_w, CAST(NULL AS INT) AS dir_d,
+             CAST(NULL AS INT) AS dir_h4, CAST(NULL AS INT) AS dir_h1,
+             'WARMUP_UNDEFINED' AS kase, CAST(0 AS BIGINT) AS case_age
+      FROM (SELECT DISTINCT event_type FROM d)
+      UNION ALL
+      SELECT n.event_type, n.i, n.bucket_ts, n.dir_w, n.dir_d, n.dir_h4, n.dir_h1,
+             {_regime_case_sql("w.kase")} AS kase,
+             CASE WHEN {_regime_case_sql("w.kase")} = w.kase
+                  THEN w.case_age + 1 ELSE 0 END AS case_age
+      FROM walk w JOIN idx n ON n.event_type = w.event_type AND n.i = w.i + 1
+    )
+    SELECT event_type, bucket_ts, dir_w, dir_d, dir_h4, dir_h1,
+           kase AS "case", case_age
+    FROM walk WHERE i > 0
+    """,
+)
 def q_regime_cases(spark, sf_dir):
     """SURVEY W19: multi-TF confluence case classifier — needs prev row's
     assigned case, so applyInPandas per key; pandas-golden-parity tested."""
@@ -1954,7 +2130,83 @@ def q_regime_cases(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "dir_w", "dir_d", "dir_h4", "dir_h1", "case", "case_age")
 
 
-@register("range_boxes")  # rows-only: per-candidate sequential walk
+@register(
+    "range_boxes",
+    # The kernel's bidirectional walk (expand while bars stay inside the
+    # box ± tolerance, stop after 2 consecutive outside bars, 50 steps max)
+    # is expressible as set algebra: the walk's break point is the FIRST
+    # adjacent (outside, outside) pair beyond the candidate edge, the box
+    # edge is the farthest inside bar before that break, and the counters
+    # are filtered counts over the scanned range. Pair rows are bounded by
+    # ±50 bars per candidate, so the oracle join is tiny.
+    sql=_HOURLY_BARS_SQL + """
+    , bi AS (
+      SELECT event_type, bucket_ts, high, low, close,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS BIGINT) - 1 AS idx
+      FROM bars
+    ), r6w AS (
+      SELECT *, CASE WHEN count(*) OVER w6 >= 6
+                     THEN max(high) OVER w6 - min(low) OVER w6 END AS rng6
+      FROM bi
+      WINDOW w6 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    ), nar AS (
+      SELECT * , (rng6 < close * 1.2) AS narrow FROM r6w WHERE rng6 IS NOT NULL
+    ), chg AS (
+      SELECT *, CASE WHEN lag(narrow) OVER wo IS NULL OR narrow <> lag(narrow) OVER wo
+                     THEN 1 ELSE 0 END AS bnd
+      FROM nar WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), isl AS (
+      SELECT *, sum(bnd) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM chg
+    ), cand0 AS (
+      SELECT event_type, island, min(bucket_ts) AS start_ts, max(bucket_ts) AS end_ts,
+             min(low) AS range_low, max(high) AS range_high
+      FROM isl WHERE narrow GROUP BY 1, 2 HAVING count(*) >= 2
+    ), cand AS (
+      SELECT event_type,
+             CAST(dense_rank() OVER (ORDER BY event_type, start_ts) AS BIGINT) AS cand_id,
+             start_ts, end_ts, range_low, range_high,
+             0.1 * (range_high - range_low) AS tol
+      FROM cand0
+    ), anch AS (
+      SELECT c.*, b0.idx AS i0, b1.idx AS i1
+      FROM cand c
+      JOIN bi b0 ON b0.event_type = c.event_type AND b0.bucket_ts = c.start_ts
+      JOIN bi b1 ON b1.event_type = c.event_type AND b1.bucket_ts = c.end_ts
+    ), pr AS (
+      SELECT a.cand_id, a.event_type, a.i0, a.i1, b.idx,
+             (b.close >= a.range_low - a.tol AND b.close <= a.range_high + a.tol) AS inside
+      FROM anch a JOIN bi b
+        ON b.event_type = a.event_type AND b.idx BETWEEN a.i0 - 50 AND a.i1 + 50
+    ), pr2 AS (
+      SELECT *, lag(inside) OVER wc AS prev_in, lead(inside) OVER wc AS next_in
+      FROM pr WINDOW wc AS (PARTITION BY cand_id ORDER BY idx)
+    ), st AS (
+      SELECT cand_id,
+        min(CASE WHEN idx >= i1 + 2 AND NOT inside AND NOT coalesce(prev_in, TRUE) THEN idx END) AS stop_r,
+        max(CASE WHEN idx <= i0 - 2 AND NOT inside AND NOT coalesce(next_in, TRUE) THEN idx END) AS stop_l,
+        max(idx) AS mx, min(idx) AS mn
+      FROM pr2 GROUP BY 1
+    ), lim AS (
+      SELECT p.*, least(coalesce(s.stop_r, p.i1 + 50), s.mx) AS r_end,
+                  greatest(coalesce(s.stop_l, p.i0 - 50), s.mn) AS l_end
+      FROM pr2 p JOIN st s USING (cand_id)
+    ), agg AS (
+      SELECT cand_id, event_type, i0, i1,
+        coalesce(max(CASE WHEN inside AND idx > i1 AND idx <= r_end THEN idx END), i1) AS i1x,
+        coalesce(min(CASE WHEN inside AND idx < i0 AND idx >= l_end THEN idx END), i0) AS i0x,
+        count(CASE WHEN inside AND idx > i1 AND idx <= r_end THEN 1 END) AS right_n,
+        count(CASE WHEN inside AND idx < i0 AND idx >= l_end THEN 1 END) AS left_n
+      FROM lim GROUP BY 1, 2, 3, 4
+    )
+    SELECT g.event_type, g.cand_id, b0.bucket_ts AS box_start, b1.bucket_ts AS box_end,
+           g.left_n, g.right_n, (g.i1x - g.i0x + 1) AS n_bars
+    FROM agg g
+    JOIN bi b0 ON b0.event_type = g.event_type AND b0.idx = g.i0x
+    JOIN bi b1 ON b1.event_type = g.event_type AND b1.idx = g.i1x
+    """,
+)
 def q_range_boxes(spark, sf_dir):
     """SURVEY W21: narrow-range islands → candidate boxes → bidirectional
     containment expansion with confirm-bars tolerance (cogrouped kernel)."""
