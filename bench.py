@@ -78,10 +78,20 @@ def main() -> None:
     # re-optimization barrier costs more than the skew/coalescing it buys —
     # measured ~35% of suite wall. Cluster deployments and the verification
     # driver keep the scale-safe defaults (AQE on; see session.RUNTIME_CONFS).
+    # files.maxPartitionBytes: the default 128 MB split is right when files
+    # ARE 128 MB (the 100 TB deployment); at this bench's ~2-10 MB inputs it
+    # makes every scan a 1-2 task stage while DuckDB parallelizes row groups
+    # across all cores. 1 MB splits restore scan parallelism — the same
+    # knob a cluster job tunes to its input:core ratio (measured ~10-20%
+    # of suite wall here).
     spark = get_spark(
         "bfdl-bench",
         shuffle_partitions=8,
-        overrides={"spark.sql.adaptive.enabled": "false"},
+        overrides={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "65536",
+        },
     )
 
     # warmup: JVM, codegen, parquet footers — and the Python/Arrow worker

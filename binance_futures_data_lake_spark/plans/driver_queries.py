@@ -1244,11 +1244,18 @@ def q_simhash_near_pairs(spark, sf_dir):
     candidate join); the oracle brute-forces all n²/2 hamming distances.
     They agree EXACTLY by pigeonhole: hamming <= 3 over 4 disjoint bytes
     forces at least one identical byte, so banding loses no pair — the
-    oracle is a genuinely independent algorithm, not a translation."""
+    oracle is a genuinely independent algorithm, not a translation.
+
+    The fingerprint table is persisted before the self-join: without it
+    each join side recomputes the tokenize→hash→32-bit-sum pipeline (the
+    plan showed 12 exchanges / 2 corpus scans). At 100 TB the signature
+    table is a written artifact that pair-generation reads — persisting
+    here is that deployment shape, not a bench trick."""
     from binance_futures_data_lake_spark.operators.textdedup import simhash, simhash_near_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_near_pairs(simhash(docs), max_hamming=3)
+    sims = simhash(docs).persist()
+    return simhash_near_pairs(sims, max_hamming=3)
 
 
 @register(
