@@ -135,3 +135,58 @@ def gaps_report(
         }
     finally:
         ranges.unpersist()
+
+
+REQUIRED_META_KEYS = ("symbol", "exchange", "market", "interval")
+
+
+def fix_meta(
+    root: str,
+    defaults: dict | None = None,
+    required: Sequence[str] = REQUIRED_META_KEYS,
+) -> dict:
+    """Repair a lake root's ``_meta.json`` sidecar.
+
+    Reference parity: ``src/bfdl/transforms/fix_meta.py:1-33`` (patch a
+    sidecar missing ``created_at_utc``), generalized to the three failure
+    modes a sidecar actually has: missing file, unparseable JSON, missing
+    required keys. Repairs are non-destructive — parseable keys are kept,
+    the corrupt original is preserved at ``_meta.json.bak``.
+
+    ``defaults`` supplies values for absent required keys (others get
+    ``None`` so the repair is visible, not invented). Returns
+    ``{"ok", "repaired", "missing_before", "meta"}``.
+    """
+    import datetime
+    import json as _json
+    import os as _os
+
+    from binance_futures_data_lake_spark.sources import lake
+
+    path = _os.path.join(root, "_meta.json")
+    meta: dict = {}
+    corrupt = False
+    if _os.path.exists(path):
+        try:
+            with open(path) as f:
+                loaded = _json.load(f)
+            if isinstance(loaded, dict):
+                meta = loaded
+            else:
+                corrupt = True
+        except (ValueError, OSError):
+            corrupt = True
+    if corrupt:
+        _os.replace(path, path + ".bak")
+
+    missing = [k for k in required if k not in meta]
+    for k in missing:
+        meta[k] = (defaults or {}).get(k)
+    if "created_at_utc" not in meta:  # the reference's original repair
+        meta["created_at_utc"] = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        if not missing:
+            missing = ["created_at_utc"]
+    repaired = bool(missing) or corrupt
+    if repaired:
+        lake.write_meta(root, meta)
+    return {"ok": True, "repaired": repaired, "missing_before": missing, "meta": meta}

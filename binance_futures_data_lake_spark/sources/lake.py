@@ -184,12 +184,20 @@ def read_meta(root: str) -> dict | None:
 
 def write_checkpoint(root: str, next_start_ms: int, key: str = "next_start_time_ms") -> None:
     """High-watermark checkpoint (klines_m1.py:170-185). Written atomically
-    via tmp+rename — the reference's own publish idiom (aggregate_tf.py:177)."""
+    via tmp+rename — the reference's own publish idiom (aggregate_tf.py:177).
+    Other keys in the sidecar are preserved (several symbols may share one
+    dataset root, each under its own key)."""
     os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, "_checkpoint.json.tmp")
+    p = os.path.join(root, "_checkpoint.json")
+    state: dict = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            state = json.load(f)
+    state[key] = int(next_start_ms)
+    tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({key: int(next_start_ms)}, f)
-    os.replace(tmp, os.path.join(root, "_checkpoint.json"))
+        json.dump(state, f)
+    os.replace(tmp, p)
 
 
 def read_checkpoint(root: str, key: str = "next_start_time_ms") -> int | None:

@@ -126,3 +126,54 @@ def test_csv_epoch_normalization(spark, tmp_path):
     )
     df2 = read_csv_normalized(spark, str(p), "ts")
     assert sorted(r.ts for r in df2.collect())[0].year == 2023
+
+
+# --- fix_meta repair tool (reference fix_meta.py:1-33) ----------------------
+
+def test_fix_meta_repairs_corrupt_sidecar(tmp_path):
+    import json
+    import os
+
+    from binance_futures_data_lake_spark.operators.maintenance import fix_meta
+    from binance_futures_data_lake_spark.sources import lake
+
+    root = str(tmp_path)
+    p = os.path.join(root, "_meta.json")
+    os.makedirs(root, exist_ok=True)
+    with open(p, "w") as f:
+        f.write("{not json!!")
+    res = fix_meta(root, defaults={"symbol": "BTCUSDT", "exchange": "binance",
+                                   "market": "um_futures", "interval": "1m"})
+    assert res["repaired"] and os.path.exists(p + ".bak")
+    meta = lake.read_meta(root)
+    assert meta["symbol"] == "BTCUSDT" and "created_at_utc" in meta
+    json.load(open(p))  # valid JSON again
+
+
+def test_fix_meta_fills_missing_keys_keeps_existing(tmp_path):
+    from binance_futures_data_lake_spark.operators.maintenance import fix_meta
+    from binance_futures_data_lake_spark.sources import lake
+
+    root = str(tmp_path)
+    lake.write_meta(root, {"symbol": "ETHUSDT", "created_at_utc": "2026-01-01T00:00:00+00:00"})
+    res = fix_meta(root, defaults={"exchange": "binance"})
+    assert res["repaired"] and set(res["missing_before"]) == {"exchange", "market", "interval"}
+    meta = lake.read_meta(root)
+    assert meta["symbol"] == "ETHUSDT"          # kept
+    assert meta["exchange"] == "binance"        # default applied
+    assert meta["market"] is None               # visibly unknown, not invented
+    assert meta["created_at_utc"] == "2026-01-01T00:00:00+00:00"
+
+
+def test_fix_meta_noop_when_conformant(tmp_path):
+    from binance_futures_data_lake_spark.operators.maintenance import fix_meta
+    from binance_futures_data_lake_spark.sources import lake
+
+    root = str(tmp_path)
+    lake.write_meta(root, {"symbol": "BTCUSDT", "exchange": "binance",
+                           "market": "um_futures", "interval": "1m",
+                           "created_at_utc": "2026-01-01T00:00:00+00:00"})
+    before = lake.read_meta(root)
+    res = fix_meta(root)
+    assert not res["repaired"]
+    assert lake.read_meta(root) == before
