@@ -13,10 +13,9 @@ The recursion is not a bounded-frame aggregate, so two implementations:
   for bit-parity. Arrow-vectorized, embarrassingly parallel across keys —
   at 100 TB each symbol's history is one group; with thousands of symbols
   that is thousands-wide parallelism, and per-group state is O(1).
-- ``ewm_closedform``: pure-SQL closed form over a running sum, usable where
-  the per-key row count keeps ``(1-a)^(-rn)`` in double range (rn ≲ 500 for
-  typical alphas). Used by oracle-checked queries, since DuckDB can express
-  the same formula.
+- ``ewm_closedform``: pure-SQL closed form, SEGMENTED so it is total —
+  overflow-free for any series length (see its docstring). Used by
+  oracle-checked queries, since DuckDB can express the same formula.
 """
 
 from __future__ import annotations
@@ -79,29 +78,83 @@ def ewm_apply(
     return bucketed.groupBy("__ewm_bucket").applyInPandas(kernel, schema=out_schema_b)
 
 
+def segment_len(alpha: float) -> int:
+    """Renormalization block length: (1-a)^W ≈ 1e-60, so a block's tail is
+    ~44 decimal orders below double ulp, and every exponent the segmented
+    form evaluates stays within ±2W·|log10(q)| = ±120 orders — comfortably
+    inside double range for ANY series length."""
+    import math
+
+    q = 1.0 - alpha
+    return max(2, math.ceil(60.0 / -math.log10(q)))
+
+
 def ewm_closedform(
-    col: str | Column,
-    alpha: float,
+    df: DataFrame,
+    cols: dict[str, tuple[str, float]],
     by: Sequence[str],
-    order: Sequence[str | Column],
-) -> Column:
+    order: Sequence[str],
+) -> DataFrame:
     """Closed-form adjust=False EWM (assumes the source has no interior
-    nulls, true for price series):
+    nulls, true for price series), with SEGMENTED renormalization:
 
         y_t = (1-a)^t·x_0 + a·Σ_{j=1..t} (1-a)^(t-j)·x_j
-            = (1-a)^rn · [ x_0·(1-a)^-1·? ... ]  — implemented as a running
-              sum of ``x_j·(1-a)^(-j)`` scaled by ``(1-a)^t``.
 
-    The first value enters with full weight (seed), later values with
-    weight a. Numeric range: (1-a)^(-rn) ≤ DBL_MAX requires
-    rn ≲ 700/|ln(1-a)|; callers must bound the per-key series length.
+    The naive expansion — a running sum of ``x_j·(1-a)^(-j)`` scaled by
+    ``(1-a)^t`` — overflows once ``(1-a)^(-rn)`` exceeds DBL_MAX
+    (rn ≳ 700/|ln(1-a)|), silently poisoning long per-key series with
+    inf/NaN. Here exponents are RELATIVE to the row's block of
+    ``W = segment_len(alpha)`` rows:
+
+        pos  = (rn-1) mod W,  block = (rn-1) div W
+        u_j  = x_j·coef_j·(1-a)^(-pos_j)
+        y_t  = (1-a)^(pos_t)·Σ_{j ≤ t, same block} u_j
+             + (1-a)^(pos_t+W)·T_prev                (previous block's Σu)
+
+    ``T_prev`` arrives via ``lag(T, W)`` — the row exactly W back sits at
+    the same pos of the previous block. Blocks older than the previous
+    one carry weight ≤ (1-a)^W ≈ 1e-60 relative — 44 orders below double
+    ulp, so dropping them leaves the result bit-indistinguishable.
+    Every exponent is bounded by 2W, so the form is TOTAL: no length
+    cliff (property-tested on a 10k-row single-key series, which the
+    naive form fails at rn ≈ 3.1k for span=10). DuckDB can express the
+    identical staging, which is what keeps EWM queries oracle-checkable.
+
+    Same ``cols`` contract as ``ewm_apply``: output name → (source col,
+    alpha).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    q = 1.0 - alpha
-    w = Window.partitionBy(*by).orderBy(*order)
-    rn = F.row_number().over(w)  # 1-based
-    # weight at position j (1-based): seed j=1 → coefficient 1, else alpha
-    coef = F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(alpha))
-    term = c * coef * F.pow(F.lit(q), -rn)
-    running = F.sum(term).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return running * F.pow(F.lit(q), rn)
+    by, order = list(by), list(order)
+    w_key = Window.partitionBy(*by).orderBy(*order)
+    df = df.withColumn("__cf_rn", F.row_number().over(w_key))
+    scratch = ["__cf_rn"]
+    for name, (src, alpha) in cols.items():
+        if not (0.0 < alpha < 1.0):
+            raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+        q = 1.0 - alpha
+        wlen = segment_len(alpha)
+        pos_c, blk_c, u_c, s_c, t_c = (f"__cf_{p}_{name}" for p in ("pos", "blk", "u", "s", "t"))
+        pos = (F.col("__cf_rn") - 1) % wlen
+        blk = F.floor((F.col("__cf_rn") - 1) / wlen)
+        # weight at position j (1-based rn): seed j=1 → coefficient 1, else alpha
+        coef = F.when(F.col("__cf_rn") == 1, F.lit(1.0)).otherwise(F.lit(alpha))
+        df = (
+            df.withColumn(pos_c, pos)
+            .withColumn(blk_c, blk)
+            .withColumn(u_c, F.col(src) * coef * F.pow(F.lit(q), -F.col(pos_c)))
+        )
+        w_blk = Window.partitionBy(*by, blk_c)
+        df = (
+            df.withColumn(
+                s_c,
+                F.sum(u_c).over(w_blk.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .withColumn(t_c, F.sum(u_c).over(w_blk))
+        )
+        t_prev = F.lag(t_c, wlen).over(w_key)
+        df = df.withColumn(
+            name,
+            F.pow(F.lit(q), F.col(pos_c)) * F.col(s_c)
+            + F.coalesce(F.pow(F.lit(q), F.col(pos_c) + wlen) * t_prev, F.lit(0.0)),
+        )
+        scratch += [pos_c, blk_c, u_c, s_c, t_c]
+    return df.drop(*scratch)

@@ -307,21 +307,32 @@ def q_rolling_pctl_of_last(spark, sf_dir):
              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
       FROM events
     ), t AS (
-      SELECT *, value * (CASE WHEN rn = 1 THEN 1.0 ELSE 2.0 / 11.0 END)
-                * power(9.0 / 11.0, -rn) AS term
+      -- segmented closed form (W = 689 = functions/ewm.segment_len for
+      -- span=10): exponents relative to 689-row blocks, so the expansion
+      -- cannot overflow on long per-user series
+      SELECT *, (rn - 1) % 689 AS pos,
+             value * (CASE WHEN rn = 1 THEN 1.0 ELSE 2.0 / 11.0 END)
+                   * power(9.0 / 11.0, -((rn - 1) % 689)) AS u
       FROM r
+    ), s AS (
+      SELECT *, sum(u) OVER (PARTITION BY user_id, (rn - 1) // 689 ORDER BY rn
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cur,
+                sum(u) OVER (PARTITION BY user_id, (rn - 1) // 689) AS t_blk
+      FROM t
+    ), p AS (
+      SELECT *, lag(t_blk, 689) OVER (PARTITION BY user_id ORDER BY rn) AS t_prev
+      FROM s
     )
     SELECT event_id, user_id, ts, value,
-      round(sum(term) OVER (PARTITION BY user_id ORDER BY rn
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            * power(9.0 / 11.0, rn), 4) AS ema10
-    FROM t
+      round(power(9.0 / 11.0, pos) * s_cur
+            + coalesce(power(9.0 / 11.0, pos + 689) * t_prev, 0.0), 4) AS ema10
+    FROM p
     """,
 )
 def q_ema_per_user(spark, sf_dir):
     """SURVEY W6: pandas ewm(span=10, adjust=False) parity via the per-key
-    applyInPandas kernel; oracle uses the closed-form expansion (valid for
-    the short per-user series of this table)."""
+    applyInPandas kernel; oracle uses the segmented closed-form expansion
+    (overflow-free at any series length — functions/ewm.ewm_closedform)."""
     ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     out = ewm_apply(ev, {"ema10": ("value", span_to_alpha(10.0))}, ["user_id"], ["ts"])
     return out.withColumn("ema10", F.round("ema10", 4))
@@ -1689,20 +1700,30 @@ def q_mae_mfe_hourly(spark, sf_dir):
         row_number() OVER wo AS rn
       FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
     ), t AS (
-      SELECT *, true_range * (CASE WHEN rn = 1 THEN 1.0 ELSE 1.0/14.0 END)
-                * power(13.0/14.0, -rn) AS term
+      -- segmented closed form, W = 1865 (= segment_len(1/14)): see
+      -- ema_per_user — overflow-free at any series length
+      SELECT *, (rn - 1) % 1865 AS pos,
+             true_range * (CASE WHEN rn = 1 THEN 1.0 ELSE 1.0/14.0 END)
+                        * power(13.0/14.0, -((rn - 1) % 1865)) AS u
       FROM tr
+    ), s AS (
+      SELECT *, sum(u) OVER (PARTITION BY event_type, (rn - 1) // 1865 ORDER BY rn
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cur,
+                sum(u) OVER (PARTITION BY event_type, (rn - 1) // 1865) AS t_blk
+      FROM t
+    ), p AS (
+      SELECT *, lag(t_blk, 1865) OVER (PARTITION BY event_type ORDER BY rn) AS t_prev
+      FROM s
     )
     SELECT event_type, bucket_ts, round(true_range, 6) AS true_range,
-      round(sum(term) OVER (PARTITION BY event_type ORDER BY rn
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            * power(13.0/14.0, rn), 4) AS atr_rma14
-    FROM t
+      round(power(13.0/14.0, pos) * s_cur
+            + coalesce(power(13.0/14.0, pos + 1865) * t_prev, 0.0), 4) AS atr_rma14
+    FROM p
     """,
 )
 def q_rma_atr_hourly(spark, sf_dir):
     """SURVEY W6 (alpha=1/n RMA form): Wilder ATR via the exact EWM kernel;
-    closed-form oracle."""
+    segmented closed-form oracle (overflow-free)."""
     from binance_futures_data_lake_spark.functions.ewm import ewm_apply
 
     bars = _hourly_bars(spark, sf_dir)

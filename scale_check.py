@@ -156,6 +156,24 @@ def main() -> None:
         )),
     )
 
+    # multimodal kernel probe: media rows scale with --rows (default 100k
+    # images ~ 500 MB of decoded pixels) through the batch-vectorized
+    # image_features kernel — decode per item, stats/aHash one numpy pass
+    # per Arrow batch
+    from binance_futures_data_lake_spark.operators.multimodal import image_features, synthetic_media
+
+    n_media = max(10_000, total_rows // 100)
+    docs = (
+        spark.range(n_media)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("synthetic media payload "), F.md5(F.col("id").cast("string"))).alias("text"),
+        )
+    )
+    media = synthetic_media(docs, kind="image").cache()
+    media.count()
+    stage("image_features_vectorized", lambda: force(image_features(media)))
+
     print(json.dumps({"rows": n, "n_symbols": n_symbols, "stages": stages}))
     spark.stop()
 
