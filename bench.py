@@ -113,12 +113,17 @@ def main() -> None:
         force(DQ.QUERIES[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 4)
     cold_total = round(time.perf_counter() - t_all, 4)
-    t_all = time.perf_counter()
+    # steady state is best-of-3 per query — single shots are swamped by
+    # machine-load noise at these sub-second walls (same policy as
+    # scripts/scale_ratio.py; the DuckDB baseline times the same way)
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(DQ.QUERIES[name](spark, sf_dir))
-        warm[name] = round(time.perf_counter() - t0, 4)
-    warm_total = round(time.perf_counter() - t_all, 4)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(DQ.QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        warm[name] = round(best, 4)
+    warm_total = round(sum(warm.values()), 4)
 
     print(
         json.dumps(
