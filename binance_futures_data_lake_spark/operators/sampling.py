@@ -39,3 +39,32 @@ def consistent_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     return df.filter(uniform_hash(df[key_col]) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep fractions on
+    the same md5 hash-threshold primitive as :func:`consistent_sample`.
+
+    Training-data curation constantly reweights a corpus (e.g. keep 50%
+    of English, 25% of the mid-resource languages, 10% of the tail);
+    drawing each stratum with ``sample()`` would be non-reproducible and
+    non-join-preserving. Here the threshold is a CASE expression over the
+    stratum column, so the whole operation stays ONE narrow pushdown-
+    friendly filter — no shuffle, no per-stratum passes, and a key keeps
+    the same fate in every table sampled with the same key.
+    """
+    for name, frac in rates.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {frac}")
+    from pyspark.sql import functions as F
+
+    thr = F.lit(default_rate)
+    for name, frac in sorted(rates.items(), reverse=True):
+        thr = F.when(F.col(strata_col) == name, F.lit(frac)).otherwise(thr)
+    return df.filter(uniform_hash(df[key_col]) < thr)

@@ -98,3 +98,68 @@ def fingerprint(col) -> F.Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * FINGERPRINT_BASE + F.ascii(ch)) % FINGERPRINT_MOD,
     )
+
+
+# PII / content-pattern scanner. RE2-safe subset (no backrefs, no
+# lookaround) so the same pattern strings run unchanged in Spark (Java
+# regex) and DuckDB (RE2) — required for oracle parity and a good idea
+# anyway for engine portability.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[A-Za-z0-9./_%?=&-]+",
+    "long_digits": r"[0-9]{7,}",  # phone / account-number shaped runs
+}
+
+
+def pattern_counts(
+    docs: DataFrame, patterns: dict[str, str], text_col: str = "text"
+) -> DataFrame:
+    """Per-document occurrence counts for each named regex pattern
+    (columns ``n_<name>``). Pure columnar ``regexp_extract_all`` —
+    JVM-side, codegen'd, no Python in the loop."""
+    out = docs
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+    return out
+
+
+def pattern_profile(
+    docs: DataFrame,
+    patterns: dict[str, str],
+    by: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level PII/pattern audit: per group, the number of docs
+    scanned, per-pattern total hits and count of docs with ≥1 hit, plus
+    the any-pattern document rate.
+
+    One scan + one partial-aggregated groupBy on low-cardinality keys —
+    the 100 TB shape for a compliance/quality report. The synthetic
+    corpus is clean (PII counts legitimately 0 — asserted by the oracle);
+    detection itself is unit-tested on planted PII strings in
+    tests/test_text.py.
+    """
+    per = pattern_counts(docs, patterns, text_col)
+    names = list(patterns)
+    any_hit = None
+    for n in names:
+        c = F.col(f"n_{n}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for n in names:
+        aggs.append(F.sum(f"n_{n}").alias(f"total_{n}"))
+        aggs.append(
+            F.sum((F.col(f"n_{n}") > 0).cast("int")).alias(f"docs_with_{n}")
+        )
+    aggs.append(F.sum(any_hit.cast("int")).alias("docs_with_any"))
+    return (
+        per.groupBy(*by)
+        .agg(*aggs)
+        .withColumn(
+            "any_rate",
+            round6(F.col("docs_with_any") / F.col("n_docs").cast("double")),
+        )
+    )

@@ -299,3 +299,49 @@ def embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that share word
+    n-gram shingles with an evaluation/benchmark set.
+
+    The standard pre-training hygiene step (the reference engine has no
+    corpus tooling; this extends the LLM-pipeline family): any training
+    document overlapping an eval benchmark inflates reported scores, so
+    docs with ``n_overlap >= min_hits`` matching shingles are marked
+    ``contaminated`` for removal.
+
+    Scale shape: the benchmark side (eval sets are thousands of docs, not
+    billions) collapses to a distinct shingle set that is broadcast, so
+    the corpus — the 100 TB side — is ONE scan + explode + broadcast-hash
+    left join + per-doc partial aggregation. No shuffle of corpus text,
+    no self-join. Output: one row per corpus doc with distinct-shingle
+    count, overlap count, overlap fraction and the contaminated flag.
+    """
+    bsh = benchmark.select(
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).distinct().withColumn("_hit", F.lit(1))
+    csh = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    joined = csh.join(F.broadcast(bsh), "s", "left")
+    n_sh = F.count(F.lit(1))
+    n_ov = F.coalesce(F.sum("_hit"), F.lit(0))
+    return (
+        joined.groupBy(id_col)
+        .agg(n_sh.alias("n_shingles"), n_ov.alias("n_overlap"))
+        .withColumn(
+            "overlap_frac",
+            round6(F.col("n_overlap") / F.col("n_shingles").cast("double")),
+        )
+        .withColumn(
+            "contaminated", (F.col("n_overlap") >= min_hits).cast("int")
+        )
+    )

@@ -2533,6 +2533,117 @@ def q_point_lookup_neighbors(spark, sf_dir):
     )
 
 
+@register(
+    "benchmark_decontam",
+    sql=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 97 = 0
+    ), c AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 97 <> 0
+    ), j AS (
+      SELECT c.doc_id, count(*) AS n_shingles, count(bench.s) AS n_overlap
+      FROM c LEFT JOIN bench ON c.s = bench.s GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS overlap_frac,
+           CASE WHEN n_overlap >= 3 THEN 1 ELSE 0 END AS contaminated
+    FROM j
+    """,
+)
+def q_benchmark_decontam(spark, sf_dir):
+    """Benchmark decontamination (LLM-pipeline family): every ~97th doc
+    plays the eval benchmark; the rest of the corpus is scanned once for
+    3-shingle overlap against the broadcast benchmark shingle set
+    (operators/textdedup.py:benchmark_overlap). Docs with >=3 shared
+    shingles are flagged contaminated."""
+    from binance_futures_data_lake_spark.operators.textdedup import benchmark_overlap
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_overlap(corpus, bench, shingle_n=3, min_hits=3)
+
+
+@register(
+    "stratified_sample_langs",
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            / power(2, 60)
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                      ELSE 0.1 END
+    GROUP BY 1
+    """,
+)
+def q_stratified_sample_langs(spark, sf_dir):
+    """Deterministic stratified corpus reweighting (LLM-pipeline family):
+    keep 50% of English, 25% of de/fr, 10% of the tail, by md5
+    hash-threshold on doc_id (operators/sampling.py:stratified_sample) —
+    one pushdown-friendly filter, reproducible across engines (which is
+    what lets the driver hash-check a SAMPLE), then a composition report
+    over the surviving docs."""
+    from binance_futures_data_lake_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, default_rate=0.1
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "pii_profile",
+    sql="""
+    WITH per AS (
+      SELECT lang, source,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%?=&-]+')) AS n_url,
+        len(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_digits,
+        len(regexp_extract_all(text, '[a-z]{6,}')) AS n_long_word
+      FROM documents
+    )
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS total_email,
+           CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(sum(n_url) AS BIGINT) AS total_url,
+           CAST(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+           CAST(sum(n_long_digits) AS BIGINT) AS total_long_digits,
+           CAST(sum(CASE WHEN n_long_digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_long_digits,
+           CAST(sum(n_long_word) AS BIGINT) AS total_long_word,
+           CAST(sum(CASE WHEN n_long_word > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_long_word,
+           CAST(sum(CASE WHEN n_email > 0 OR n_url > 0 OR n_long_digits > 0
+                          OR n_long_word > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_any,
+           round(sum(CASE WHEN n_email > 0 OR n_url > 0 OR n_long_digits > 0
+                           OR n_long_word > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS any_rate
+    FROM per GROUP BY 1, 2
+    """,
+)
+def q_pii_profile(spark, sf_dir):
+    """PII / content-pattern compliance audit (LLM-pipeline family):
+    per-(lang, source) totals and doc counts for email/url/long-digit
+    PII shapes plus a long-word content pattern, via columnar
+    regexp_extract_all (operators/text.py:pattern_profile — RE2-safe
+    patterns run unchanged in both engines). The synthetic corpus is
+    clean, so the PII columns assert zero; detection is unit-tested on
+    planted PII in tests/test_text.py."""
+    from binance_futures_data_lake_spark.operators.text import (
+        PII_PATTERNS,
+        pattern_profile,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pats = dict(PII_PATTERNS, long_word=r"[a-z]{6,}")
+    return pattern_profile(docs, pats, by=("lang", "source"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at

@@ -182,3 +182,76 @@ def test_lr_on_embeddings_machinery(spark):
             assert 0.0 <= r.recall <= 1.0
     rows2 = lr_on_embeddings(emb).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pattern_counts_planted_pii(spark):
+    from binance_futures_data_lake_spark.operators.text import (
+        PII_PATTERNS,
+        pattern_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice.smith+x@example.co.uk or bob@ex.io today"),
+            (2, "see https://example.com/a/b?q=1 and http://t.co/x for info"),
+            (3, "call 5551234567 now; ref 12345678901"),
+            (4, "a clean short doc with no sensitive content at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pattern_counts(df, PII_PATTERNS).collect()
+    }
+    assert out[1]["n_email"] == 2 and out[1]["n_url"] == 0
+    assert out[2]["n_url"] == 2 and out[2]["n_email"] == 0
+    assert out[3]["n_long_digits"] == 2
+    assert (
+        out[4]["n_email"] == out[4]["n_url"] == out[4]["n_long_digits"] == 0
+    )
+
+
+def test_benchmark_overlap_flags_planted_contamination(spark):
+    from binance_futures_data_lake_spark.operators.textdedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over something"),
+            (2, "completely unrelated text about spark shuffles and parquet"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in benchmark_overlap(corpus, bench, min_hits=3).collect()}
+    # doc 1 shares the 4 shingles of "the quick brown fox jumps over"
+    assert out[1]["contaminated"] == 1 and out[1]["n_overlap"] == 4
+    assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
+    assert out[2]["overlap_frac"] == 0.0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from binance_futures_data_lake_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, default_rate=0.1
+    )
+    again = stratified_sample(
+        docs.repartition(7), "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25},
+        default_rate=0.1,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # per-stratum achieved rates within loose binomial bounds
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en_rate = got.get("en", 0) / tot["en"]
+    assert 0.3 < en_rate < 0.7, en_rate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
