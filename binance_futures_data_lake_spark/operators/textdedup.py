@@ -345,3 +345,38 @@ def benchmark_overlap(
             "contaminated", (F.col("n_overlap") >= min_hits).cast("int")
         )
     )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with exact shingle-Jaccard >= threshold, via an
+    inverted-index self-join on shingles (never a doc×doc cross join).
+    Ground truth for the MinHash path at test scale; at corpus scale the
+    same shape runs on LSH candidates (minhash_dedup_pairs)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", round6(jac).alias("jaccard"))
+    )

@@ -1415,26 +1415,65 @@ def q_embed_near_dup_lsh(spark, sf_dir):
     """,
 )
 def q_shingle_jaccard_pairs(spark, sf_dir):
-    """Exact 3-shingle Jaccard pairs — ground truth for the MinHash path."""
-    from binance_futures_data_lake_spark.operators.textdedup import shingles
+    """Exact 3-shingle Jaccard pairs — ground truth for the MinHash path.
+    Inverted-index self-join on shingles (operators/textdedup.py), never
+    a doc×doc cross join."""
+    from binance_futures_data_lake_spark.operators.textdedup import exact_jaccard_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    return exact_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+
+
+@register(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(id, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.id, s.v FROM reach r JOIN sym s ON s.u = r.x
+    ), comp AS (
+      SELECT id AS doc_id, min(x) AS comp FROM reach GROUP BY 1
+    ), labeled AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
-    )
+    SELECT doc_id, cluster_id,
+           (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS is_canonical,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labeled
+    """,
+    cache_plan=False,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs→clusters: near-dup pairs (exact shingle Jaccard ≥ 0.5) fed to
+    min-label connected components; min doc_id labels the cluster, the doc
+    carrying it is the canonical survivor (operators/graph.py — the oracle
+    is the recursive-CTE transitive closure). cache_plan=False: the CC
+    iteration runs jobs (localCheckpoint) while building the plan."""
+    from binance_futures_data_lake_spark.operators.graph import dedup_clusters
+    from binance_futures_data_lake_spark.operators.textdedup import exact_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = exact_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return dedup_clusters(docs, pairs)
 
 
 @register(

@@ -1,0 +1,119 @@
+"""Connected-components dedup clustering (operators/graph.py): label
+propagation correctness on known graphs, determinism under edge
+orientation/partitioning, and the pairs→clusters pipeline on the
+documents table (reference emits per-pair dups only — clustering is the
+step a real dedup pipeline needs on top; see textdedup.py docstring)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from binance_futures_data_lake_spark.operators.textdedup import exact_jaccard_pairs
+from binance_futures_data_lake_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _labels(df):
+    return {r.id: r.comp for r in df.collect()}
+
+
+def test_cc_basic_components(spark):
+    lab = _labels(connected_components(_edges(spark, [(1, 2), (2, 3), (5, 6)])))
+    assert lab == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_cc_chain_diameter_gt_one(spark):
+    """A 6-node path needs multiple propagation rounds — exercises the
+    iteration + convergence check, not just the first join."""
+    lab = _labels(connected_components(_edges(spark, [(i, i + 1) for i in range(1, 6)])))
+    assert lab == {i: 1 for i in range(1, 7)}
+
+
+def test_cc_orientation_invariant(spark):
+    """Min-label result is independent of edge direction: (a,b) vs (b,a)."""
+    fwd = _labels(connected_components(_edges(spark, [(1, 2), (3, 2), (7, 9), (9, 8)])))
+    rev = _labels(connected_components(_edges(spark, [(2, 1), (2, 3), (9, 7), (8, 9)])))
+    assert fwd == rev == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_cc_star_and_cycle(spark):
+    edges = [(10, i) for i in (11, 12, 13)] + [(20, 21), (21, 22), (22, 20)]
+    lab = _labels(connected_components(_edges(spark, edges)))
+    assert lab == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_with_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    out = dedup_clusters(docs, _edges(spark, [(1, 2), (2, 3), (5, 6)]))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert {d: r.cluster_id for d, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7,
+    }
+    assert {d: r.cluster_size for d, r in rows.items()} == {
+        1: 3, 2: 3, 3: 3, 4: 1, 5: 2, 6: 2, 7: 1,
+    }
+    canon = {d for d, r in rows.items() if r.is_canonical == 1}
+    assert canon == {1, 4, 5, 7}
+
+
+def test_dedup_clusters_on_documents_transitive(spark):
+    """Pipeline check on real testdata: every cluster's docs are connected
+    through near-dup pairs, survivors = one per cluster, and keeping
+    is_canonical docs removes exactly (n_docs - n_clusters) rows."""
+    docs = load_table(spark, "documents", SF)
+    pairs = exact_jaccard_pairs(docs, threshold=0.5).cache()
+    out = dedup_clusters(docs, pairs).cache()
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    n_clusters = out.select("cluster_id").distinct().count()
+    assert out.filter(F.col("is_canonical") == 1).count() == n_clusters
+    # cluster label is the min doc_id of the cluster
+    bad = (
+        out.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("lo"))
+        .filter(F.col("lo") != F.col("cluster_id"))
+        .count()
+    )
+    assert bad == 0
+    # every near-dup pair ends up in the same cluster (transitivity floor)
+    c = out.select("doc_id", "cluster_id")
+    joined = (
+        pairs.join(c.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+        .join(c.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+    )
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+    pairs.unpersist()
+    out.unpersist()
+
+
+def test_exact_jaccard_pairs_matches_arrayop_truth(spark):
+    """Inverted-index Jaccard == brute-force array-intersect Jaccard."""
+    from binance_futures_data_lake_spark.operators.textdedup import shingles
+
+    docs = load_table(spark, "documents", SF)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    truth = {
+        (r.doc_a, r.doc_b): r.j
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for k, v in truth.items():
+        assert got[k] == pytest.approx(v, abs=1e-6)
