@@ -98,3 +98,32 @@ def dedup_clusters(
         )
         .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
     )
+
+
+def cluster_holdout_split(
+    clustered: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Leakage-free train/val/test split: the WHOLE near-dup cluster goes
+    to one side, so no document ever shares a near-duplicate across the
+    train/eval boundary (the standard contamination failure of row-level
+    random splits). Deterministic md5 bucket of cluster_id — engine-
+    portable (same '0x'||substr(md5(..)) idiom as textdedup.token_hash)
+    and stable across runs/partitionings.
+
+    Input: dedup_clusters output (doc_id, cluster_id, ...). Output adds
+    ``split_bucket`` (0-99) and ``split``.
+    """
+    if not (0 <= val_pct and 0 <= test_pct and val_pct + test_pct < 100):
+        raise ValueError("val_pct/test_pct must be >= 0 and sum below 100")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return clustered.withColumn("split_bucket", bucket.cast("int")).withColumn("split", split)

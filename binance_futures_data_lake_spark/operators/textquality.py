@@ -1,0 +1,269 @@
+"""Repetition analysis, Gopher-style filter rules, TF-IDF term salience,
+and document chunking — the filter/featurize stages of a training-data
+pipeline, downstream of dedup (operators/textdedup.py, graph.py) and
+upstream of sampling (operators/sampling.py).
+
+Design rules shared with operators/text.py: deterministic, engine-
+portable column algebra (regex + integer arithmetic + md5), no Python in
+the hot path, so every operator is DuckDB-oracle-checkable. Shapes that
+need per-token state use explode→groupBy (codegen'd, map-side-combined)
+rather than interpreted higher-order lambdas — the doc_token_stats
+lesson (plans/driver_queries.py): F.aggregate/F.filter array walks are
+interpreted per element and cost ~6x at 10x sf0.1.
+
+Scale notes (100 TB): every shape here shuffles at most token/line rows
+keyed by (doc_id, term) — linear in corpus size, no self-joins, no
+cross products. TF-IDF joins the per-term document-frequency table on
+the term key; the vocabulary table is Zipf-distributed but the join is
+a plain shuffle hash join keyed on term, and the df side is pre-reduced
+to one row per term before the join (never a fan-out).
+
+Reference parity: the reference has no text pipeline (market data only);
+these mirror the published Gopher/MassiveText filter rules (Rae et al.
+2021, §A1.1) and standard TF-IDF, per the build brief's LLM-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from binance_futures_data_lake_spark.functions.scalars import round6
+from binance_futures_data_lake_spark.operators.textdedup import words
+
+# Gopher-rule thresholds (Rae et al. 2021 table A1 shape, adapted to the
+# synthetic docs' scale — the *rule forms* are what the operator owns;
+# thresholds are parameters).
+GOPHER_DEFAULTS = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "min_avg_word_len": 2.0,
+    "max_avg_word_len": 12.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.6,
+    "min_stopword_hits": 1,
+    "max_dup_line_frac": 0.3,
+    "max_top_bigram_frac": 0.2,
+}
+
+STOPWORD_HITLIST = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _nz(c):
+    return F.nullif(c.cast("double"), F.lit(0.0))
+
+
+def line_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document line-level repetition stats via explode→groupBy:
+    ``n_lines, n_dup_lines, dup_line_frac, dup_line_char_frac``.
+
+    A line is "duplicated" when it appears more than once in the same
+    document (blank lines ignored). Char fraction weights by line length
+    — the Gopher dup-line rules use both forms.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln) != "")
+        ).alias("line"),
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_chars = F.sum(
+        F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("line")).otherwise(0)
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("n_dup_lines"),
+        round6(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0)) / _nz(F.sum("cnt"))
+        ).alias("dup_line_frac"),
+        round6(dup_chars / _nz(F.sum(F.col("cnt") * F.length("line")))).alias(
+            "dup_line_char_frac"
+        ),
+    )
+
+
+def bigram_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-bigram concentration per document: ``n_bigrams,
+    top_bigram_cnt, top_bigram_frac`` (Gopher's "fraction of characters
+    in the most common n-gram" rule, token-count flavored).
+
+    explode→count→max: the heavy groupBy key is (doc_id, bigram) — high
+    cardinality but perfectly distributable, and partial aggregation
+    collapses repeats map-side before the shuffle.
+    """
+    toks = words(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+    per_bg = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_bg.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_bigram_cnt"),
+        round6(F.max("cnt") / _nz(F.sum("cnt"))).alias("top_bigram_frac"),
+    )
+
+
+def gopher_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher/MassiveText-shape keep/drop rules as one columnar pass plus
+    the two repetition joins (line_stats, bigram_stats).
+
+    Output: the per-rule booleans (``rule_*`` as int 0/1 for engine-
+    portable hashing) and ``gopher_keep`` = AND of all rules. Docs with
+    no lines/bigrams pass the repetition rules vacuously (coalesce 0).
+    """
+    th = dict(GOPHER_DEFAULTS, **(thresholds or {}))
+    c = F.col(text_col)
+    toks = words(c)
+    n_words = F.size(toks)
+    # one regex pass each — counts, not array walks
+    word_chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    avg_word_len = word_chars / _nz(n_words)
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
+    # [ \t] not \s: Java's \s includes \x0B, RE2's does not, and \s here
+    # could also swallow newlines and merge line matches — the PII-pattern
+    # rule (text.py): stay in the Java∩RE2-identical subset for oracles
+    n_bullet_lines = F.size(F.regexp_extract_all(c, F.lit(r"(?m)^[ \t]*[-*•]"), 0))
+    n_ellipsis_lines = F.size(F.regexp_extract_all(c, F.lit(r"(?m)\.\.\.[ \t]*$"), 0))
+    n_raw_lines = F.size(F.filter(F.split(c, r"\n"), lambda ln: F.trim(ln) != ""))
+    n_alpha_words = F.size(F.regexp_extract_all(c, F.lit(r"(?<!\S)\S*[A-Za-z]\S*(?!\S)"), 0))
+    stop_pat = r"(?<!\S)(?:" + "|".join(STOPWORD_HITLIST) + r")(?!\S)"
+    n_stop_hits = F.size(F.regexp_extract_all(F.lower(c), F.lit(stop_pat), 0))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        round6(avg_word_len).alias("avg_word_len"),
+        round6(n_symbols / _nz(n_words)).alias("symbol_word_ratio"),
+        round6(n_bullet_lines / _nz(n_raw_lines)).alias("bullet_line_frac"),
+        round6(n_ellipsis_lines / _nz(n_raw_lines)).alias("ellipsis_line_frac"),
+        round6(n_alpha_words / _nz(n_words)).alias("alpha_word_frac"),
+        n_stop_hits.alias("stopword_hits"),
+    )
+    out = (
+        base.join(
+            line_stats(docs, id_col, text_col).select("doc_id", "dup_line_frac"),
+            "doc_id",
+            "left",
+        ).join(
+            bigram_stats(docs, id_col, text_col).select("doc_id", "top_bigram_frac"),
+            "doc_id",
+            "left",
+        )
+    )
+    z = F.lit(0.0)
+    rules = {
+        "rule_word_count": (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"]),
+        "rule_avg_word_len": (F.coalesce(F.col("avg_word_len"), z) >= th["min_avg_word_len"])
+        & (F.coalesce(F.col("avg_word_len"), z) <= th["max_avg_word_len"]),
+        "rule_symbol_ratio": F.coalesce(F.col("symbol_word_ratio"), z)
+        <= th["max_symbol_word_ratio"],
+        "rule_bullet_lines": F.coalesce(F.col("bullet_line_frac"), z)
+        <= th["max_bullet_line_frac"],
+        "rule_ellipsis_lines": F.coalesce(F.col("ellipsis_line_frac"), z)
+        <= th["max_ellipsis_line_frac"],
+        "rule_alpha_words": F.coalesce(F.col("alpha_word_frac"), z)
+        >= th["min_alpha_word_frac"],
+        "rule_stopwords": F.col("stopword_hits") >= th["min_stopword_hits"],
+        "rule_dup_lines": F.coalesce(F.col("dup_line_frac"), z) <= th["max_dup_line_frac"],
+        "rule_top_bigram": F.coalesce(F.col("top_bigram_frac"), z)
+        <= th["max_top_bigram_frac"],
+    }
+    # when/otherwise, not cast: a null condition (null-text doc) must
+    # yield 0 like SQL CASE, not propagate null through the int cast
+    for name, cond in rules.items():
+        out = out.withColumn(name, F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+    keep = None
+    for name in rules:
+        keep = (F.col(name) == 1) if keep is None else keep & (F.col(name) == 1)
+    return out.withColumn("gopher_keep", F.when(keep, F.lit(1)).otherwise(F.lit(0)))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF.
+
+    tf = term count in doc; idf = ln(N / df) with df = docs containing
+    the term. Deterministic ranking: tfidf desc, term asc. Two shuffles
+    keyed by (doc_id, term) and (term); the df side reduces to one row
+    per vocabulary term BEFORE the join back (no fan-out), and N rides
+    in as a literal-free scalar via a 1-row cross join that Catalyst
+    broadcasts.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            round6(F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-width char chunks with offsets — the unit-of-work
+    split for embedding/tokenization stages. Pure per-row columnar
+    (sequence → posexplode → substring): no shuffle at all; chunking 100
+    TB is a map-only pass that parallelizes with the scan.
+
+    Chunks start at 0, stride apart; every chunk is non-empty; a final
+    partial chunk is kept iff it adds new tail characters. Empty/null
+    docs yield no rows (a chunker emitting empty chunks poisons
+    downstream tokenizers).
+    """
+    if stride <= 0 or chunk_chars <= 0:
+        raise ValueError("chunk_chars and stride must be positive")
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(n <= chunk_chars, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_chars)) / F.lit(stride).cast("double")) + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks.cast("int") - 1) * stride, F.lit(stride))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("doc_chars"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        F.col(text_col).alias("__t"),
+    ).filter(F.col("doc_chars") > 0)
+    chunk = F.substring(F.col("__t"), F.col("start") + 1, chunk_chars)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        F.length(chunk).alias("chunk_chars"),
+        chunk.alias("chunk_text"),
+    )

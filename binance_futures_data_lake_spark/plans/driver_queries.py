@@ -2684,6 +2684,272 @@ def q_pii_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Filter/featurize stage (operators/textquality.py): repetition metrics,
+# Gopher-rule flags, TF-IDF salience, chunking, leakage-free splits
+# ---------------------------------------------------------------------------
+
+_LINE_STATS = """
+    l AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS line
+      FROM documents
+    ), pl AS (
+      SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2
+    ), ls AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_lines,
+             round(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) * 1.0
+                   / nullif(sum(cnt), 0), 6) AS dup_line_frac,
+             round(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(line) ELSE 0 END) * 1.0
+                   / nullif(sum(cnt * length(line)), 0), 6) AS dup_line_char_frac
+      FROM pl GROUP BY 1
+    )
+"""
+
+_BIGRAM_STATS = f"""
+    tk AS (
+      SELECT doc_id, {_SH_TOKS} AS toks FROM documents
+    ), bgx AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE []::VARCHAR[] END) AS bg
+      FROM tk
+    ), pb AS (
+      SELECT doc_id, bg, count(*) AS cnt FROM bgx GROUP BY 1, 2
+    ), bs AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+             round(max(cnt) * 1.0 / nullif(sum(cnt), 0), 6) AS top_bigram_frac
+      FROM pb GROUP BY 1
+    )
+"""
+
+
+@register(
+    "doc_repetition",
+    sql=f"""
+    WITH {_LINE_STATS}, {_BIGRAM_STATS}
+    SELECT d.doc_id, ls.n_lines, ls.n_dup_lines, ls.dup_line_frac,
+           ls.dup_line_char_frac, bs.n_bigrams, bs.top_bigram_cnt,
+           bs.top_bigram_frac
+    FROM documents d
+    LEFT JOIN ls ON ls.doc_id = d.doc_id
+    LEFT JOIN bs ON bs.doc_id = d.doc_id
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Repetition analysis (Gopher dup-line / top-n-gram rules): per-doc
+    duplicate-line fractions and top-bigram concentration. explode→groupBy
+    shapes keyed by (doc_id, line/bigram) — map-side combined, linear in
+    corpus size (operators/textquality.py)."""
+    from binance_futures_data_lake_spark.operators.textquality import (
+        bigram_stats,
+        line_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id")
+        .join(line_stats(docs), "doc_id", "left")
+        .join(bigram_stats(docs), "doc_id", "left")
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    sql=f"""
+    WITH {_LINE_STATS}, {_BIGRAM_STATS}, base AS (
+      SELECT doc_id,
+        len({_SH_TOKS}) AS n_words,
+        round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+              / nullif(len({_SH_TOKS}), 0), 6) AS avg_word_len,
+        round(len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0
+              / nullif(len({_SH_TOKS}), 0), 6) AS symbol_word_ratio,
+        round(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) * 1.0
+              / nullif(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')), 0), 6)
+          AS bullet_line_frac,
+        round(len(regexp_extract_all(text, '(?m)\\.\\.\\.[ \t]*$')) * 1.0
+              / nullif(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')), 0), 6)
+          AS ellipsis_line_frac,
+        round(len(list_filter({_SH_TOKS}, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+              / nullif(len({_SH_TOKS}), 0), 6) AS alpha_word_frac,
+        len(list_filter({_SH_TOKS},
+            x -> x IN ('the','be','to','of','and','that','have','with'))) AS stopword_hits
+      FROM documents
+    ), j AS (
+      SELECT base.*, ls.dup_line_frac, bs.top_bigram_frac
+      FROM base
+      LEFT JOIN ls ON ls.doc_id = base.doc_id
+      LEFT JOIN bs ON bs.doc_id = base.doc_id
+    ), r AS (
+      SELECT *,
+        CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 1 ELSE 0 END AS rule_word_count,
+        CASE WHEN coalesce(avg_word_len, 0) >= 2.0 AND coalesce(avg_word_len, 0) <= 12.0
+             THEN 1 ELSE 0 END AS rule_avg_word_len,
+        CASE WHEN coalesce(symbol_word_ratio, 0) <= 0.1 THEN 1 ELSE 0 END AS rule_symbol_ratio,
+        CASE WHEN coalesce(bullet_line_frac, 0) <= 0.9 THEN 1 ELSE 0 END AS rule_bullet_lines,
+        CASE WHEN coalesce(ellipsis_line_frac, 0) <= 0.3 THEN 1 ELSE 0 END AS rule_ellipsis_lines,
+        CASE WHEN coalesce(alpha_word_frac, 0) >= 0.6 THEN 1 ELSE 0 END AS rule_alpha_words,
+        CASE WHEN stopword_hits >= 1 THEN 1 ELSE 0 END AS rule_stopwords,
+        CASE WHEN coalesce(dup_line_frac, 0) <= 0.3 THEN 1 ELSE 0 END AS rule_dup_lines,
+        CASE WHEN coalesce(top_bigram_frac, 0) <= 0.2 THEN 1 ELSE 0 END AS rule_top_bigram
+      FROM j
+    )
+    SELECT *,
+      CASE WHEN rule_word_count = 1 AND rule_avg_word_len = 1 AND rule_symbol_ratio = 1
+            AND rule_bullet_lines = 1 AND rule_ellipsis_lines = 1 AND rule_alpha_words = 1
+            AND rule_stopwords = 1 AND rule_dup_lines = 1 AND rule_top_bigram = 1
+           THEN 1 ELSE 0 END AS gopher_keep
+    FROM r
+    """,
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher/MassiveText-shape filter rules (Rae et al. 2021 §A1.1):
+    per-rule 0/1 flags + composite gopher_keep. One columnar regex pass
+    plus the two repetition joins — no Python, no per-token lambdas
+    (operators/textquality.py:gopher_flags)."""
+    from binance_futures_data_lake_spark.operators.textquality import gopher_flags
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_flags(docs)
+
+
+@register(
+    "tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), s AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per doc by TF-IDF; df reduces to one row per
+    vocabulary term before the join back (never a fan-out), N broadcast
+    (operators/textquality.py:tfidf_top_terms)."""
+    from binance_futures_data_lake_spark.operators.textquality import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "doc_chunks",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS doc_chars
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, doc_chars, text,
+             unnest(generate_series(0,
+               (CASE WHEN doc_chars <= 200 THEN 1
+                     ELSE CAST(ceil((doc_chars - 200) / 150.0) AS INT) + 1 END - 1) * 150,
+               150)) AS start
+      FROM d
+    )
+    SELECT doc_id, CAST(start // 150 AS INT) AS chunk_idx, start,
+           length(substring(text, start + 1, 200)) AS chunk_chars,
+           substring(text, start + 1, 200) AS chunk_text
+    FROM s
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping char chunking (200-char windows, 150 stride) with
+    offsets — map-only, shuffle-free; the unit-of-work split for
+    embedding/tokenization stages (operators/textquality.py)."""
+    from binance_futures_data_lake_spark.operators.textquality import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = chunk_documents(docs, chunk_chars=200, stride=150)
+    return out.withColumn("start", F.col("start").cast("long"))
+
+
+@register(
+    "cluster_split",
+    sql=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(id, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.id, s2.v FROM reach r JOIN sym s2 ON s2.u = r.x
+    ), comp AS (
+      SELECT id AS doc_id, min(x) AS comp FROM reach GROUP BY 1
+    ), labeled AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ), clustered AS (
+      SELECT doc_id, cluster_id,
+             (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS is_canonical,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM labeled
+    )
+    SELECT *,
+      CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT)
+        AS split_bucket,
+      CASE WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+           THEN 'test'
+           WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+           THEN 'val'
+           ELSE 'train' END AS split
+    FROM clustered
+    """,
+    cache_plan=False,
+)
+def q_cluster_split(spark, sf_dir):
+    """Leakage-free train/val/test split: near-dup clusters (connected
+    components over exact-Jaccard pairs) assigned WHOLE to one side by
+    deterministic md5 bucket of cluster_id — no document shares a
+    near-duplicate across the train/eval boundary
+    (operators/graph.py:cluster_holdout_split). cache_plan=False: the CC
+    iteration runs jobs while building the plan."""
+    from binance_futures_data_lake_spark.operators.graph import (
+        cluster_holdout_split,
+        dedup_clusters,
+    )
+    from binance_futures_data_lake_spark.operators.textdedup import exact_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = exact_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return cluster_holdout_split(dedup_clusters(docs, pairs), val_pct=10, test_pct=10)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at
 # exactly the first 50 of 62, leaving six oracle-declared queries unverified.

@@ -1,0 +1,127 @@
+"""Filter/featurize operators (operators/textquality.py): repetition
+metrics on constructed docs, Gopher rule semantics, TF-IDF ranking, chunk
+coverage/overlap properties, and leakage-free cluster splits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.graph import cluster_holdout_split
+from binance_futures_data_lake_spark.operators.textquality import (
+    bigram_stats,
+    chunk_documents,
+    gopher_flags,
+    line_stats,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_line_stats_counts_duplicates(spark):
+    d = _docs(spark, ["a\nb\na\n\n a ", "x\ny\nz"])
+    rows = {r.doc_id: r for r in line_stats(d).collect()}
+    # doc 1: lines [a, b, a, " a "] — "a" twice (blank dropped, " a " differs)
+    assert rows[1].n_lines == 4
+    assert rows[1].n_dup_lines == 2
+    assert rows[1].dup_line_frac == pytest.approx(0.25)
+    assert rows[2].n_dup_lines == 0
+    assert rows[2].dup_line_frac == 0.0
+
+
+def test_bigram_stats_top_fraction(spark):
+    d = _docs(spark, ["to be or not to be", "one token"])
+    rows = {r.doc_id: r for r in bigram_stats(d).collect()}
+    # bigrams: [to be, be or, or not, not to, to be] — "to be" twice of 5
+    assert rows[1].n_bigrams == 5
+    assert rows[1].top_bigram_cnt == 2
+    assert rows[1].top_bigram_frac == pytest.approx(0.4)
+    assert rows[2].n_bigrams == 1  # single bigram "one token"
+
+
+def test_gopher_flags_rules(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    symbols = "the # fox # and # dog # to # be # have # that # with # more #"
+    repeat = "\n".join(["the same line of text and more"] * 10)
+    short = "tiny doc"
+    rows = {
+        r.doc_id: r
+        for r in gopher_flags(_docs(spark, [good, symbols, repeat, short])).collect()
+    }
+    assert rows[1].gopher_keep == 1
+    assert rows[2].rule_symbol_ratio == 0 and rows[2].gopher_keep == 0
+    assert rows[3].rule_dup_lines == 0 and rows[3].gopher_keep == 0
+    assert rows[4].rule_word_count == 0 and rows[4].gopher_keep == 0
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    d = _docs(
+        spark,
+        [
+            "common common zebra",
+            "common common yak",
+            "common common yak yak",
+        ],
+    )
+    top = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(d, k=1).collect()
+    }
+    # "common" has df=3 → idf=0; the rare term wins in each doc
+    assert top == {1: "zebra", 2: "yak", 3: "yak"}
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    import random
+
+    rng = random.Random(7)
+    texts = [
+        "".join(rng.choice("abcdef ") for _ in range(n))
+        for n in (1, 150, 200, 201, 350, 351, 1000)
+    ]
+    d = _docs(spark, texts)
+    out = chunk_documents(d, chunk_chars=200, stride=150)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts, start=1):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert chunks[0].start == 0
+        # contiguous stride, correct substring, full coverage to the tail
+        for j, r in enumerate(chunks):
+            assert r.start == j * 150
+            assert r.chunk_text == t[r.start : r.start + 200]
+            assert r.chunk_chars == len(r.chunk_text) > 0
+        assert chunks[-1].start + chunks[-1].chunk_chars == len(t)
+        if len(chunks) > 1:  # 50-char overlap between consecutive chunks
+            for a, b in zip(chunks, chunks[1:]):
+                assert a.chunk_text[150:] == b.chunk_text[: a.chunk_chars - 150]
+
+
+def test_chunk_documents_drops_empty(spark):
+    d = _docs(spark, [""])
+    assert chunk_documents(d).count() == 0
+
+
+def test_cluster_holdout_split_no_leakage(spark):
+    clustered = spark.createDataFrame(
+        [(i, i % 7, 1 if i == i % 7 else 0, 3) for i in range(200)],
+        "doc_id long, cluster_id long, is_canonical int, cluster_size long",
+    )
+    out = cluster_holdout_split(clustered, val_pct=10, test_pct=10)
+    # every doc of a cluster lands in the same split
+    assert (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    assert set(r.split for r in out.select("split").distinct().collect()) <= {
+        "train", "val", "test",
+    }
+    with pytest.raises(ValueError):
+        cluster_holdout_split(clustered, val_pct=60, test_pct=50)
