@@ -61,47 +61,60 @@ def brute_force_topk(
     """Exact cosine top-k: query matrix shipped to every task × ONE corpus
     scan, similarity as a per-batch numpy GEMM.
 
-    The kernel is Arrow-batched ``mapInPandas``: each corpus batch becomes
-    a (batch × dim) float64 matrix, one BLAS matmul against the transposed
-    query matrix yields every similarity in the batch, and a per-batch
-    partial top-k (keeping k-th-value ties for the id tiebreak) reduces
-    the batch to ≈|Q|·k candidate rows BEFORE anything leaves the task —
-    the global window ranks only #batches·|Q|·k rows. An earlier
-    whole-stage-codegen version computed the dot products with
-    F.aggregate/F.zip_with higher-order lambdas, which Catalyst interprets
-    per element: 2.3 s for 2M pairs × 128 dims at 10x sf0.1 vs 0.3 s for
-    the GEMM. At 100 TB this shape holds: |Q| is small by contract (it
-    rides to tasks as a closure literal, the same constraint as the
-    broadcast it replaces), the corpus is never shuffled, and each
-    executor does vectorized float64 work at memory bandwidth.
+    The kernel is zero-copy ``mapInArrow``: each corpus batch arrives as
+    an Arrow RecordBatch whose list<float> column flattens to one
+    contiguous float32 buffer — `np.asarray(arr.flatten())` reshapes it
+    to a (batch × dim) matrix with NO per-element Python objects (the
+    mapInPandas predecessor spent its slope in Arrow→list-of-lists
+    conversion: `pdf["vec"].tolist()` materializes batch×dim Python
+    floats). Vectors cross the wire as float32 (half the bytes of the
+    earlier JVM-side double cast) and widen to float64 in numpy (exact),
+    norms are one vectorized einsum, and one BLAS matmul against the
+    transposed query matrix yields every similarity in the batch. A
+    per-batch partial top-k (keeping k-th-value ties for the id
+    tiebreak) reduces each batch to ≈|Q|·k candidate rows BEFORE
+    anything leaves the task — the global window ranks only
+    #batches·|Q|·k rows. At 100 TB this shape holds: |Q| is small by
+    contract (it rides to tasks as a closure literal, the same
+    constraint as the broadcast it replaces), the corpus is never
+    shuffled, and each executor does vectorized float64 work at memory
+    bandwidth.
 
     Ranking uses the 6-dp-rounded similarity (numpy twin of
     functions/scalars.round6 — identical IEEE op sequence) with an id
     tiebreak so the result set is deterministic and engine-comparable.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    q_pdf = normalized(queries, id_col, vec_col).toPandas()
+    q_pdf = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).toPandas()
     id_type = dict(corpus.dtypes)[id_col]
     if q_pdf.empty:
         return corpus.sparkSession.createDataFrame(
             [], f"q_id {id_type}, neighbor_id {id_type}, cosine double, rnk int"
         )
     q_ids = q_pdf["id"].to_numpy()
-    q_mat = np.array(q_pdf["vec"].tolist(), dtype=np.float64).T  # dim × |Q|
-    q_nrm = q_pdf["nrm"].to_numpy(dtype=np.float64)
+    q_mat = np.array(q_pdf["vec"].tolist(), dtype=np.float64)  # |Q| × dim
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_t = q_mat.T
+    dim = q_t.shape[0]
 
     def _kernel(batches):
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            ids = pdf["id"].to_numpy()
-            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-            scaled = (mat @ q_mat) / (nrm[:, None] * q_nrm[None, :]) * 1e6
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat = np.asarray(rb.column(1).flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"ragged embedding column: {flat.size} values for {n} rows × dim {dim}"
+                )
+            mat = flat.reshape(n, dim)
+            nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            scaled = (mat @ q_t) / (nrm[:, None] * q_nrm[None, :]) * 1e6
             cos = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6  # round6
-            outs = []
+            q_out, n_out, c_out = [], [], []
             for j in range(q_ids.size):
                 cand = np.flatnonzero(ids != q_ids[j])
                 if cand.size == 0:
@@ -111,17 +124,22 @@ def brute_force_topk(
                     thr = np.partition(col, -k)[-k]
                     keep = col >= thr  # k-th-value ties kept; window tiebreaks
                     cand, col = cand[keep], col[keep]
-                outs.append(
-                    pd.DataFrame(
-                        {"q_id": np.full(cand.size, q_ids[j]), "neighbor_id": ids[cand], "cosine": col}
-                    )
+                q_out.append(np.full(cand.size, q_ids[j]))
+                n_out.append(ids[cand])
+                c_out.append(col)
+            if q_out:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(q_out)),
+                        pa.array(np.concatenate(n_out)),
+                        pa.array(np.concatenate(c_out)),
+                    ],
+                    names=["q_id", "neighbor_id", "cosine"],
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
-    partial = normalized(corpus, id_col, vec_col).mapInPandas(
-        _kernel, f"q_id {id_type}, neighbor_id {id_type}, cosine double"
-    )
+    partial = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInArrow(_kernel, f"q_id {id_type}, neighbor_id {id_type}, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         partial.withColumn("rnk", F.row_number().over(w))

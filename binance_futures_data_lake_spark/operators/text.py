@@ -111,6 +111,86 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def token_stats_arrow(
+    docs: DataFrame,
+    stopwords: tuple[str, ...],
+    passthrough: tuple[str, ...] = ("doc_id", "lang", "source", "n_chars"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token count / avg token length / stopword hits as a zero-copy
+    ``mapInArrow`` kernel over pyarrow's C++ string compute.
+
+    Why not column expressions: java.util.regex + UTF8String allocation
+    throughput on short-string corpora is ~10-50 MB/s/core — profiled at
+    10x sf0.1, EVERY formulation of this query through the JVM expression
+    engine (split+higher-order walk 3.4 s, regexp_count×3 2.0 s,
+    split+array_remove 2.0 s) is string-engine-bound, while DuckDB's RE2
+    does the same work in 0.74 s. The same lesson as the cosine-top-k
+    GEMM (similarity.py): when the per-row work is vectorizable and the
+    JVM engine is the bottleneck, an Arrow-native kernel IS the scale
+    path — map-only, no shuffle, parallelizes with the scan, and the
+    batch C++ ops (split_pattern_regex / utf8_length / is_in) run at
+    memory bandwidth. Measured 2.0 s -> 1.23 s at 10x sf0.1 (the rest is
+    Arrow wire transfer; marginal ratio vs DuckDB 2.6 -> 1.4).
+
+    Per-token semantics identical to the SQL oracle: tokens are the
+    non-empty \\s+-splits of trim(lower(text)); stopword hits preserve
+    multiplicity; avg_token_len is null for token-less docs; per-doc sums
+    are cumsum-diffs over the list offsets (robust to empty lists).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fields = docs.select(*passthrough).schema
+    pass_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    stop_set = pa.array(list(stopwords))
+    n_pass = len(passthrough)
+
+    def _kernel(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            t = rb.column(n_pass)
+            tr = pc.utf8_trim(pc.utf8_lower(t), " ")
+            toks = pc.split_pattern_regex(tr, r"\s+")
+            flat = toks.flatten()
+            offs = np.asarray(toks.offsets)
+            ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(np.int64)
+            ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False) * ne
+            st = (
+                pc.is_in(flat, value_set=stop_set)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+            def per_doc(vals):
+                cs = np.concatenate([[0], np.cumsum(vals)])
+                return cs[offs[1:]] - cs[offs[:-1]]
+
+            n_tok = per_doc(ne)
+            tok_chars = per_doc(ln)
+            n_stop = per_doc(st)
+            null_doc = pc.is_null(t).to_numpy(zero_copy_only=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scaled = tok_chars / np.where(n_tok == 0, np.nan, n_tok) * 1e6
+            avg_len = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6  # round6
+            yield pa.record_batch(
+                [rb.column(i) for i in range(n_pass)]
+                + [
+                    pa.array(n_tok.astype(np.int32), mask=null_doc),
+                    pa.array(avg_len, mask=np.isnan(avg_len) | null_doc),
+                    pa.array(n_stop.astype(np.int32), mask=null_doc),
+                ],
+                names=list(passthrough) + ["n_tokens", "avg_token_len", "n_stopwords"],
+            )
+
+    return docs.select(*passthrough, text_col).mapInArrow(
+        _kernel,
+        f"{pass_ddl}, n_tokens int, avg_token_len double, n_stopwords int",
+    )
+
+
 def pattern_counts(
     docs: DataFrame, patterns: dict[str, str], text_col: str = "text"
 ) -> DataFrame:

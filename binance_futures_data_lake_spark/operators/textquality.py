@@ -126,21 +126,25 @@ def gopher_flags(
     """
     th = dict(GOPHER_DEFAULTS, **(thresholds or {}))
     c = F.col(text_col)
-    toks = words(c)
-    n_words = F.size(toks)
-    # one regex pass each — counts, not array walks
+    n_words = F.regexp_count(c, F.lit(r"\S+"))
+    # one regexp_count pass each — counts matches without materializing
+    # the matched substrings (the doc_token_stats lesson: extract_all
+    # allocates every hit as a String, ~2x the slope at 10x sf0.1)
     word_chars = F.length(F.regexp_replace(c, r"\s+", ""))
     avg_word_len = word_chars / _nz(n_words)
-    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\."))
     # [ \t] not \s: Java's \s includes \x0B, RE2's does not, and \s here
     # could also swallow newlines and merge line matches — the PII-pattern
     # rule (text.py): stay in the Java∩RE2-identical subset for oracles
-    n_bullet_lines = F.size(F.regexp_extract_all(c, F.lit(r"(?m)^[ \t]*[-*•]"), 0))
-    n_ellipsis_lines = F.size(F.regexp_extract_all(c, F.lit(r"(?m)\.\.\.[ \t]*$"), 0))
+    n_bullet_lines = F.regexp_count(c, F.lit(r"(?m)^[ \t]*[-*•]"))
+    n_ellipsis_lines = F.regexp_count(c, F.lit(r"(?m)\.\.\.[ \t]*$"))
+    # split+trim, not a regex count: F.trim strips only 0x20, so a
+    # tab-only line counts as non-blank here and a \S-based count would
+    # disagree with the line_stats/oracle trim() semantics
     n_raw_lines = F.size(F.filter(F.split(c, r"\n"), lambda ln: F.trim(ln) != ""))
-    n_alpha_words = F.size(F.regexp_extract_all(c, F.lit(r"(?<!\S)\S*[A-Za-z]\S*(?!\S)"), 0))
+    n_alpha_words = F.regexp_count(c, F.lit(r"(?<!\S)\S*[A-Za-z]\S*(?!\S)"))
     stop_pat = r"(?<!\S)(?:" + "|".join(STOPWORD_HITLIST) + r")(?!\S)"
-    n_stop_hits = F.size(F.regexp_extract_all(F.lower(c), F.lit(stop_pat), 0))
+    n_stop_hits = F.regexp_count(F.lower(c), F.lit(stop_pat))
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -1023,27 +1023,18 @@ def _tokens(col):
 def q_doc_token_stats(spark, sf_dir):
     """Text analysis: token counting + quality features over documents.
 
-    Whole-stage-codegen formulation: an earlier version materialized the
-    token array and walked it with F.aggregate/F.filter higher-order
-    lambdas, which Catalyst interprets per element (3.4 s at 10x sf0.1).
-    Each stat is instead one regex pass over the string — total token
-    chars is the length after deleting whitespace, and whitespace-
-    delimited stopword hits are counted with lookaround anchors, so the
-    per-token semantics are identical to the array walk (0.6 s at 10x)."""
+    Arrow-kernel formulation (operators/text.py:token_stats_arrow): every
+    JVM-expression version of this query is java.util.regex/UTF8String
+    bound (~2.0 s at 10x sf0.1 for three regex passes OR one split +
+    array_remove scans — each extra string op costs ~0.3-0.4 s there),
+    while the zero-copy pyarrow C++ kernel does split/length/is_in at
+    memory bandwidth: 2.0 s -> 1.23 s at 10x sf0.1 (remaining slope is
+    the Arrow wire transfer; marginal ratio vs DuckDB 2.6 -> 1.4).
+    Map-only, no shuffle; same scale rationale as the cosine-top-k GEMM."""
+    from binance_futures_data_lake_spark.operators.text import token_stats_arrow
+
     docs = load_table(spark, "documents", sf_dir)
-    tr = F.trim(F.lower(F.col("text")))
-    n_tok = F.when(tr == "", 0).otherwise(F.size(F.split(tr, TOKEN_SPLIT)))
-    # translate is a char-table pass (no regex engine) — deletes every
-    # Java \s class member, so length() counts exactly the token chars
-    tok_chars = F.length(F.translate(tr, " \t\n\x0b\f\r", ""))
-    stop_pat = r"(?<!\S)(?:" + "|".join(STOPWORDS) + r")(?!\S)"
-    n_stop = F.size(F.regexp_extract_all(tr, F.lit(stop_pat), 0))
-    return docs.select(
-        "doc_id", "lang", "source", "n_chars",
-        n_tok.alias("n_tokens"),
-        r6(tok_chars.cast("double") / F.nullif(n_tok.cast("double"), F.lit(0.0))).alias("avg_token_len"),
-        n_stop.alias("n_stopwords"),
-    )
+    return token_stats_arrow(docs, STOPWORDS)
 
 
 @register(
