@@ -2940,6 +2940,84 @@ def q_cluster_split(spark, sf_dir):
     return cluster_holdout_split(dedup_clusters(docs, pairs), val_pct=10, test_pct=10)
 
 
+@register(
+    "retention_cohorts",
+    sql="""
+    WITH first AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.act_day) AS day_offset,
+           count(*) AS n_active
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day. Both the first-seen agg and the
+    distinct-activity set shuffle on user_id — one exchange feeds both
+    (Catalyst reuses the partitioning) — and the join is equi on user_id
+    before the small (cohort, offset) rollup; count(*) of a per-user
+    distinct set == count(DISTINCT user) without a second distinct pass."""
+    ev = load_events(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = ev.select("user_id", day.alias("act_day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("act_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "top_ngrams",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SH_TOKS} AS toks FROM documents
+    ), bgx AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2
+             THEN list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+             ELSE []::VARCHAR[] END) AS bg
+      FROM tk
+    ), c AS (
+      SELECT bg, count(*) AS n FROM bgx GROUP BY 1
+    )
+    SELECT bg, n FROM c ORDER BY n DESC, bg LIMIT 20
+    """,
+)
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams (contamination fingerprints / boilerplate
+    detection): explode → map-side-combined count → TakeOrderedAndProject
+    (no global sort materialization). Deterministic tiebreak on the bigram
+    itself."""
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = words(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bg"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at
