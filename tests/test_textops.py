@@ -255,3 +255,32 @@ def test_stratified_sample_rates_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_token_stats_arrow_edge_docs(spark):
+    """Arrow kernel semantics on docs the parquet fixtures never contain:
+    null text, empty, whitespace-only, mixed separators, stopword
+    multiplicity."""
+    from binance_futures_data_lake_spark.operators.text import token_stats_arrow
+
+    df = spark.createDataFrame(
+        [
+            (1, "The the  THE a", "en", "s", 14),
+            (2, "", "en", "s", 0),
+            (3, "   ", "en", "s", 3),
+            (4, "one\ttwo\nthree", "en", "s", 13),
+            (5, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.doc_id: r
+        for r in token_stats_arrow(df, ("the", "a")).collect()
+    }
+    assert (out[1].n_tokens, out[1].n_stopwords) == (4, 4)  # case-folded, multiplicity
+    assert out[1].avg_token_len == pytest.approx((3 * 3 + 1) / 4, abs=1e-6)
+    assert (out[2].n_tokens, out[2].n_stopwords) == (0, 0)
+    assert out[2].avg_token_len is None
+    assert (out[3].n_tokens, out[3].avg_token_len) == (0, None)
+    assert (out[4].n_tokens, out[4].n_stopwords) == (3, 0)
+    assert out[5].n_tokens is None and out[5].avg_token_len is None
