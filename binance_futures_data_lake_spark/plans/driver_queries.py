@@ -615,46 +615,37 @@ def q_top_orders(spark, sf_dir):
     """,
 )
 def q_priority_ship_exists(spark, sf_dir):
-    """TPC-H Q4 shape: correlated EXISTS. Rewritten twice from the naive
-    left-semi join: EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate)
-    per orderkey > o_orderdate, and the agg+join pair then collapses into
-    ONE shuffle by unioning the two inputs and aggregating the union —
-    lineitem contributes (orderkey, shipdate), orders contributes
-    (orderkey, orderdate, priority), and a single
-    groupBy(orderkey).agg(max...) reconstructs both sides of the
-    comparison. Map-side partial combine collapses the lineitem branch to
-    ~one row per orderkey per scan split BEFORE the exchange, so at 100 TB
-    the one exchange carries ~|orderkeys| rows, there is no join
-    build/probe at all, and no broadcast of a data-sized side (the earlier
-    shuffle-hash-join version paid a second orderkey exchange plus the
-    probe; measured 0.96 s → this form at 10x sf0.1). Skew-tolerant: a hot
-    orderkey still partial-aggregates map-side."""
-    o = load_table(spark, "orders", sf_dir).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit(None).cast("date").alias("ship"),
-        F.col("o_orderdate").alias("odate"),
-        F.col("o_orderpriority").alias("prio"),
+    """TPC-H Q4 shape: correlated EXISTS. Rewritten from the left-semi
+    join to an aggregate pushdown — EXISTS(l_shipdate > o_orderdate) ⟺
+    max(l_shipdate) per orderkey > o_orderdate — so the big side collapses
+    to one row per orderkey IN THE MAP-SIDE PARTIAL AGG, before the
+    shuffle: at 100 TB the exchange carries |orderkeys| rows instead of
+    |lineitems|, and the join is equi-only (hashable, skew-tolerant)
+    instead of carrying a residual range predicate.
+
+    The join is pinned shuffle-hash: Catalyst's size estimate for the agg
+    output undershoots and auto-broadcasts it — a single-threaded 1.5M-row
+    build at 10x sf0.1 (2.2s vs 1.1s measured) and a driver OOM at real
+    scale, since |orderkeys| grows with the data. Both sides arrive
+    already hash-partitioned on orderkey, so the shuffle-hash join adds no
+    exchange beyond the agg's own.
+
+    A/B'd against a one-shuffle variant (union lineitem(k, ship) with
+    orders(k, odate, prio), single groupBy(k).agg(max...) reconstructing
+    both comparison sides — one exchange, no join at all): interleaved
+    best-of-5 with prebuilt plans, bench confs, both SFs — union loses
+    (1x: 0.40 s vs 0.52 s; 10x: 0.81 s vs 1.07 s; the string max also
+    demotes the agg to SortAggregate, and an xxhash64-dict encoding that
+    restores HashAggregate is no better). Pushing ALL rows through a
+    3-function agg costs more than aggregating only lineitem and probing
+    a hash table with orders. Keep agg + shuffle-hash join."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    mx = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__max_ship"))
+    hit = o.join(mx.hint("shuffle_hash"), o.o_orderkey == mx.l_orderkey).filter(
+        F.col("__max_ship") > F.col("o_orderdate")
     )
-    li = load_table(spark, "lineitem", sf_dir).select(
-        F.col("l_orderkey").alias("k"),
-        F.col("l_shipdate").alias("ship"),
-        F.lit(None).cast("date").alias("odate"),
-        F.lit(None).cast("string").alias("prio"),
-    )
-    per_order = (
-        li.unionByName(o)
-        .groupBy("k")
-        .agg(
-            F.max("ship").alias("ship"),
-            F.max("odate").alias("odate"),
-            F.max("prio").alias("prio"),
-        )
-        .filter(F.col("ship") > F.col("odate"))
-    )
-    return (
-        per_order.groupBy(F.col("prio").alias("o_orderpriority"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 @register(
