@@ -1,0 +1,233 @@
+"""Corpus-curation operators for training-data pipelines: mixture
+rebalancing, per-domain caps, and sharded training export.
+
+These are the steps between "filtered corpus" and "training run" in an
+LLM data pipeline (the post-dedup half of the reference's lake-building
+role — staged parquet artifacts, src/bfdl/sources/lake-style — applied
+to document corpora):
+
+- **Mixture rebalancing** (:func:`mixture_rates` / :func:`mixture_sample`):
+  a raw crawl is dominated by a few huge sources; training recipes
+  prescribe per-source shares. Rates are derived IN-PLAN from per-source
+  counts (one tiny aggregate broadcast back), and sampling is the same
+  deterministic md5 hash-threshold primitive as operators/sampling.py —
+  reproducible across runs, engines, and partitionings, so a sampled
+  aggregate is still oracle-checkable.
+- **Per-domain caps** (:func:`domain_cap`): keep at most ``cap`` documents
+  per domain/source (the RefinedWeb/C4-style anti-spam rule). Selection
+  is "the cap smallest md5 hashes per group" — a deterministic uniform
+  draw without RNG state. Scale shape: a count-derived hash PREFILTER
+  bounds each group to ~2·cap expected survivors BEFORE the rank window,
+  so the window never sorts a hot domain's millions of rows — the same
+  two-phase trick as top-k via TakeOrderedAndProject, expressed on a
+  per-group budget.
+- **Sharded export** (:func:`with_shard` / :func:`shard_manifest` /
+  :func:`write_shards`): training jobs read fixed-count shard files with
+  a manifest. Shard id is an md5 bucket of the doc key — deterministic,
+  uniform, and independent of partitioning — and the parquet write is
+  ``partitionBy(shard)`` so each shard is a self-contained directory a
+  data loader can claim. The manifest is a per-shard aggregate (rows,
+  chars, id range, content checksum) computed from the SAME plan, so a
+  loader can verify a shard without trusting the writer.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+
+
+def mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    budget_frac: float,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-source keep rates that hit a target mixture at a total budget.
+
+    ``budget_N = budget_frac × N``; source ``s`` with target share ``w_s``
+    gets ``rate_s = min(1, w_s × budget_N / n_s)``. ``target_shares=None``
+    means a UNIFORM mixture (``w_s = 1/|S|``) — the common "flatten the
+    source skew" recipe. Shares are computed entirely in-plan: one
+    per-source count aggregate (map-side combined, |S| rows) crossed with
+    the 1-row total — no driver-side collect, so the rate table is valid
+    at any corpus size.
+
+    Output: ``source_col, n_source, rate`` (6-dp rate for engine parity).
+    """
+    if not (0.0 < budget_frac <= 1.0):
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    total = df.select(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct(F.col(source_col)).alias("n_sources"),
+    )
+    rated = counts.join(F.broadcast(total))
+    if target_shares is None:
+        share = 1.0 / F.col("n_sources")
+    else:
+        bad = {k: v for k, v in target_shares.items() if v < 0}
+        if bad:
+            raise ValueError(f"negative target shares: {bad}")
+        share = F.lit(0.0)
+        for name, w in sorted(target_shares.items(), reverse=True):
+            share = F.when(F.col(source_col) == name, F.lit(w)).otherwise(share)
+    rate = F.least(
+        F.lit(1.0),
+        share * F.lit(budget_frac) * F.col("n_total") / F.col("n_source"),
+    )
+    # round to 6 dp so the Spark filter and a SQL oracle threshold agree
+    # bit-for-bit (the division is engine-identical, but keep the contract
+    # uniform with every other oracle-compared double)
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    return rated.select(source_col, "n_source", round6(rate).alias("rate"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    budget_frac: float,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministically sample ``df`` to the target source mixture.
+
+    The rate table (|S| rows) broadcast-joins back onto the corpus and the
+    keep decision is ``uniform_hash(key) < rate`` — one narrow filter per
+    row after a broadcast join, no corpus shuffle. Keys keep a consistent
+    fate across tables sampled with the same key (operators/sampling.py).
+    """
+    rates = mixture_rates(df, source_col, budget_frac, target_shares)
+    return (
+        df.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        .filter(uniform_hash(F.col(key_col)) < F.col("rate"))
+        .drop("rate")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    prefilter_oversample: float = 2.0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col``, chosen as the ``cap``
+    smallest ``(uniform_hash(key), key)`` per group — a deterministic
+    uniform draw (no RNG state, stable across engines and runs).
+
+    Two-phase for scale: groups larger than the budget are first cut by a
+    hash threshold ``p = min(1, oversample × cap / n_group)`` (a narrow
+    filter after a broadcast of the |groups|-row count table), THEN the
+    exact rank window runs on ~oversample·cap expected rows per group.
+    A 100M-row spam domain contributes ~2·cap rows to the window sort
+    instead of 100M. Because the prefilter keeps the SMALLEST hashes —
+    exactly the rows the final rank selects — the two-phase result equals
+    the single-window result unless a group's cap-th smallest hash
+    exceeds p (Chernoff-improbable at oversample ≥ 2; and any engine
+    running the same two phases agrees bit-for-bit regardless).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if prefilter_oversample < 1.0:
+        raise ValueError("prefilter_oversample must be >= 1")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_grp"))
+    p = F.least(F.lit(1.0), F.lit(prefilter_oversample * cap) / F.col("__n_grp"))
+    hv = uniform_hash(F.col(key_col))
+    pre = (
+        df.join(F.broadcast(counts), group_col)
+        .filter(hv < p)
+        .drop("__n_grp")
+    )
+    w = Window.partitionBy(group_col).orderBy(hv.asc(), F.col(key_col).asc())
+    return (
+        pre.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def with_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """Add a ``shard`` column: md5 bucket of the key into [0, n_shards).
+
+    Deterministic and partitioning-independent — the same doc lands in the
+    same shard on every run and engine (same '0x'||substr(md5(·)) idiom as
+    sketch.uniform_hash), unlike ``pmod(hash(...))`` whose seed is Spark-
+    internal. Uniform to ~n_shards/16^15 bias (exact enough for any
+    practical shard count).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    key_col: str,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest: row count, byte-ish size, key range, and an
+    order-insensitive content checksum (XOR of 60-bit key hashes — two
+    engines/readers computing it over a shard agree regardless of row
+    order, any single dropped/duplicated row changes it, and unlike a
+    sum it cannot overflow under ANSI arithmetic).
+
+    Output: ``shard, n_rows, n_bytes, min_key, max_key, key_checksum``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col(size_col)) if size_col else F.lit(None).cast("long")).alias(
+            "n_bytes"
+        ),
+        F.min(F.col(key_col)).alias("min_key"),
+        F.max(F.col(key_col)).alias("max_key"),
+        F.bit_xor(h).alias("key_checksum"),
+    ]
+    return sharded.groupBy("shard").agg(*aggs)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    size_col: str | None = None,
+    sort_within: Sequence[str] | None = None,
+) -> DataFrame:
+    """Materialize a training export: ``partitionBy(shard)`` parquet under
+    ``path`` plus a ``_manifest`` parquet directory next to it; returns
+    the manifest DataFrame (read back from disk, so it describes what was
+    actually written).
+
+    ``repartition(shard)`` before the write gives one writer task per
+    shard (each shard directory holds one file per shard at this scale;
+    a 100 TB export raises n_shards, not files-per-shard, so loaders can
+    keep claiming whole directories). ``sort_within`` orders rows inside
+    each shard file (e.g. by doc id) — sortWithinPartitions, no extra
+    shuffle beyond the repartition.
+    """
+    sharded = with_shard(df, key_col, n_shards).repartition(n_shards, F.col("shard"))
+    if sort_within:
+        sharded = sharded.sortWithinPartitions(*sort_within)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "data")
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(os.path.join(path, "data"))
+    manifest = shard_manifest(written, key_col, size_col)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_manifest")
+    )
+    return spark.read.parquet(os.path.join(path, "_manifest"))

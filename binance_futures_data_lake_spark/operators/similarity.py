@@ -239,6 +239,95 @@ def lsh_topk(
     )
 
 
+def ivf_seed_centroids(corpus: DataFrame, num_cells: int = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding"):
+    """RNG-free coarse quantizer: the ``num_cells`` corpus vectors whose
+    ids have the SMALLEST md5-derived hash are the cell centers, in hash
+    order (cell i = i-th smallest). A deterministic uniform draw — the
+    same centers on every run, partitioning, and engine — which is what
+    makes an IVF index SQL-oracle-checkable end-to-end (the kmeans
+    quantizer in :func:`ivf_train_centroids` gives tighter cells but its
+    RNG-seeded training is not replayable in SQL). Seed-sampled centers
+    are standard IVF practice when training cost matters (k-means init IS
+    a uniform draw); recall vs brute force is pytest-gauged like the
+    other tiers. The ``num_cells``-row collect is bounded by contract —
+    centroids must broadcast as plan literals regardless of quantizer.
+    """
+    from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+
+    base = normalized(corpus, id_col, vec_col)
+    rows = (
+        base.withColumn("hv", uniform_hash(F.col("id")))
+        .orderBy("hv", "id")
+        .limit(num_cells)
+        .select("vec")
+        .collect()
+    )
+    return [list(map(float, r.vec)) for r in rows]
+
+
+def top_cells_by_cosine(vec_col, nrm_col, centroids: list[list[float]], n: int):
+    """Array of the n highest-cosine centroid ids (spherical assignment).
+
+    Ranking uses ``1 − round6(cos)`` ascending with the cell id as the
+    tiebreak — round-then-compare with identical IEEE ops on both engines
+    (the ``-cos`` formulation would manufacture a ±0.0 ordering hazard),
+    so an oracle replays the exact assignment. Centroids and their norms
+    are literal expressions: per-row narrow compute, no join, no shuffle.
+    """
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(x) for x in c])
+        cos = _dot(vec_col, lit) / (nrm_col * _norm(lit))
+        entries.append(
+            F.struct((F.lit(1.0) - round6(cos)).alias("d"), F.lit(i).alias("cell"))
+        )
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+
+def ivf_seeded_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with cosine cell assignment (pairs with
+    :func:`ivf_seed_centroids`): corpus vectors land in their top-cosine
+    cell, queries probe their ``nprobe`` top-cosine cells, exact cosine
+    re-ranks the candidates. Same scale shape as :func:`ivf_topk` — at
+    100 TB the cell id is the partition key and a probe reads
+    nprobe/num_cells of the corpus via partition pruning."""
+    base = normalized(corpus, id_col, vec_col)
+    cells = base.withColumn(
+        "cell", top_cells_by_cosine(F.col("vec"), F.col("nrm"), centroids, 1)[0]
+    )
+    q = normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(
+            top_cells_by_cosine(F.col("vec"), F.col("nrm"), centroids, nprobe)
+        ).alias("cell"),
+    )
+    cand = (
+        cells.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", round6(sim).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def ivf_train_centroids(corpus: DataFrame, num_cells: int = 16, seed: int = 7,
                         id_col: str = "vec_id", vec_col: str = "embedding"):
     """K-means coarse quantizer; returns centroids as a plain list of lists

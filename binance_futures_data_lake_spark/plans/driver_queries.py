@@ -3028,6 +3028,180 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+@register(
+    "mixture_sample_sources",
+    sql="""
+    WITH c AS (
+      SELECT source, count(*) AS n_source FROM documents GROUP BY 1
+    ), t AS (
+      SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
+      FROM documents
+    ), r AS (
+      SELECT source, n_source,
+             round(least(1.0, 1.0 / n_sources * 0.4 * n_total / n_source), 6)
+               AS rate
+      FROM c CROSS JOIN t
+    ), kept AS (
+      SELECT d.source, d.doc_id, d.n_chars
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / power(2, 60) < r.rate
+    )
+    SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars_kept
+    FROM kept GROUP BY 1
+    """,
+)
+def q_mixture_sample_sources(spark, sf_dir):
+    """Mixture rebalancing: deterministically sample the corpus to a
+    UNIFORM source mixture at a 40% total budget — per-source keep rates
+    derived in-plan from the source counts (operators/curation.py), the
+    keep decision a single md5 hash-threshold filter after a broadcast of
+    the |sources|-row rate table. The skew-flattening step every
+    training-data recipe applies before export; deterministic hashing is
+    what lets the driver hash-check a SAMPLED corpus exactly."""
+    from binance_futures_data_lake_spark.operators.curation import mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = mixture_sample(docs, "doc_id", "source", budget_frac=0.4)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@register(
+    "domain_caps",
+    sql="""
+    WITH c AS (
+      SELECT source, count(*) AS n_grp FROM documents GROUP BY 1
+    ), pre AS (
+      SELECT source, doc_id, hv FROM (
+        SELECT d.source, d.doc_id,
+               ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / power(2, 60) AS hv,
+               least(1.0, 30.0 / c.n_grp) AS p
+        FROM documents d JOIN c USING (source)
+      ) WHERE hv < p
+    ), r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+      FROM pre
+    )
+    SELECT source, doc_id FROM r WHERE rk <= 15
+    """,
+)
+def q_domain_caps(spark, sf_dir):
+    """Per-domain cap (RefinedWeb/C4 anti-spam rule): keep at most 15 docs
+    per source, chosen as the 15 smallest key hashes per group. Two-phase
+    scale shape (operators/curation.py): a count-derived hash prefilter
+    bounds each group to ~2×cap rows BEFORE the rank window, so a hot
+    domain never drags its full row count through the window sort."""
+    from binance_futures_data_lake_spark.operators.curation import domain_cap
+
+    docs = load_table(spark, "documents", sf_dir)
+    capped = domain_cap(docs, "doc_id", "source", cap=15)
+    return capped.select("source", "doc_id")
+
+
+@register(
+    "export_shard_manifest",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 8 AS INT) AS shard,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+           min(doc_id) AS min_key, max(doc_id) AS max_key,
+           bit_xor(h) AS key_checksum
+    FROM s GROUP BY 1
+    """,
+)
+def q_export_shard_manifest(spark, sf_dir):
+    """Training-export manifest: md5-bucket shard assignment (deterministic,
+    partitioning-independent — the same doc lands in the same shard on
+    every run and engine) plus per-shard row counts, byte sizes, key
+    ranges, and an order-insensitive XOR checksum a data loader can verify
+    a shard against without trusting the writer. The physical
+    partitionBy(shard) write + manifest round-trip is exercised in
+    tests/test_curation.py (write side effects stay out of the query
+    pack)."""
+    from binance_futures_data_lake_spark.operators.curation import (
+        shard_manifest, with_shard,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return shard_manifest(with_shard(docs, "doc_id", 8), "doc_id", "n_chars")
+
+
+@register(
+    "ann_ivf_seeded_topk",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ), hv AS (
+      SELECT vec_id,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               / power(2, 60) AS h
+      FROM v
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+             vec AS cvec, nrm AS cnrm
+      FROM hv JOIN n USING (vec_id)
+      ORDER BY h, vec_id LIMIT 8
+    ), asg AS (
+      SELECT n.vec_id, s.cell,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY 1.0 - round(list_dot_product(n.vec, s.cvec)
+                                    / (n.nrm * s.cnrm), 6), s.cell) AS rk
+      FROM n CROSS JOIN seeds s
+    ), cells AS (
+      SELECT vec_id, cell FROM asg WHERE rk = 1
+    ), qprobe AS (
+      SELECT vec_id AS q_id, cell FROM asg WHERE rk <= 3 AND vec_id < 10
+    ), cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id AS neighbor_id
+      FROM qprobe q JOIN cells c USING (cell)
+      WHERE c.vec_id <> q.q_id
+    ), s AS (
+      SELECT cd.q_id, cd.neighbor_id,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+      FROM cand cd
+      JOIN n a ON a.vec_id = cd.q_id
+      JOIN n b ON b.vec_id = cd.neighbor_id
+    ), r AS (
+      SELECT q_id, neighbor_id, round(cos, 6) AS cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q_ann_ivf_seeded_topk(spark, sf_dir):
+    """IVF ANN with a DETERMINISTIC quantizer: cells seeded by the 8
+    smallest-hash corpus vectors, cosine cell assignment, 3-cell probe,
+    exact re-rank (operators/similarity.py ivf_seed_centroids /
+    ivf_seeded_topk). The oracle replays seed selection, assignment, and
+    probe in SQL — upgrading the IVF tier from the rows-only check its
+    kmeans sibling (ann_ivf_topk) gets. Same scale shape: cell id doubles
+    as the partition key, a probe reads nprobe/num_cells of the corpus."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_seed_centroids, ivf_seeded_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_seed_centroids(emb, num_cells=8)
+    return ivf_seeded_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                           k=5, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at

@@ -1,0 +1,154 @@
+"""Corpus-curation operators: mixture rebalancing, per-domain caps,
+sharded training export, and the seeded-IVF ANN tier."""
+
+import math
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from binance_futures_data_lake_spark.operators.curation import (
+    domain_cap,
+    mixture_rates,
+    mixture_sample,
+    shard_manifest,
+    with_shard,
+    write_shards,
+)
+from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+from binance_futures_data_lake_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, "documents", SF).cache()
+    df.count()
+    return df
+
+
+def test_mixture_rates_uniform_math(spark, docs):
+    n_total = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    rates = {r["source"]: r for r in mixture_rates(docs, "source", 0.4).collect()}
+    assert set(rates) == {r.source for r in docs.select("source").distinct().collect()}
+    for src, row in rates.items():
+        want = min(1.0, (1.0 / n_sources) * 0.4 * n_total / row["n_source"])
+        assert row["rate"] == pytest.approx(want, abs=1e-6)
+        assert 0.0 < row["rate"] <= 1.0
+
+
+def test_mixture_rates_explicit_shares_and_validation(spark, docs):
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    shares = {srcs[0]: 1.0}  # whole budget to one source
+    rates = {r["source"]: r["rate"]
+             for r in mixture_rates(docs, "source", 0.2, shares).collect()}
+    assert rates[srcs[0]] > 0.0
+    for s in srcs[1:]:
+        assert rates[s] == 0.0
+    with pytest.raises(ValueError):
+        mixture_rates(docs, "source", 0.0)
+    with pytest.raises(ValueError):
+        mixture_rates(docs, "source", 0.5, {srcs[0]: -0.1})
+
+
+def test_mixture_sample_deterministic_and_on_budget(spark, docs):
+    kept = mixture_sample(docs, "doc_id", "source", budget_frac=0.4)
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    n_total = docs.count()
+    # hash thresholds are binomial draws; just bound the budget loosely
+    assert 0.15 * n_total < len(ids1) < 0.75 * n_total
+    # per-source counts respect each source's rate expectation within
+    # binomial noise (4 sigma)
+    rates = {r["source"]: (r["rate"], r["n_source"])
+             for r in mixture_rates(docs, "source", 0.4).collect()}
+    got = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, (rate, n_src) in rates.items():
+        mean, sd = n_src * rate, math.sqrt(n_src * rate * (1 - rate))
+        assert abs(got.get(src, 0) - mean) <= 4 * sd + 1
+
+
+def test_domain_cap_matches_single_window_reference(spark, docs):
+    cap = 7
+    capped = domain_cap(docs, "doc_id", "source", cap)
+    sizes = capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in sizes:
+        assert r["n"] == min(cap, full[r["source"]])
+    # two-phase == single-window reference selection
+    w = Window.partitionBy("source").orderBy(
+        uniform_hash(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    ref = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id")
+    )
+    got = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    want = sorted(r.doc_id for r in ref.collect())
+    assert got == want
+    with pytest.raises(ValueError):
+        domain_cap(docs, "doc_id", "source", 0)
+
+
+def test_shard_assignment_stable_and_bounded(spark, docs):
+    sharded = with_shard(docs, "doc_id", 8)
+    rng = sharded.agg(F.min("shard"), F.max("shard")).first()
+    assert rng[0] >= 0 and rng[1] <= 7
+    # partitioning-independent: same assignment after a repartition
+    a = {r.doc_id: r.shard for r in sharded.select("doc_id", "shard").collect()}
+    b = {r.doc_id: r.shard
+         for r in with_shard(docs.repartition(13), "doc_id", 8)
+         .select("doc_id", "shard").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        with_shard(docs, "doc_id", 0)
+
+
+def test_write_shards_roundtrip_manifest(spark, docs, tmp_path):
+    out = str(tmp_path / "export")
+    manifest = write_shards(
+        docs, out, "doc_id", n_shards=4, size_col="n_chars",
+        sort_within=("doc_id",),
+    ).collect()
+    assert {r["shard"] for r in manifest} <= set(range(4))
+    assert sum(r["n_rows"] for r in manifest) == docs.count()
+    # manifest describes what a reader recomputes from the written files
+    back = spark.read.parquet(out + "/data")
+    re_manifest = {
+        r["shard"]: r
+        for r in shard_manifest(back, "doc_id", "n_chars").collect()
+    }
+    for r in manifest:
+        rb = re_manifest[r["shard"]]
+        for c in ("n_rows", "n_bytes", "min_key", "max_key", "key_checksum"):
+            assert r[c] == rb[c], (r["shard"], c)
+    # shards are disjoint directories a loader can claim independently
+    one = spark.read.parquet(out + "/data/shard=0")
+    assert one.count() == re_manifest[0]["n_rows"]
+
+
+def test_seeded_ivf_recall_and_determinism(spark):
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk, ivf_seed_centroids, ivf_seeded_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    emb.count()
+    cents = ivf_seed_centroids(emb, num_cells=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assert cents == ivf_seed_centroids(emb, num_cells=8)  # deterministic
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_seeded_topk(emb, queries, cents, k=5, nprobe=3)
+    got = {(r.q_id, r.neighbor_id) for r in approx.collect()}
+    exact = {(r.q_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    # probing 3/8 cells must find a reasonable share of true neighbors
+    assert len(got & exact) / len(exact) >= 0.25
+    # every query returns k ranked rows (corpus >> k in every probed cell)
+    per_q = {r.q_id: r.rnk for r in approx.collect()}
+    assert set(per_q) == set(range(10))
