@@ -46,10 +46,18 @@ def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
         df = spark.read.parquet(path)
     except Exception:
         df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer division — ns epochs (~1.7e18) overflow double precision,
         # so `col / 1000` would be off by ±1µs on some rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # newer readers ingest TIMESTAMP(NANOS) natively as NTZ (µs
+        # truncation, same as DuckDB); normalize to session-tz TIMESTAMP so
+        # downstream epoch math (unix_micros rejects NTZ) sees one type.
+        # Session tz is pinned UTC, so the wall-clock reinterpretation is
+        # exactly the old nanos→micros LTZ conversion.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
