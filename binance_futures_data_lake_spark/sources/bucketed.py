@@ -26,6 +26,8 @@ exchanges when bucket counts match.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -57,17 +59,39 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the executed plan.
+def exchange_count(df: DataFrame, execute: bool = True) -> int:
+    """Number of SHUFFLE Exchange operators in the final physical plan.
 
     The whole point of bucketing is that this returns 0 for joins and
     aggregations on the bucket key; tests assert exactly that.
+
+    Two sharp edges this helper handles explicitly:
+
+    * With AQE on, ``executedPlan().toString()`` on an un-executed frame
+      prints the *initial* ``AdaptiveSparkPlan (isFinalPlan=false)`` — the
+      plan AQE may still rewrite. ``execute=True`` (default) materializes
+      the plan first (``executedPlan().execute().count()`` runs the query
+      JVM-side without copying rows to Python), so the string inspected is
+      the final plan.
+    * Only shuffle exchanges are counted (``Exchange hashpartitioning`` /
+      ``rangepartitioning`` / ``SinglePartition``). ``BroadcastExchange``
+      is not a shuffle — a broadcast join moving the small side is exactly
+      what bucketing does NOT need to eliminate — and ``ReusedExchange``
+      references don't re-shuffle. Neither matches ``\\bExchange (hash…``.
+
+    Intended for tests and plan audits on bounded frames (``execute=True``
+    runs the whole query); pass ``execute=False`` only to inspect a plan
+    you have already executed through this exact DataFrame object.
     """
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
+    jqe = df._jdf.queryExecution()
+    if execute:
+        jqe.executedPlan().execute().count()
+    plan = jqe.executedPlan().toString()
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
     )
 
 

@@ -148,6 +148,49 @@ def main() -> None:
 
     stage("interval_join_bucketed", rjoin)
 
+    # bucketed-table co-located join: pay the shuffle ONCE at write time,
+    # then the fact-fact join on the bucket key plans with ZERO shuffle
+    # exchanges (the 100 TB lever sources/bucketed.py documents; asserted
+    # green in tests/test_bucketed.py, recorded per-run here)
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.sources.bucketed import (
+        exchange_count,
+        write_bucketed,
+    )
+
+    broot = tempfile.mkdtemp(prefix="bfdl_buckets_")
+    try:
+        t0 = time.perf_counter()
+        write_bucketed(
+            m1c.select("symbol", "open_time_ms", "close", "volume_base"),
+            "sc_klines_b", "open_time_ms", 32,
+            sort_cols=["open_time_ms"], path=f"{broot}/klines",
+        )
+        write_bucketed(
+            m1c.select(
+                "symbol", "open_time_ms",
+                (F.col("close") * 1.0001).alias("mark_price"),
+            ),
+            "sc_mark_b", "open_time_ms", 32,
+            sort_cols=["open_time_ms"], path=f"{broot}/mark",
+        )
+        stages["bucketed_write_both_sides"] = {
+            "sec": round(time.perf_counter() - t0, 2), "rows": 2 * n,
+        }
+
+        bj = spark.table("sc_klines_b").join(
+            spark.table("sc_mark_b"), on=["symbol", "open_time_ms"]
+        )
+        stage("bucketed_colocated_join", lambda: force(bj))
+        # executes once more (untimed) so AQE's FINAL plan is inspected
+        stages["bucketed_colocated_join"]["shuffle_exchanges"] = exchange_count(bj)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sc_klines_b")
+        spark.sql("DROP TABLE IF EXISTS sc_mark_b")
+        shutil.rmtree(broot, ignore_errors=True)
+
     stage(
         "kmv_distinct_sketch",
         lambda: force(kmv_distinct(

@@ -1,0 +1,130 @@
+"""Bucketed-table co-located join: the zero-shuffle claim, asserted.
+
+Writes lineitem and orders (sf0.001 testdata) as same-count bucketed
+tables on the orderkey and asserts the fact-fact join and the bucket-key
+aggregation plan contain ZERO shuffle Exchange operators — the property
+``sources/bucketed.py`` exists to provide.  Broadcast is disabled for the
+join assertions so the test exercises the sort-merge path a 100 TB
+fact-fact join would actually take (a broadcast join has no shuffle either,
+which would make the assertion vacuous).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.sources.bucketed import (
+    colocated_join,
+    exchange_count,
+    read_bucketed,
+    write_bucketed,
+)
+from binance_futures_data_lake_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, "lineitem", SF).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    od = load_table(spark, "orders", SF).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    write_bucketed(
+        li, "t_lineitem_b", "l_orderkey", N_BUCKETS,
+        sort_cols=["l_orderkey"], path=str(root / "lineitem"),
+    )
+    write_bucketed(
+        od, "t_orders_b", "o_orderkey", N_BUCKETS,
+        sort_cols=["o_orderkey"], path=str(root / "orders"),
+    )
+    yield "t_lineitem_b", "t_orders_b"
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_colocated_join_has_zero_shuffles(spark, bucketed_pair, no_broadcast):
+    lt, ot = bucketed_pair
+    j = read_bucketed(spark, lt).join(
+        read_bucketed(spark, ot),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+        how="inner",
+    )
+    assert exchange_count(j) == 0
+
+
+def test_colocated_join_helper_zero_shuffles_and_correct(
+    spark, bucketed_pair, no_broadcast
+):
+    lt, ot = bucketed_pair
+    left = read_bucketed(spark, lt).withColumnRenamed("l_orderkey", "orderkey")
+    right = read_bucketed(spark, ot).withColumnRenamed("o_orderkey", "orderkey")
+    left.createOrReplaceTempView("v_li_b")
+    right.createOrReplaceTempView("v_od_b")
+    j = colocated_join(spark, "v_li_b", "v_od_b", on="orderkey")
+    assert exchange_count(j) == 0
+
+    # same answer as the plain (shuffled) join over the raw parquet
+    li = load_table(spark, "lineitem", SF)
+    od = load_table(spark, "orders", SF)
+    expected = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert j.count() == expected
+    spark.catalog.dropTempView("v_li_b")
+    spark.catalog.dropTempView("v_od_b")
+
+
+def test_bucket_key_aggregation_has_zero_shuffles(spark, bucketed_pair):
+    lt, _ = bucketed_pair
+    agg = (
+        read_bucketed(spark, lt)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+    assert exchange_count(agg) == 0
+
+    # parity with the shuffled aggregation on raw parquet
+    raw = (
+        load_table(spark, "lineitem", SF)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    got = {r["l_orderkey"]: float(r["sum_qty"]) for r in agg.collect()}
+    want = {r["l_orderkey"]: float(r["sum_qty"]) for r in raw.collect()}
+    assert got == want
+
+
+def test_plain_join_does_shuffle(spark, no_broadcast):
+    """Control: the same join WITHOUT bucketing shuffles both sides."""
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    od = load_table(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    j = li.join(od, li.l_orderkey == od.o_orderkey)
+    assert exchange_count(j) >= 2
+
+
+def test_exchange_count_ignores_broadcast(spark):
+    """BroadcastExchange must not be counted as a shuffle."""
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    od = load_table(spark, "orders", SF).select("o_orderkey")
+    j = li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+    # one side may still pre-shuffle under AQE coalescing rules, but the
+    # broadcast itself must contribute zero
+    plan_shuffles = exchange_count(j)
+    assert plan_shuffles <= 1
