@@ -118,6 +118,60 @@ def rollup_bars(
     )
 
 
+def tick_ohlcv_cascade(
+    df: DataFrame,
+    minutes_levels: Sequence[int | float],
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    right_closed: bool = False,
+) -> list[DataFrame]:
+    """The whole rollup cascade on ONE shuffle.
+
+    ``tick_ohlcv`` + chained ``rollup_bars`` is semantically right but pays
+    one Exchange per level (ticks→m5, m5→h1, h1→d1 = 3 shuffles). Because
+    the levels NEST — every fine bucket lies inside exactly one coarsest
+    bucket — the whole cascade needs only one physical placement: hash-
+    partition the ticks once on (keys…, coarsest_bucket), then every
+    level's ``groupBy(keys…, coarsest_bucket, level_bucket)`` is satisfied
+    by the existing partitioning (Catalyst's subset rule: HashPartitioning
+    on a subset of the group keys ⇒ no Exchange). Adding the coarsest
+    bucket to each groupBy does not change the groups, since it is a
+    function of the finer bucket.
+
+    Scale: the partition key is (keys…, coarsest_bucket), so parallelism
+    grows with the timeline (days × keys), unlike partitioning on keys
+    alone — no skew ceiling at 100 TB. Nesting holds for either closure as
+    long as every level uses the same ``right_closed`` (coarse boundaries
+    are a subset of fine boundaries).
+
+    Returns one DataFrame per level, finest first; each is independently
+    persistable and none re-shuffles. Exchange-count == 1 is asserted in
+    tests/test_resample_bars.py.
+    """
+    if len(minutes_levels) < 2:
+        raise ValueError("cascade needs at least two levels")
+    for fine, coarse in zip(minutes_levels, minutes_levels[1:]):
+        if (coarse * MINUTE_US) % (fine * MINUTE_US):
+            raise ValueError(f"levels must nest: {coarse} not a multiple of {fine}")
+    anchor = "__cascade_anchor"
+    coarsest = minutes_levels[-1]
+    ticks = df.withColumn(
+        anchor, bucket_start(F.col(ts_col), coarsest, right_closed)
+    ).repartition(*key_cols, anchor)
+    grouped = [*key_cols, anchor]
+    levels = [
+        tick_ohlcv(
+            ticks, minutes_levels[0], grouped, ts_col, value_col,
+            tiebreak_col, right_closed,
+        )
+    ]
+    for n in minutes_levels[1:]:
+        levels.append(rollup_bars(levels[-1], n, grouped, right_closed=right_closed))
+    return [lvl.drop(anchor) for lvl in levels]
+
+
 def resample_bars(
     df: DataFrame,
     n_minutes: int,

@@ -889,13 +889,18 @@ def q_ohlcv_daily_cascade(spark, sf_dir):
     Matching hashes prove the cascade is exact, not approximately
     composed (open/close pick the same underlying tick; sums associate).
     Volume is presentation-rounded: the cascade's sum-of-sums groups
-    differently than a direct sum, which perturbs doubles below 6 dp."""
-    from binance_futures_data_lake_spark.operators.resample import rollup_bars, tick_ohlcv
+    differently than a direct sum, which perturbs doubles below 6 dp.
+
+    All three levels ride ONE shuffle (hash placement on
+    (event_type, daily_bucket); each finer groupBy is satisfied by the
+    subset rule) — see tick_ohlcv_cascade, exchange-count asserted in
+    tests/test_resample_bars.py."""
+    from binance_futures_data_lake_spark.operators.resample import tick_ohlcv_cascade
 
     ev = load_events(spark, sf_dir)
-    m5 = tick_ohlcv(ev, 5, ["event_type"], tiebreak_col="event_id")
-    h1 = rollup_bars(m5, 60, ["event_type"])
-    d1 = rollup_bars(h1, 1440, ["event_type"])
+    d1 = tick_ohlcv_cascade(
+        ev, [5, 60, 1440], ["event_type"], tiebreak_col="event_id"
+    )[-1]
     return d1.select(
         "event_type", "bucket_ts", "open", "high", "low", "close",
         r6(F.col("volume")).alias("volume"), "n_ticks", "first_ts", "last_ts",

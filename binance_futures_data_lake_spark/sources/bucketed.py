@@ -87,6 +87,9 @@ def exchange_count(df: DataFrame, execute: bool = True) -> int:
     if execute:
         jqe.executedPlan().execute().count()
     plan = jqe.executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — count only the plan that actually ran
+    plan = plan.split("== Initial Plan ==")[0]
     return len(
         re.findall(
             r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",

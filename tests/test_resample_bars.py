@@ -113,3 +113,49 @@ def test_rollup_respects_keys(spark):
     )
     assert joined.filter(F.col("n_ticks") != F.col("n")).count() == 0
     assert h1.count() == child.count()
+
+
+def test_cascade_one_shuffle_and_equals_chained(spark):
+    """tick_ohlcv_cascade: every level identical to the chained
+    tick_ohlcv/rollup_bars form, with exactly ONE shuffle Exchange for the
+    whole cascade (hash placement on (key, coarsest_bucket); finer
+    group-bys satisfied by the subset rule)."""
+    from binance_futures_data_lake_spark.operators.resample import (
+        rollup_bars,
+        tick_ohlcv,
+        tick_ohlcv_cascade,
+    )
+    from binance_futures_data_lake_spark.sources.bucketed import exchange_count
+    from binance_futures_data_lake_spark.sources.testdata import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    m5c, h1c, d1c = tick_ohlcv_cascade(
+        ev, [5, 60, 1440], ["event_type"], tiebreak_col="event_id"
+    )
+    assert exchange_count(d1c) == 1
+    assert exchange_count(m5c) == 1
+
+    m5 = tick_ohlcv(ev, 5, ["event_type"], tiebreak_col="event_id")
+    h1 = rollup_bars(m5, 60, ["event_type"])
+    d1 = rollup_bars(h1, 1440, ["event_type"])
+    for got, want in ((m5c, m5), (h1c, h1), (d1c, d1)):
+        a = {(r.event_type, r.bucket_ts): r for r in got.collect()}
+        b = {(r.event_type, r.bucket_ts): r for r in want.collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            for col in ("open", "high", "low", "close", "n_ticks", "first_ts", "last_ts"):
+                assert getattr(a[k], col) == getattr(b[k], col), (k, col)
+            assert abs(a[k].volume - b[k].volume) < 1e-9 * max(1.0, abs(b[k].volume))
+
+
+def test_cascade_rejects_non_nesting_levels(spark):
+    import pytest as _pytest
+
+    from binance_futures_data_lake_spark.operators.resample import tick_ohlcv_cascade
+    from binance_futures_data_lake_spark.sources.testdata import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="nest"):
+        tick_ohlcv_cascade(ev, [5, 7], ["event_type"])
+    with _pytest.raises(ValueError, match="two levels"):
+        tick_ohlcv_cascade(ev, [5], ["event_type"])
