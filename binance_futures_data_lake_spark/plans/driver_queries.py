@@ -797,7 +797,13 @@ def q_funnel_click_purchase(spark, sf_dir):
     the timeline grows 10x. Bucketizing on 30-min grains bounds candidates
     to adjacent windows, the batch analogue of the watermark state bound
     the streaming twin already relies on: pair count grows linearly with
-    the timeline (0.80 s -> 0.35 s at 10x sf0.1)."""
+    the timeline (0.80 s -> 0.35 s at 10x sf0.1).
+
+    The click side is pinned shuffle_hash: it is a FACT stream, and left
+    to the size estimate Catalyst broadcasts it, which rebuilds an
+    every-click hash map per run (the whole 10x slope was that build) and
+    would OOM the driver at real scale. Pinned, both sides shuffle once on
+    (key, bucket): 10x delta 0.066 s -> 0.008 s."""
     from binance_futures_data_lake_spark.operators.rangejoin import interval_join
 
     ev = load_events(spark, sf_dir)
@@ -805,7 +811,7 @@ def q_funnel_click_purchase(spark, sf_dir):
         F.col("user_id").alias("key"), F.col("ts").alias("first_ts"),
         F.col("event_id").alias("first_id"),
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("__w_end"),
-    )
+    ).hint("shuffle_hash")
     b = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("key"), F.col("ts").alias("then_ts"),
         F.col("event_id").alias("then_id"),
