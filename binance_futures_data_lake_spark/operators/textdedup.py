@@ -35,19 +35,48 @@ def words(col, lowercase: bool = True):
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingles as strings ("a b c")."""
-    toks = words(col)
+    """Word n-gram shingles as strings ("a b c").
+
+    Prefer ``shingles_of_tokens`` over a MATERIALIZED token column for the
+    hot path: any expression passed here is re-evaluated a handful of
+    times per row (size + the shifted slices), which for raw text means
+    that many regex splits per document.
+    """
+    return shingles_of_tokens(words(col), n)
+
+
+def shingles_of_tokens(toks, n: int = 3):
+    """Shingles from a token-array column (see ``words``).
+
+    Built by zipping n shifted copies of the token array — per-element
+    work is O(1). The obvious alternative, ``transform(sequence(0, L-n),
+    i -> concat_ws(' ', slice(toks, i+1, n)))``, re-evaluates the OUTER
+    ``toks`` expression once per lambda invocation (Spark higher-order
+    lambdas don't CSE their captured expressions): with raw text as input
+    that is O(L) regex splits per document, O(L²) token work overall —
+    measured 31.7 s vs 4.7 s for the decontamination scan at 10x sf0.1.
+    """
     if n <= 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= n, ngrams_of_tokens(toks, n)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
+
+
+def ngrams_of_tokens(toks, n: int):
+    """Positional word n-grams from a token-array column — duplicates
+    preserved, output length max(L-n+1, 0). Same zip-with-shifted-copies
+    construction as ``shingles_of_tokens`` (see its docstring for why the
+    transform-over-indices form is O(L²) and must not come back)."""
+    if n <= 1:
+        return toks
+    sh = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
 
 
 def token_hash(col):
@@ -70,10 +99,11 @@ def minhash_signatures(
     aggregate; map-side partial aggregation keeps the shuffle at
     k rows/doc.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("tok"),
-    ).withColumn("t", token_hash(F.col("tok")))
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("tok"))
+        .withColumn("t", token_hash(F.col("tok")))
+    )
     crossed = tok.select(
         "doc_id", "t", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
     )
@@ -119,8 +149,8 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (the verify stage)."""
     sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+    ).select("doc_id", shingles_of_tokens(F.col("__toks"), shingle_n).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -325,11 +355,14 @@ def benchmark_overlap(
     no self-join. Output: one row per corpus doc with distinct-shingle
     count, overlap count, overlap fraction and the contaminated flag.
     """
-    bsh = benchmark.select(
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    ).distinct().withColumn("_hit", F.lit(1))
-    csh = corpus.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    bsh = (
+        benchmark.select(words(F.col(text_col)).alias("__toks"))
+        .select(F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    csh = corpus.select(F.col(id_col), words(F.col(text_col)).alias("__toks")).select(
+        id_col, F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s")
     )
     joined = csh.join(F.broadcast(bsh), "s", "left")
     n_sh = F.count(F.lit(1))
@@ -359,9 +392,8 @@ def exact_jaccard_pairs(
     Ground truth for the MinHash path at test scale; at corpus scale the
     same shape runs on LSH candidates (minhash_dedup_pairs)."""
     sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-    )
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+    ).select("doc_id", F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from binance_futures_data_lake_spark.functions.scalars import round6
-from binance_futures_data_lake_spark.operators.textdedup import words
+from binance_futures_data_lake_spark.operators.textdedup import ngrams_of_tokens, words
 
 # Gopher-rule thresholds (Rae et al. 2021 table A1 shape, adapted to the
 # synthetic docs' scale — the *rule forms* are what the operator owns;
@@ -94,15 +94,9 @@ def bigram_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     cardinality but perfectly distributable, and partial aggregation
     collapses repeats map-side before the shuffle.
     """
-    toks = words(F.col(text_col))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+    ).select("doc_id", F.explode(ngrams_of_tokens(F.col("__toks"), 2)).alias("bg"))
     per_bg = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     return per_bg.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_bigrams"),

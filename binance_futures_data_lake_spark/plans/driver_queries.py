@@ -3019,19 +3019,12 @@ def q_top_ngrams(spark, sf_dir):
     detection): explode → map-side-combined count → TakeOrderedAndProject
     (no global sort materialization). Deterministic tiebreak on the bigram
     itself."""
-    from binance_futures_data_lake_spark.operators.textdedup import words
+    from binance_futures_data_lake_spark.operators.textdedup import ngrams_of_tokens, words
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = words(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bg"))
+        docs.select(words(F.col("text")).alias("__toks"))
+        .select(F.explode(ngrams_of_tokens(F.col("__toks"), 2)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bg"))
