@@ -64,6 +64,15 @@ HEADLINE = [
     "sampled_revenue_by_nation",
 ]
 
+# LLM-pipeline family, benched separately so the headline total stays
+# comparable across rounds (dedup_clusters alone is ~5 s: it re-runs the
+# whole pair→label-propagation build per call by design, cache_plan=False).
+LLM_PIPELINE = [
+    "dedup_clusters",
+    "benchmark_decontam",
+    "domain_caps",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -84,6 +93,10 @@ def main() -> None:
     # across all cores. 1 MB splits restore scan parallelism — the same
     # knob a cluster job tunes to its input:core ratio (measured ~10-20%
     # of suite wall here).
+    # constraintPropagation: ~40 ms/query of optimizer constraint inference
+    # that buys nothing on these plans (no inferred-filter wins; measured
+    # ~6% of suite wall). FAIR scheduling only matters for the concurrent
+    # suite-wall metric below — serial passes are unaffected.
     spark = get_spark(
         "bfdl-bench",
         shuffle_partitions=8,
@@ -91,6 +104,8 @@ def main() -> None:
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.files.maxPartitionBytes": "1m",
             "spark.sql.files.openCostInBytes": "65536",
+            "spark.sql.constraintPropagation.enabled": "false",
+            "spark.scheduler.mode": "FAIR",
         },
     )
 
@@ -125,6 +140,30 @@ def main() -> None:
         warm[name] = round(best, 4)
     warm_total = round(sum(warm.values()), 4)
 
+    # LLM-pipeline family (separate section; see LLM_PIPELINE comment)
+    llm: dict[str, float] = {}
+    for name in LLM_PIPELINE:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(DQ.QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        llm[name] = round(best, 4)
+
+    # Concurrent suite wall: all 30 headline plans submitted at once into
+    # the shared session (FAIR pool). This is the throughput a deployment
+    # actually gets — per-job scheduling floors overlap instead of
+    # summing — and the per-query numbers above price each plan's latency.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def suite_pass() -> float:
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(len(HEADLINE)) as ex:
+            list(ex.map(lambda n: force(DQ.QUERIES[n](spark, sf_dir)), HEADLINE))
+        return time.perf_counter() - t0
+
+    suite_wall = round(min(suite_pass() for _ in range(3)), 4)
+
     print(
         json.dumps(
             {
@@ -134,6 +173,8 @@ def main() -> None:
                 "queries": warm,
                 "cold_total_incl_plan_jit": cold_total,
                 "queries_cold": cold,
+                "llm_queries": llm,
+                "suite_wall_concurrent": suite_wall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -3141,6 +3141,121 @@ def q_export_shard_manifest(spark, sf_dir):
 
 
 @register(
+    "curation_pipeline",
+    sql=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), prs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b, doc_a FROM prs
+    ), reach(id, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.id, s2.v FROM reach r JOIN sym s2 ON s2.u = r.x
+    ), comp AS (
+      SELECT id AS doc_id, min(x) AS comp FROM reach GROUP BY 1
+    ), kept AS (
+      -- canonical survivor per near-dup cluster (doc carrying the min id)
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      WHERE coalesce(c.comp, d.doc_id) = d.doc_id
+    ), cc AS (
+      SELECT source, count(*) AS n_grp FROM kept GROUP BY 1
+    ), pre AS (
+      -- domain cap, two-phase exactly as operators/curation.domain_cap:
+      -- hash prefilter at p = min(1, 2*cap/n_grp), then rank <= cap
+      SELECT source, doc_id, n_chars, hv FROM (
+        SELECT k.source, k.doc_id, k.n_chars,
+               ('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / power(2, 60) AS hv,
+               least(1.0, 2.0 * 15.0 / c.n_grp) AS p
+        FROM kept k JOIN cc c USING (source)
+      ) WHERE hv < p
+    ), rk AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+      FROM pre
+    ), capped AS (
+      SELECT source, doc_id, n_chars FROM rk WHERE rk <= 15
+    ), mc AS (
+      SELECT source, count(*) AS n_source FROM capped GROUP BY 1
+    ), mt AS (
+      SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources FROM capped
+    ), mr AS (
+      SELECT source,
+             round(least(1.0, 1.0 / n_sources * 0.6 * n_total / n_source), 6) AS rate
+      FROM mc CROSS JOIN mt
+    ), mixed AS (
+      SELECT c.doc_id, c.n_chars
+      FROM capped c JOIN mr USING (source)
+      WHERE ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / power(2, 60) < mr.rate
+    ), sh2 AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 8 AS INT) AS shard,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM mixed
+    )
+    SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+           min(doc_id) AS min_key, max(doc_id) AS max_key,
+           bit_xor(h) AS key_checksum
+    FROM sh2 GROUP BY 1
+    """,
+    cache_plan=False,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the sequence a real training-data
+    export runs, as ONE plan: exact-Jaccard near-dup pairs → connected-
+    component clusters → canonical-survivor dedup → per-domain cap →
+    mixture rebalance to a uniform source budget → shard assignment →
+    export manifest. Exercises five curation operators IN COMPOSITION
+    (textdedup.exact_jaccard_pairs, graph.dedup_clusters,
+    curation.domain_cap, curation.mixture_sample, curation.with_shard +
+    shard_manifest), so interface drift between stages fails the oracle,
+    not just a unit test. Every keep decision is a deterministic md5
+    hash — which is what lets DuckDB replay the identical pipeline and
+    the driver hash-check an 8-row manifest of a multiply-sampled corpus.
+    cache_plan=False: the CC iteration runs jobs while building the plan.
+
+    Scale: pairs are inverted-index (never doc×doc), clustering rounds
+    are volume-independent (O(cluster diameter)), caps/mixture are
+    hash-threshold filters behind broadcast rate tables, manifest is one
+    8-group aggregate — no stage collects the corpus to the driver."""
+    from binance_futures_data_lake_spark.operators.curation import (
+        domain_cap,
+        mixture_sample,
+        shard_manifest,
+        with_shard,
+    )
+    from binance_futures_data_lake_spark.operators.graph import dedup_clusters
+    from binance_futures_data_lake_spark.operators.textdedup import exact_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = exact_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    canon = dedup_clusters(docs, pairs).filter(F.col("is_canonical") == 1)
+    kept = docs.select("doc_id", "source", "n_chars").join(
+        canon.select("doc_id"), "doc_id"
+    )
+    capped = domain_cap(kept, "doc_id", "source", cap=15)
+    mixed = mixture_sample(capped, "doc_id", "source", budget_frac=0.6)
+    return shard_manifest(with_shard(mixed, "doc_id", 8), "doc_id", "n_chars")
+
+
+@register(
     "ann_ivf_seeded_topk",
     sql="""
     WITH v AS (

@@ -129,6 +129,77 @@ def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def duck_suite_wall(sf_dir: str, names: list[str], reps: int) -> dict:
+    """Best concurrent suite wall across DuckDB's OWN best configs.
+
+    One query already saturates the machine at threads=32, so DuckDB's
+    best suite throughput is low concurrency with high per-query threads —
+    measured: (32 threads, serial) 2.28 s / (16, 2 workers) 1.70 s /
+    (8, 4) 5.6 s / (4, 8) 14.4 s at sf0.1. The sweep hands it its best."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from binance_futures_data_lake_spark.plans import driver_queries as DQ
+    from tests.oracle_utils import TABLES
+
+    best = {"wall": float("inf"), "threads": None, "workers": None}
+    for threads, workers in ((32, 1), (16, 2), (8, 4)):
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {threads}")
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        for n in names:
+            con.sql(DQ.ORACLE[n]).fetchall()  # warm
+        wall = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(lambda n: con.cursor().sql(DQ.ORACLE[n]).fetchall(), names))
+            wall = min(wall, time.perf_counter() - t0)
+        con.close()
+        if wall < best["wall"]:
+            best = {"wall": round(wall, 3), "threads": threads, "workers": workers}
+    return best
+
+
+def spark_suite_wall(spark, sf_dir: str, names: list[str], reps: int) -> dict:
+    """Best concurrent suite wall with all plans in one shared session
+    (FAIR pool): jobs overlap, so per-job scheduling floors amortize —
+    the shape a real deployment runs a query suite in."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from binance_futures_data_lake_spark.plans import driver_queries as DQ
+
+    def force(n):
+        DQ.QUERIES[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for n in names:
+        force(n)  # warm plans + codegen
+    best = {"wall": float("inf"), "workers": None}
+    for workers in (16, len(names)):
+        wall = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(force, names))
+            wall = min(wall, time.perf_counter() - t0)
+        if wall < best["wall"]:
+            best = {"wall": round(wall, 3), "workers": workers}
+    return best
+
+
+# LLM-pipeline family: spark/duck at both SFs where tractable. At 10x the
+# replica construction multiplies near-dup PAIR density ~100x (each doc
+# gains 9 verbatim cross-replica twins and every shingle's doc-frequency
+# rises 10x), so the pair-enumeration workload dedup_clusters runs grows
+# quadratically BY PROBLEM DEFINITION: measured >150 s in Spark and >590 s
+# (capped, DNF) in DuckDB's recursive-CTE oracle. Recorded as capped
+# rather than burning ~15 min per round on a data artifact.
+LLM_EXTRA = ["dedup_clusters", "benchmark_decontam", "domain_caps"]
+LLM_10X_CAPPED = {"dedup_clusters"}
+
+
 def main() -> None:
     from bench import HEADLINE
 
@@ -149,10 +220,43 @@ def main() -> None:
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.files.maxPartitionBytes": "1m",
             "spark.sql.files.openCostInBytes": "65536",
+            "spark.sql.constraintPropagation.enabled": "false",
+            "spark.scheduler.mode": "FAIR",
         },
     )
     spark1 = time_spark(spark, SRC, names)
     spark10 = time_spark(spark, DST, names)
+
+    # engine-best concurrent suite throughput, both SFs
+    suite_wall = {
+        "spark_1x": spark_suite_wall(spark, SRC, names, reps=3),
+        "duck_1x": duck_suite_wall(SRC, names, reps=3),
+        "spark_10x": spark_suite_wall(spark, DST, names, reps=2),
+        "duck_10x": duck_suite_wall(DST, names, reps=1),
+    }
+    suite_wall["ratio_1x"] = round(
+        suite_wall["spark_1x"]["wall"] / suite_wall["duck_1x"]["wall"], 2
+    )
+    suite_wall["ratio_10x"] = round(
+        suite_wall["spark_10x"]["wall"] / suite_wall["duck_10x"]["wall"], 2
+    )
+
+    # LLM-pipeline family
+    llm_rows = []
+    for n in LLM_EXTRA:
+        s1 = time_spark(spark, SRC, [n])[n]
+        d1 = time_duckdb(SRC, [n])[n]
+        if n in LLM_10X_CAPPED:
+            s10 = d10 = None
+        else:
+            s10 = time_spark(spark, DST, [n])[n]
+            d10 = time_duckdb(DST, [n])[n]
+        llm_rows.append({
+            "query": n, "spark_1x": s1, "duck_1x": d1,
+            "spark_10x": s10, "duck_10x": d10,
+            "suite_ratio_1x": round(s1 / d1, 2) if d1 else None,
+            "capped_10x": n in LLM_10X_CAPPED,
+        })
     spark.stop()
 
     rows = []
@@ -174,6 +278,8 @@ def main() -> None:
         "spark_10x_total": round(sum(spark10.values()), 3),
         "duck_1x_total": round(sum(duck1.values()), 3),
         "duck_10x_total": round(sum(duck10.values()), 3),
+        "suite_wall_concurrent": suite_wall,
+        "llm_pipeline": llm_rows,
         "queries": rows,
     }
     with open(os.path.join(REPO, "SCALE_RATIO.json"), "w") as f:
@@ -186,7 +292,7 @@ def main() -> None:
             f"| {r['query']} | {r['spark_1x']} | {r['spark_10x']} | {r['duck_1x']} | "
             f"{r['duck_10x']} | {r['suite_ratio_1x']} | {r['marginal_ratio']} |"
         )
-    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    print(json.dumps({k: v for k, v in out.items() if k not in ("queries", "llm_pipeline")}))
 
 
 if __name__ == "__main__":
