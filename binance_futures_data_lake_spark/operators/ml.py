@@ -143,3 +143,62 @@ def train_standardize(train: DataFrame, df: DataFrame, cols: list[str]):
             f"{c}_z", (F.coalesce(F.col(c), F.lit(medians[c])) - F.lit(mu)) / F.lit(sd)
         )
     return out
+
+
+def lr_gd_weights(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    iters: int = 3,
+    lr: float = 0.1,
+) -> DataFrame:
+    """Binary logistic regression by EXPLICIT full-batch gradient descent,
+    as pure relational algebra — the oracle-checkable twin of
+    ``lr_on_embeddings`` (whose LBFGS line search no SQL engine can
+    replay). y = label % 2, w₀ = 0, and each iteration is
+
+        w ← round6( w − lr/N · Σᵢ (σ(xᵢ·w) − yᵢ) · xᵢ )
+
+    entirely in-plan: the feature matrix posexplodes ONCE into a long
+    (id, pos, x) table; per iteration the 64-row weight table broadcast-
+    joins onto it for the dot products and the gradient is one
+    groupBy(pos) aggregate. No driver-side collect anywhere — the weight
+    "vector" never leaves the cluster, so the same code shape trains on a
+    billion-row embedding table (each iteration = one broadcast + two
+    aggregations). Weights are 6-dp rounded between iterations in BOTH
+    engines, which resets cross-engine float-summation drift each step
+    and is what keeps a 3-iteration recursion hash-comparable.
+
+    Output: ``(pos, weight)`` — the trained weight per feature dimension.
+    """
+    X = emb.select(
+        F.col(id_col).alias("id"),
+        (F.col(label_col) % 2).cast("double").alias("y"),
+        F.posexplode(F.col(vec_col)),
+    ).select("id", "y", F.col("pos"), F.col("col").cast("double").alias("x"))
+
+    n_tbl = emb.select(F.count(F.lit(1)).cast("double").alias("n"))
+    dims = X.select("pos").distinct()
+    w = dims.withColumn("wt", F.lit(0.0))
+
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    for _ in range(iters):
+        dot = (
+            X.join(F.broadcast(w), "pos")
+            .groupBy("id", "y")
+            .agg(F.sum(F.col("x") * F.col("wt")).alias("z"))
+        )
+        sig = dot.withColumn("err", 1.0 / (1.0 + F.exp(-F.col("z"))) - F.col("y"))
+        grad = (
+            X.join(sig.select("id", "err"), "id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
+        )
+        w = (
+            w.join(grad, "pos")
+            .join(F.broadcast(n_tbl))
+            .select("pos", round6(F.col("wt") - F.lit(lr) * F.col("g") / F.col("n")).alias("wt"))
+        )
+    return w.select("pos", F.col("wt").alias("weight"))

@@ -1937,14 +1937,81 @@ def q_sticky_regime_hourly(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "dir_state", "dir_regime_id", "dir_state_age")
 
 
-@register("ml_lr_embeddings")  # rows-only: MLlib training is not SQL-expressible
+@register("ml_lr_embeddings")
 def q_ml_lr_embeddings(spark, sf_dir):
     """SURVEY M1/M3/M9: multinomial LR on the embeddings table with a
-    deterministic 80/20 split; returns per-class precision/recall rows."""
+    deterministic 80/20 split; returns per-class precision/recall rows.
+
+    Rows-only BY DESIGN, permanently: spark.ml's optimizer is OWL-QN/
+    L-BFGS, whose two-loop recursion + Wolfe line search (data-dependent
+    step-length trials) cannot be replayed in SQL at any reasonable cost
+    — there is no fixed iteration structure to unroll. The TRAINING
+    arithmetic itself is oracle-checked instead via `ml_lr_gd_weights`
+    below: explicit full-batch GD with the identical gradient algebra,
+    hash-compared to a DuckDB replay."""
     from binance_futures_data_lake_spark.operators.ml import lr_on_embeddings
 
     emb = load_table(spark, "embeddings", sf_dir)
     return lr_on_embeddings(emb)
+
+
+@register(
+    "ml_lr_gd_weights",
+    sql="""
+    WITH x AS (
+      SELECT vec_id AS id, CAST(label % 2 AS DOUBLE) AS y,
+             unnest(range(len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+    ), w0 AS (
+      SELECT DISTINCT pos, 0.0 AS wt FROM x
+    ), d1 AS (
+      SELECT id, y, sum(x.x * w.wt) AS z FROM x JOIN w0 w USING (pos) GROUP BY 1, 2
+    ), e1 AS (
+      SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d1
+    ), g1 AS (
+      SELECT pos, sum(x.x * e.err) AS g FROM x JOIN e1 e USING (id) GROUP BY 1
+    ), w1 AS (
+      SELECT w0.pos, round(w0.wt - 0.1 * g1.g / nn.n, 6) AS wt
+      FROM w0 JOIN g1 USING (pos) CROSS JOIN nn
+    ), d2 AS (
+      SELECT id, y, sum(x.x * w.wt) AS z FROM x JOIN w1 w USING (pos) GROUP BY 1, 2
+    ), e2 AS (
+      SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d2
+    ), g2 AS (
+      SELECT pos, sum(x.x * e.err) AS g FROM x JOIN e2 e USING (id) GROUP BY 1
+    ), w2 AS (
+      SELECT w1.pos, round(w1.wt - 0.1 * g2.g / nn.n, 6) AS wt
+      FROM w1 JOIN g2 USING (pos) CROSS JOIN nn
+    ), d3 AS (
+      SELECT id, y, sum(x.x * w.wt) AS z FROM x JOIN w2 w USING (pos) GROUP BY 1, 2
+    ), e3 AS (
+      SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d3
+    ), g3 AS (
+      SELECT pos, sum(x.x * e.err) AS g FROM x JOIN e3 e USING (id) GROUP BY 1
+    ), w3 AS (
+      SELECT w2.pos, round(w2.wt - 0.1 * g3.g / nn.n, 6) AS wt
+      FROM w2 JOIN g3 USING (pos) CROSS JOIN nn
+    )
+    SELECT pos, wt AS weight FROM w3
+    """,
+)
+def q_ml_lr_gd_weights(spark, sf_dir):
+    """Distributed LR training arithmetic, oracle-checked: 3 iterations of
+    full-batch gradient descent (y = label%2, w0 = 0, lr = 0.1) as pure
+    relational algebra — posexplode the feature matrix once, per
+    iteration one broadcast of the 64-row weight table + two aggregations
+    (dot products, gradient). Weights 6-dp rounded between iterations in
+    both engines, resetting cross-engine float-summation drift so the
+    recursion stays hash-comparable (operators/ml.py:lr_gd_weights)."""
+    from binance_futures_data_lake_spark.operators.ml import lr_gd_weights
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lr_gd_weights(emb).select(
+        F.col("pos").cast("long").alias("pos"), "weight"
+    )
 
 
 @register(

@@ -53,10 +53,17 @@ def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         # newer readers ingest TIMESTAMP(NANOS) natively as NTZ (µs
-        # truncation, same as DuckDB); normalize to session-tz TIMESTAMP so
-        # downstream epoch math (unix_micros rejects NTZ) sees one type.
-        # Session tz is pinned UTC, so the wall-clock reinterpretation is
-        # exactly the old nanos→micros LTZ conversion.
+        # truncation, same as DuckDB); normalize to TIMESTAMP so downstream
+        # epoch math (unix_micros rejects NTZ) sees one type. The cast
+        # reinterprets wall-clock in the SESSION timezone — the file's
+        # wall-clocks are UTC instants, so on a hosting session running in
+        # any other zone the cast would silently shift every event. Pin the
+        # session to UTC first (same hosting-session contract as the
+        # nanosAsLong conf above; every engine query assumes UTC anyway).
+        if spark.conf.get("spark.sql.session.timeZone") not in (
+            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
+        ):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -177,3 +177,27 @@ def test_fix_meta_noop_when_conformant(tmp_path):
     res = fix_meta(root)
     assert not res["repaired"]
     assert lake.read_meta(root) == before
+
+
+def test_load_events_pins_utc_on_foreign_tz_session(spark):
+    """A hosting session in a non-UTC zone must not shift event instants:
+    load_events pins the session to UTC before the NTZ->timestamp cast
+    (ADVICE r2: the cast reinterprets wall-clock in session tz)."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_data_lake_spark.sources.testdata import load_events
+
+    sf = "/root/testdata/sf0.001"
+    baseline = (
+        load_events(spark, sf).select(F.min(F.unix_micros("ts"))).collect()[0][0]
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = (
+            load_events(spark, sf).select(F.min(F.unix_micros("ts"))).collect()[0][0]
+        )
+        assert shifted == baseline
+        assert spark.conf.get("spark.sql.session.timeZone") in ("UTC", "Etc/UTC")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
