@@ -68,7 +68,13 @@ def ewm_apply(
             pdf[name] = res.reset_index(level=list(range(len(by))), drop=True)
         return pdf.drop(columns=["__ewm_bucket"])
 
-    nb = num_buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # kernel parallelism: cap at available slots, not shuffle width — with
+    # shuffle_partitions=8 on a 32-core session the pandas kernels would
+    # otherwise run 8-wide (measured 0.62 -> 0.51 s at 10x sf0.1 going 8 -> 32)
+    nb = num_buckets or max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     bucketed = df.withColumn(
         "__ewm_bucket", F.pmod(F.xxhash64(*by), F.lit(nb))
     )

@@ -141,25 +141,26 @@ def duck_suite_wall(sf_dir: str, names: list[str], reps: int) -> dict:
     from binance_futures_data_lake_spark.plans import driver_queries as DQ
     from tests.oracle_utils import TABLES
 
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for n in names:
+        con.sql(DQ.ORACLE[n]).fetchall()  # one warm pass (page cache + pool)
     best = {"wall": float("inf"), "threads": None, "workers": None}
     for threads, workers in ((32, 1), (16, 2), (8, 4)):
-        con = duckdb.connect()
         con.execute(f"SET threads TO {threads}")
-        for t in TABLES:
-            p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        for n in names:
-            con.sql(DQ.ORACLE[n]).fetchall()  # warm
         wall = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             with ThreadPoolExecutor(workers) as ex:
                 list(ex.map(lambda n: con.cursor().sql(DQ.ORACLE[n]).fetchall(), names))
             wall = min(wall, time.perf_counter() - t0)
-        con.close()
         if wall < best["wall"]:
             best = {"wall": round(wall, 3), "threads": threads, "workers": workers}
+    con.close()
     return best
 
 
