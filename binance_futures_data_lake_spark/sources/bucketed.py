@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int,
     sort_cols: list[str] | None = None,
     path: str | None = None,
@@ -45,10 +45,19 @@ def write_bucketed(
     plain ``parquet(path)`` write drops the bucket metadata and with it the
     shuffle elision. ``path`` makes it an external table so the data
     outlives ``spark.sql('DROP TABLE ...')``.
+
+    ``bucket_col`` must be the FULL join-key set of the joins it is meant
+    to de-shuffle, not a subset: Spark's co-partition check
+    (``spark.sql.requireAllClusterKeysForCoPartition``, default true)
+    only elides both exchanges when the bucket expressions equal the join
+    keys exactly — bucketing two tables on ``ts`` and joining on
+    ``(symbol, ts)`` still shuffles both sides (caught live by
+    scale_check.py's ``shuffle_exchanges`` record).
     """
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     w = df.write.format("parquet").mode("overwrite")
-    w = w.bucketBy(n_buckets, bucket_col)
-    w = w.sortBy(*(sort_cols or [bucket_col]))
+    w = w.bucketBy(n_buckets, *cols)
+    w = w.sortBy(*(sort_cols or cols))
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)

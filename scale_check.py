@@ -163,18 +163,21 @@ def main() -> None:
     broot = tempfile.mkdtemp(prefix="bfdl_buckets_")
     try:
         t0 = time.perf_counter()
+        # bucket on the FULL join key set: Spark's co-partition rule
+        # (requireAllClusterKeysForCoPartition) does not elide exchanges
+        # for a subset bucketing
         write_bucketed(
             m1c.select("symbol", "open_time_ms", "close", "volume_base"),
-            "sc_klines_b", "open_time_ms", 32,
-            sort_cols=["open_time_ms"], path=f"{broot}/klines",
+            "sc_klines_b", ["symbol", "open_time_ms"], 32,
+            path=f"{broot}/klines",
         )
         write_bucketed(
             m1c.select(
                 "symbol", "open_time_ms",
                 (F.col("close") * 1.0001).alias("mark_price"),
             ),
-            "sc_mark_b", "open_time_ms", 32,
-            sort_cols=["open_time_ms"], path=f"{broot}/mark",
+            "sc_mark_b", ["symbol", "open_time_ms"], 32,
+            path=f"{broot}/mark",
         )
         stages["bucketed_write_both_sides"] = {
             "sec": round(time.perf_counter() - t0, 2), "rows": 2 * n,

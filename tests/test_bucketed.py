@@ -128,3 +128,45 @@ def test_exchange_count_ignores_broadcast(spark):
     # broadcast itself must contribute zero
     plan_shuffles = exchange_count(j)
     assert plan_shuffles <= 1
+
+
+def test_composite_key_join_needs_full_key_bucketing(spark, tmp_path_factory, no_broadcast):
+    """Spark's co-partition rule (requireAllClusterKeysForCoPartition,
+    default true) only elides the join shuffle when the bucket columns
+    equal the FULL join-key set. Bucketing on a subset still shuffles —
+    the scale_check probe caught exactly that regression live."""
+    root = tmp_path_factory.mktemp("bucketed_composite")
+    li = load_table(spark, "lineitem", SF)
+    left = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    right = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_linenumber").alias("r_linenumber"),
+        "l_extendedprice",
+    )
+    on_full = ["l_orderkey", "l_linenumber"]
+
+    write_bucketed(left, "t_comp_l", on_full, N_BUCKETS, path=str(root / "l"))
+    write_bucketed(
+        right, "t_comp_r", ["r_orderkey", "r_linenumber"], N_BUCKETS,
+        path=str(root / "r"),
+    )
+    j = read_bucketed(spark, "t_comp_l").join(
+        read_bucketed(spark, "t_comp_r"),
+        on=(F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_linenumber") == F.col("r_linenumber")),
+    )
+    try:
+        assert exchange_count(j) == 0
+
+        # control: bucket on a SUBSET of the join keys -> still shuffles
+        write_bucketed(left, "t_sub_l", "l_orderkey", N_BUCKETS, path=str(root / "sl"))
+        write_bucketed(right, "t_sub_r", "r_orderkey", N_BUCKETS, path=str(root / "sr"))
+        js = read_bucketed(spark, "t_sub_l").join(
+            read_bucketed(spark, "t_sub_r"),
+            on=(F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_linenumber") == F.col("r_linenumber")),
+        )
+        assert exchange_count(js) >= 2
+    finally:
+        for t in ("t_comp_l", "t_comp_r", "t_sub_l", "t_sub_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
