@@ -265,3 +265,78 @@ def chunk_documents(
         F.length(chunk).alias("chunk_chars"),
         chunk.alias("chunk_text"),
     )
+
+
+def cross_doc_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated token spans — boilerplate/template
+    detection (the paragraph-dedup step of Lee et al. 2022's exact
+    substring deduplication, token-window flavor: any ``span_tokens``-long
+    window appearing in ≥ ``min_docs`` documents is shared text, not
+    original content).
+
+    Two-level aggregation instead of count_distinct: groupBy(span, doc)
+    collapses per-doc repeats map-side, then groupBy(span) counts docs as
+    plain rows — no Expand rewrite, both shuffles keyed on the span (high
+    cardinality, perfectly distributable). Output:
+    ``span, n_docs, n_occurrences``.
+    """
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        ngrams_of_tokens,
+        words,
+    )
+
+    sp = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(ngrams_of_tokens(F.col("__toks"), span_tokens)).alias("span"),
+    )
+    per_doc = sp.groupBy("span", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-unigram language-model quality score per document: the mean
+    log10 probability of the document's tokens under the corpus's own
+    unigram distribution — the cheapest useful LM-based quality signal
+    (gibberish and rare-token spam score low, fluent common text scores
+    high; the unigram stand-in for the KenLM perplexity filters of
+    CCNet/Gopher).
+
+    Two aggregations over one tokenized scan: term frequencies (shuffled
+    on term — Zipf-skewed but combine-collapsed map-side) broadcast-ish
+    joined back onto the token stream, then a per-doc mean. No vocabulary
+    ever collects to the driver. Output: ``doc_id, n_tokens,
+    logprob_avg`` (6-dp).
+    """
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+    ).select("doc_id", F.explode("__toks").alias("term"))
+    tf = tk.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = tk.select(F.count(F.lit(1)).alias("n_total"))
+    scored = tk.join(tf, "term").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        round6(F.avg(F.log10(F.col("n_term") / F.col("n_total")))).alias(
+            "logprob_avg"
+        ),
+    )

@@ -3208,6 +3208,62 @@ def q_export_shard_manifest(spark, sf_dir):
 
 
 @register(
+    "dup_spans_cross_doc",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SH_TOKS} AS tk FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+                                   i -> array_to_string(tk[i:i+7], ' '))) AS span
+      FROM toks
+    ), per AS (
+      SELECT span, doc_id, count(*) AS n FROM sp GROUP BY 1, 2
+    )
+    SELECT span, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_occurrences
+    FROM per GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q_dup_spans_cross_doc(spark, sf_dir):
+    """Cross-document repeated 8-token spans (boilerplate/template
+    detection — the span-granular step of exact substring dedup). Two
+    span-keyed aggregations, no count_distinct Expand, no self-join
+    (operators/textquality.py:cross_doc_spans)."""
+    from binance_futures_data_lake_spark.operators.textquality import cross_doc_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cross_doc_spans(docs, span_tokens=8, min_docs=2)
+
+
+@register(
+    "doc_unigram_logprob",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SH_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT term, count(*) AS n_term FROM tk GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n_total FROM tk
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(log10(n_term / n_total)), 6) AS logprob_avg
+    FROM tk JOIN tf USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def q_doc_unigram_logprob(spark, sf_dir):
+    """Per-document mean log10 unigram probability under the corpus's own
+    term distribution — the cheapest LM-based quality signal (the unigram
+    stand-in for CCNet/Gopher perplexity filters). Term table reduced to
+    one row per term before the join back; no vocabulary collects to the
+    driver (operators/textquality.py:unigram_logprob)."""
+    from binance_futures_data_lake_spark.operators.textquality import unigram_logprob
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_logprob(docs)
+
+
+@register(
     "curation_pipeline",
     sql=f"""
     WITH RECURSIVE sh AS (

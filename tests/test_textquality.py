@@ -125,3 +125,48 @@ def test_cluster_holdout_split_no_leakage(spark):
     }
     with pytest.raises(ValueError):
         cluster_holdout_split(clustered, val_pct=60, test_pct=50)
+
+
+def test_cross_doc_spans_finds_planted_boilerplate(spark):
+    from binance_futures_data_lake_spark.operators.textquality import cross_doc_spans
+
+    boiler = "all rights reserved contact us for more info"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler),
+            (2, boiler + " gamma delta"),
+            (3, "totally original words with no shared span at all here"),
+            (4, boiler + " " + boiler),  # repeats within one doc too
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["span"]: r for r in cross_doc_spans(docs, span_tokens=8).collect()}
+    assert boiler in out
+    assert out[boiler]["n_docs"] == 3
+    # doc 4 contributes 2 occurrences of the exact span
+    assert out[boiler]["n_occurrences"] == 4
+    # nothing from the original doc appears in any shared span
+    assert not any("totally original" in s for s in out)
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from binance_futures_data_lake_spark.operators.textquality import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")],
+        ["doc_id", "text"],
+    )
+    # corpus: a=3, b=1, c=1, total=5
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    exp1 = (2 * math.log10(3 / 5) + math.log10(1 / 5)) / 3
+    exp2 = (math.log10(3 / 5) + math.log10(1 / 5)) / 2
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["logprob_avg"] - exp1) < 1e-6
+    assert out[2]["n_tokens"] == 2 and abs(out[2]["logprob_avg"] - exp2) < 1e-6
+    # common-token doc scores higher than rare-token doc
+    docs2 = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyx qwv")], ["doc_id", "text"]
+    )
+    o2 = {r["doc_id"]: r["logprob_avg"] for r in unigram_logprob(docs2).collect()}
+    assert o2[1] > o2[2]
