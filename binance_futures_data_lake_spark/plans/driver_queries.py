@@ -1937,6 +1937,69 @@ def q_sticky_regime_hourly(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "dir_state", "dir_regime_id", "dir_state_age")
 
 
+def _market_pipeline_sql() -> str:
+    """Compose the sticky-regime recursive CTE with an ASOF join back onto
+    the raw event stream plus a per-(type, state) rollup — the oracle for
+    the end-to-end market pipeline query."""
+    sticky = _sticky_sql()
+    final = sticky.split("SELECT event_type, bucket_ts, st AS dir_state", 1)[0]
+    return final + """
+    , regime AS (
+      SELECT event_type, bucket_ts, st AS dir_state
+      FROM walk WHERE i > 0
+    ), tagged AS (
+      SELECT e.event_type, e.value, r.dir_state
+      FROM events e ASOF LEFT JOIN regime r
+        ON e.event_type = r.event_type AND e.ts >= r.bucket_ts
+    )
+    SELECT event_type, coalesce(dir_state, 'NEUTRAL') AS dir_state,
+           count(*) AS n_events,
+           round(sum(value), 6) AS value_sum,
+           round(avg(value), 6) AS value_avg
+    FROM tagged GROUP BY 1, 2
+    """
+
+
+@register("market_regime_pipeline", sql=_market_pipeline_sql())
+def q_market_regime_pipeline(spark, sf_dir):
+    """End-to-end market pipeline — the trading-side twin of
+    `curation_pipeline`, five operator families as ONE oracle-checked
+    plan: tick→hourly OHLCV aggregation, 20-bar rolling z-score, tanh
+    scoring, the sticky BULL/BEAR/NEUTRAL hysteresis machine (per-key
+    applyInPandas kernel; recursive CTE in the oracle), a backward as-of
+    join projecting the hourly regime onto every raw event, and a
+    per-(type, state) rollup. Interface drift between resample → window →
+    regime → as-of fails the hash, not just unit tests. This is the
+    reference's core daily loop (bars → context → router → signals on raw
+    stream; build_h1_regime_router_v2.py) as one declarative plan."""
+    from binance_futures_data_lake_spark.operators.regime import (
+        DirectionParams,
+        sticky_state,
+    )
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    scored = bars.withColumn(
+        "score", r6(F.tanh(W.rolling_zscore("close", 20, by, order)))
+    )
+    regime = sticky_state(
+        scored, by, order, "score",
+        DirectionParams(enter_th=0.3, exit_th=0.15, enter_persist=2,
+                        exit_persist=2, min_hold_bars=2),
+    ).select("event_type", F.col("bucket_ts").alias("ts"), "dir_state")
+
+    ev = load_events(spark, sf_dir).select("event_type", "value", "ts")
+    tagged = asof_join_backward(ev, regime, on="ts", by=["event_type"])
+    return tagged.groupBy(
+        "event_type",
+        F.coalesce("dir_state", F.lit("NEUTRAL")).alias("dir_state"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(F.sum("value")).alias("value_sum"),
+        r6(F.avg("value")).alias("value_avg"),
+    )
+
+
 @register("ml_lr_embeddings")
 def q_ml_lr_embeddings(spark, sf_dir):
     """SURVEY M1/M3/M9: multinomial LR on the embeddings table with a
