@@ -320,23 +320,33 @@ def unigram_logprob(
     high; the unigram stand-in for the KenLM perplexity filters of
     CCNet/Gopher).
 
-    Two aggregations over one tokenized scan: term frequencies (shuffled
-    on term — Zipf-skewed but combine-collapsed map-side) broadcast-ish
-    joined back onto the token stream, then a per-doc mean. No vocabulary
-    ever collects to the driver. Output: ``doc_id, n_tokens,
-    logprob_avg`` (6-dp).
+    Scale shape: token instances NEVER ride the term-keyed join — the
+    stream first collapses to per-(doc, term) counts (groupBy on a high-
+    cardinality composite key, distributes evenly), and only that reduced
+    table joins the term-frequency side. Zipf-head terms ("the" at 100 TB)
+    would otherwise funnel every instance row into one skewed join
+    partition; after the collapse a head term contributes at most one row
+    PER DOCUMENT, and AQE's skew split handles the rest. The per-doc mean
+    is then Σ cnt·log10(p) / Σ cnt. No vocabulary ever collects to the
+    driver. Output: ``doc_id, n_tokens, logprob_avg`` (6-dp).
     """
     from binance_futures_data_lake_spark.operators.textdedup import words
 
-    tk = docs.select(
-        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
-    ).select("doc_id", F.explode("__toks").alias("term"))
-    tf = tk.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
-    total = tk.select(F.count(F.lit(1)).alias("n_total"))
-    scored = tk.join(tf, "term").join(F.broadcast(total))
+    dt = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+        )
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tf = dt.groupBy("term").agg(F.sum("cnt").alias("n_term"))
+    total = dt.select(F.sum("cnt").alias("n_total"))
+    scored = dt.join(tf, "term").join(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        round6(F.avg(F.log10(F.col("n_term") / F.col("n_total")))).alias(
-            "logprob_avg"
-        ),
+        F.sum("cnt").alias("n_tokens"),
+        round6(
+            F.sum(F.col("cnt") * F.log10(F.col("n_term") / F.col("n_total")))
+            / F.sum("cnt")
+        ).alias("logprob_avg"),
     )

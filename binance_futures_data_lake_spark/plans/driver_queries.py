@@ -3303,14 +3303,16 @@ def q_dup_spans_cross_doc(spark, sf_dir):
     sql=f"""
     WITH tk AS (
       SELECT doc_id, unnest({_SH_TOKS}) AS term FROM documents
+    ), dt AS (
+      SELECT doc_id, term, count(*) AS cnt FROM tk GROUP BY 1, 2
     ), tf AS (
-      SELECT term, count(*) AS n_term FROM tk GROUP BY 1
+      SELECT term, sum(cnt) AS n_term FROM dt GROUP BY 1
     ), tot AS (
-      SELECT count(*) AS n_total FROM tk
+      SELECT sum(cnt) AS n_total FROM dt
     )
-    SELECT doc_id, count(*) AS n_tokens,
-           round(avg(log10(n_term / n_total)), 6) AS logprob_avg
-    FROM tk JOIN tf USING (term) CROSS JOIN tot
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           round(sum(cnt * log10(n_term / n_total)) / sum(cnt), 6) AS logprob_avg
+    FROM dt JOIN tf USING (term) CROSS JOIN tot
     GROUP BY 1
     """,
 )
