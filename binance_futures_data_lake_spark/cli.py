@@ -145,6 +145,29 @@ def cmd_aggregate(args) -> int:
     return rc
 
 
+def cmd_plot(args) -> int:
+    """S15 plot sink (reference scripts/research/plot_weekly_candles_v1.py
+    as a CLI verb): weekly candles for one symbol -> SVG file."""
+    from binance_futures_data_lake_spark.operators.plotsink import plot_weekly_candles
+    from binance_futures_data_lake_spark.sources import lake
+
+    symbols = _resolve_symbols(args)
+    if not symbols:
+        return 2
+    spark = _get_spark("plot")
+    raw = lake.read_lake(spark, raw_root(args.base_dir))
+    os.makedirs(args.out_dir, exist_ok=True)
+    for sym in symbols:
+        path = os.path.join(args.out_dir, f"weekly_candles_{sym}.svg")
+        plot_weekly_candles(
+            raw, ["symbol"], sym, path,
+            value_col="close", max_weeks=args.max_weeks,
+            title=f"{sym} Weekly Candles",
+        )
+        print(json.dumps({"symbol": sym, "wrote": path}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from binance_futures_data_lake_spark.operators.maintenance import audit_klines
     from binance_futures_data_lake_spark.sources import lake
@@ -196,6 +219,11 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate", help="blocking integrity audit")
     common(v)
     v.add_argument("--tf", default="all", choices=["all", "m1", *TF_MINUTES])
+
+    pl = sub.add_parser("plot", help="weekly-candle SVG export (S15 sink)")
+    common(pl)
+    pl.add_argument("--out-dir", default=os.path.join(os.getcwd(), "plots"))
+    pl.add_argument("--max-weeks", type=int, default=200)
     return p
 
 
@@ -209,4 +237,6 @@ def main(argv: Sequence[str] | None = None, transport=None) -> int:
         return cmd_aggregate(args)
     if args.cmd == "validate":
         return cmd_validate(args)
+    if args.cmd == "plot":
+        return cmd_plot(args)
     raise SystemExit(2)
