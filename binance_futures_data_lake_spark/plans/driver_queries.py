@@ -1937,6 +1937,193 @@ def q_sticky_regime_hourly(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "dir_state", "dir_regime_id", "dir_state_age")
 
 
+def _backtest_trend_sql() -> str:
+    """Recursive-CTE oracle for the REAL position kernel's TREND path
+    (operators/backtest._position_loop): single position, breakout
+    entries, SL/TP with same-bar SL priority, 60-bar time stop, exit
+    then same-bar re-entry — the literal SQL form of the loop. ATR is
+    6-dp rounded in BOTH engines before the kernel (the only windowed
+    sum feeding price levels), and sl/risk/tp replicate the kernel's
+    exact float sequence (sl = entry - 1.6a; risk = entry - sl;
+    tp = entry + 1.8*risk), so every comparison is bit-identical."""
+    exit_reason = """CASE WHEN w.st <> 0 THEN CASE
+        WHEN w.st = 1 AND nb.low <= w.sl AND nb.high >= w.tp THEN 'SL_and_TP_same_bar'
+        WHEN w.st = 1 AND nb.low <= w.sl THEN 'SL'
+        WHEN w.st = 1 AND nb.high >= w.tp THEN 'TP_TREND'
+        WHEN w.st = -1 AND nb.high >= w.sl AND nb.low <= w.tp THEN 'SL_and_TP_same_bar'
+        WHEN w.st = -1 AND nb.high >= w.sl THEN 'SL'
+        WHEN w.st = -1 AND nb.low <= w.tp THEN 'TP_TREND'
+        WHEN nb.i - w.entry_i >= 60 THEN 'TIME_STOP'
+      END END"""
+    exit_price = f"""CASE ({exit_reason})
+        WHEN 'SL_and_TP_same_bar' THEN w.sl WHEN 'SL' THEN w.sl
+        WHEN 'TP_TREND' THEN w.tp WHEN 'TIME_STOP' THEN nb.close END"""
+    st0 = f"CASE WHEN w.st <> 0 AND ({exit_reason}) IS NULL THEN w.st ELSE 0 END"
+    # kernel order: a fired LONG signal claims the bar; an invalid atr/risk
+    # then skips the bar entirely (no fallback to the SHORT signal)
+    long_ok = "(nb.atr IS NOT NULL AND nb.atr > 0 AND (nb.close - (nb.close - 1.6 * nb.atr)) > 0)"
+    short_ok = "(nb.atr IS NOT NULL AND nb.atr > 0 AND ((nb.close + 1.6 * nb.atr) - nb.close) > 0)"
+    enter = f"""CASE WHEN ({st0}) = 0 THEN
+        CASE WHEN nb.tl THEN (CASE WHEN {long_ok} THEN 1 ELSE 0 END)
+             WHEN nb.tsg THEN (CASE WHEN {short_ok} THEN -1 ELSE 0 END)
+             ELSE 0 END ELSE 0 END"""
+    keep = f"({st0}) <> 0"
+    entered = f"({enter}) <> 0"
+    return _HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + f"""
+    , fbt AS (
+      SELECT event_type, bucket_ts, high, low, close,
+             greatest(high - low, abs(high - lag(close) OVER wk),
+                      abs(low - lag(close) OVER wk)) AS tr
+      FROM bars WINDOW wk AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), abt AS (
+      SELECT event_type, bucket_ts, high, low, close,
+        CASE WHEN count(tr) OVER w14 = 14 THEN round(avg(tr) OVER w14, 6) END AS atr,
+        CASE WHEN count(*) OVER w20 = 20 THEN close < min(low) OVER w20 ELSE false END AS tl,
+        CASE WHEN count(*) OVER w20 = 20 THEN close > max(high) OVER w20 ELSE false END AS tsg
+      FROM fbt
+      WINDOW w14 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), nbt AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS INT) AS i
+      FROM abt
+    ), walk AS (
+      SELECT event_type, 0 AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+             0 AS st, CAST(NULL AS DOUBLE) AS entry, CAST(NULL AS DOUBLE) AS sl,
+             CAST(NULL AS DOUBLE) AS tp, CAST(NULL AS INT) AS entry_i,
+             CAST(NULL AS TIMESTAMP) AS entry_ts,
+             CAST(NULL AS VARCHAR) AS x_reason, CAST(NULL AS DOUBLE) AS x_price,
+             CAST(NULL AS DOUBLE) AS x_entry, CAST(NULL AS TIMESTAMP) AS x_entry_ts,
+             CAST(NULL AS INT) AS x_entry_i, CAST(NULL AS INT) AS x_side,
+             CAST(NULL AS DOUBLE) AS x_sl, CAST(NULL AS DOUBLE) AS x_close
+      FROM (SELECT DISTINCT event_type FROM nbt)
+      UNION ALL
+      SELECT nb.event_type, nb.i, nb.bucket_ts,
+        CASE WHEN {keep} THEN w.st ELSE ({enter}) END AS st,
+        CASE WHEN {keep} THEN w.entry WHEN {entered} THEN nb.close END AS entry,
+        CASE WHEN {keep} THEN w.sl
+             WHEN ({enter}) = 1 THEN nb.close - 1.6 * nb.atr
+             WHEN ({enter}) = -1 THEN nb.close + 1.6 * nb.atr END AS sl,
+        CASE WHEN {keep} THEN w.tp
+             WHEN ({enter}) = 1 THEN nb.close + 1.8 * (nb.close - (nb.close - 1.6 * nb.atr))
+             WHEN ({enter}) = -1 THEN nb.close - 1.8 * ((nb.close + 1.6 * nb.atr) - nb.close) END AS tp,
+        CASE WHEN {keep} THEN w.entry_i WHEN {entered} THEN nb.i END AS entry_i,
+        CASE WHEN {keep} THEN w.entry_ts WHEN {entered} THEN nb.bucket_ts END AS entry_ts,
+        ({exit_reason}) AS x_reason,
+        ({exit_price}) AS x_price,
+        CASE WHEN ({exit_reason}) IS NOT NULL THEN w.entry END AS x_entry,
+        CASE WHEN ({exit_reason}) IS NOT NULL THEN w.entry_ts END AS x_entry_ts,
+        CASE WHEN ({exit_reason}) IS NOT NULL THEN w.entry_i END AS x_entry_i,
+        CASE WHEN ({exit_reason}) IS NOT NULL THEN w.st END AS x_side,
+        CASE WHEN ({exit_reason}) IS NOT NULL THEN w.sl END AS x_sl,
+        CASE WHEN ({exit_reason}) IS NOT NULL THEN nb.close END AS x_close
+      FROM walk w JOIN nbt nb ON nb.event_type = w.event_type AND nb.i = w.i + 1
+    )
+    SELECT event_type, 'trend_twin' AS cfg, 'TREND' AS engine,
+           CASE x_side WHEN 1 THEN 'LONG' ELSE 'SHORT' END AS side,
+           x_entry_ts AS entry_ts, bucket_ts AS exit_ts,
+           -- the kernel RECORDS the bar close as exit_price (close_out);
+           -- the sl/tp fill price (x_price) feeds only the r-multiple
+           x_entry AS entry_price, x_close AS exit_price,
+           round(CASE x_side
+                 WHEN 1 THEN (x_price - x_entry) / (x_entry - x_sl)
+                 ELSE (x_entry - x_price) / (x_sl - x_entry) END, 6) AS r_mult,
+           x_reason AS exit_reason,
+           CAST(i - x_entry_i AS BIGINT) AS bars_in_trade
+    FROM walk WHERE x_reason IS NOT NULL
+    """
+
+
+@register("backtest_trend_kernel", sql=_backtest_trend_sql())
+def q_backtest_trend_kernel(spark, sf_dir):
+    """The REAL backtest position kernel, oracle-checked (SURVEY B2/A12
+    were rows-only; this twin closes the gap the same way ml_lr_gd_weights
+    does for MLlib): hourly bars -> 6-dp ATR(14) -> 20-bar band-touch
+    entry signals -> operators/backtest._position_loop run UNCHANGED
+    through its TREND path (single position, SL/TP with same-bar SL
+    priority, 60-bar time stop, exit-then-reenter same bar), while DuckDB
+    replays the identical state machine as a recursive CTE. The MR/gate
+    columns are pinned to constants that keep those branches cold — what
+    runs IS the production kernel, so any arithmetic drift in entries,
+    exits or r-multiple math fails the hash. Entries are dip-buy /
+    rip-sell (close beyond the prior 20-bar band) rather than breakout-
+    follow: on the mean-reverting test data that exercises the TP, SL and
+    TIME_STOP exits and both sides (breakout entries stop out ~100% here,
+    leaving the TP arithmetic unvalidated). ATR is 6-dp rounded in both
+    engines before the kernel so price levels are bit-identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from binance_futures_data_lake_spark.operators.backtest import (
+        TRADE_SCHEMA,
+        _position_loop,
+    )
+
+    bars = _hourly_bars(spark, sf_dir)
+    by = ["event_type"]
+    wk = Window.partitionBy(*by).orderBy("bucket_ts")
+    w14 = wk.rowsBetween(-13, 0)
+    w20 = wk.rowsBetween(-20, -1)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(wk)),
+        F.abs(F.col("low") - F.lag("close").over(wk)),
+    )
+    feat = bars.withColumn("tr", tr)
+    feat = feat.withColumn(
+        "atr14",
+        F.when(F.count("tr").over(w14) == 14, F.round(F.avg("tr").over(w14), 6)),
+    ).withColumn(
+        "trend_long_signal",
+        F.when(F.count(F.lit(1)).over(w20) == 20,
+               F.col("close") < F.min("low").over(w20)).otherwise(F.lit(False)),
+    ).withColumn(
+        "trend_short_signal",
+        F.when(F.count(F.lit(1)).over(w20) == 20,
+               F.col("close") > F.max("high").over(w20)).otherwise(F.lit(False)),
+    )
+    # pin the MR/router/gate machinery cold: router matches the TREND
+    # position's need (no flip), MR signals never fire, gates pass at 1x
+    kin = feat.select(
+        "event_type",
+        F.col("bucket_ts").alias("ts"),
+        "high", "low", "close", "atr14",
+        F.lit(0.5).alias("close_pos"),
+        F.lit("TREND").alias("router_mode_h1"),
+        F.lit("MID").alias("vol_state"),
+        "trend_long_signal", "trend_short_signal",
+        F.lit(False).alias("mr_long_signal"),
+        F.lit(False).alias("mr_short_signal"),
+        F.lit(True).alias("gate_allow_long"),
+        F.lit(True).alias("gate_allow_short"),
+        F.lit(1.0).alias("gate_size_mult_long"),
+        F.lit(1.0).alias("gate_size_mult_short"),
+        F.lit("trend_twin").alias("name"),
+        F.lit(False).alias("vol_filter_high"),
+        F.lit(20).alias("mr_time_stop"),
+        F.lit(0.5).alias("mr_tp1_cp"),
+        F.lit(0.6).alias("tp_cp"),
+        F.lit(0.5).alias("tp1_fraction"),
+        F.lit(0.05).alias("mr_be_offset_r"),
+        F.lit(1.8).alias("mr_sl_atr"),
+        F.lit("TREND_FIRST").alias("priority"),
+    )
+    out_schema = T.StructType(
+        [T.StructField("event_type", T.StringType())] + list(TRADE_SCHEMA.fields)
+    )
+
+    def kernel(key, pdf):
+        trades = _position_loop(pdf, ["ts"], ["event_type"])
+        trades.insert(0, "event_type", key[0])
+        return trades
+
+    trades = kin.repartition(*by).groupBy(*by).applyInPandas(kernel, schema=out_schema)
+    return trades.select(
+        "event_type", "cfg", "engine", "side", "entry_ts", "exit_ts",
+        "entry_price", "exit_price", r6(F.col("r_mult")).alias("r_mult"),
+        "exit_reason", "bars_in_trade",
+    )
+
+
 def _market_pipeline_sql() -> str:
     """Compose the sticky-regime recursive CTE with an ASOF join back onto
     the raw event stream plus a per-(type, state) rollup — the oracle for
