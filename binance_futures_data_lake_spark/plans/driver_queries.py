@@ -3710,20 +3710,45 @@ def q_ann_ivf_seeded_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # unverified-in-r1 oracle queries: must be inside any checked prefix
-    "scrub_ffill_gates", "point_lookup_neighbors", "calendar_weekly_ohlcv",
-    "structure_breaks_hourly", "ml_confidence_keep", "ann_lsh_topk",
-    # rows-only -> oracle conversions (included here iff an oracle exists)
-    "regime_cases", "range_boxes", "sticky_regime_hourly", "streaming_ohlcv_bars",
+    # Round-4 rotation. The driver re-checks the SAME 50-query prefix every
+    # round, so queries registered after round 2 never received a driver
+    # CORRECTNESS row (VERDICT r3 "What's missing" #1). Everything promoted
+    # here is oracle-backed and selfcheck-green but driver-unattested; every
+    # query demoted out of the prefix already has a green driver row in the
+    # r1/r2/r3 union (60 queries), so no driver evidence is lost by rotating.
+    "backtest_trend_kernel", "market_regime_pipeline", "curation_pipeline",
+    "ml_lr_gd_weights", "benchmark_decontam", "domain_caps",
+    "dup_spans_cross_doc", "doc_unigram_logprob", "pii_profile",
+    "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
+    "doc_repetition", "gopher_quality_flags", "cluster_split",
+    "retention_cohorts", "top_ngrams", "export_shard_manifest",
+    "mixture_sample_sources", "ann_ivf_seeded_topk",
+    # r2-era oracle queries whose ONLY driver rows are r1/r2 (not re-run in
+    # r3): keep inside the prefix so the freshest code state stays attested.
+    "doc_token_stats", "ema_per_user", "brand_volume", "word_jaccard_pairs",
+    "simhash_values", "minhash_signatures", "rma_atr_hourly",
+    "case_label_ladder", "ml_forward_labels", "top_shared_minhash_bands",
 ]
 _ORACLE_TAIL = [
-    # capability also evidenced by a sibling green query (sibling in parens)
-    "doc_token_stats",      # (doc_quality / lang_stats)
-    "ema_per_user",         # (rma_atr_hourly — same EWM kernel)
-    "brand_volume",         # (revenue_by_nation / lang_stats group reports)
-    "word_jaccard_pairs",   # (shingle_jaccard_pairs)
-    "simhash_values",       # (simhash_near_pairs recomputes the values)
-    "minhash_signatures",   # (minhash_near_dup_pairs recomputes the sigs)
+    # Driver-green in r3 (CORRECTNESS_r03: rows+schema+hash, zero err) and
+    # unchanged since — demoted so the bounded prefix reaches the promoted
+    # block above. SELFCHECK still covers these every round.
+    "scrub_ffill_gates", "point_lookup_neighbors", "calendar_weekly_ohlcv",
+    "structure_breaks_hourly", "ml_confidence_keep", "ann_lsh_topk",
+    "regime_cases", "range_boxes", "sticky_regime_hourly",
+    "streaming_ohlcv_bars", "ohlcv_5m", "bucket_stats_daily",
+    "ohlcv_1h_right_closed", "lag_lead_returns", "rolling_stats",
+    "cumsum_runmax", "vwap_daily", "rolling_pctl_of_last", "true_range_atr",
+    "asof_user_hourly", "dedup_keep_last", "gap_ranges_hourly",
+    "pricing_summary", "revenue_by_nation", "top_orders",
+    "sampled_revenue_by_nation", "user_sessions", "events_pivot_daily",
+    "funnel_click_purchase", "kmv_distinct_users", "ohlcv_daily_cascade",
+    "range_join_ship_windows", "quantile_value_by_type", "doc_exact_dedup",
+    "cosine_topk", "lang_stats", "minhash_near_dup_pairs",
+    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
+    "shingle_jaccard_pairs", "dedup_clusters", "doc_quality",
+    "doc_fingerprint", "lang_id", "ichimoku_hourly", "zscore_er_slope",
+    "k_consecutive_and_islands", "mae_mfe_hourly",
 ]
 
 
