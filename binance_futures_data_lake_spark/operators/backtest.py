@@ -66,6 +66,13 @@ class Cfg:
     session_name: str = "US_15_16"
     session_hours: str = "15,16"
     minute_guard: int = 15
+    # event-simulator extras (backtest_router_event_v1_1.py) — defaults OFF
+    # so the sweep kernel's r1-r3 semantics (and hashes) are unchanged:
+    # cooldown_after_loss > 0 blocks entries for that many bars after a
+    # losing close (:64-66,:264-270,:368-369); cost_r_per_trade nets a
+    # per-roundtrip cost out of each trade's pnl_r (:59-61,:272-275).
+    cooldown_after_loss: int = 0
+    cost_r_per_trade: float = 0.0
 
 
 BASE_COLS = [
@@ -198,6 +205,11 @@ TRADE_SCHEMA = T.StructType(
         T.StructField("entry_price", T.DoubleType()),
         T.StructField("exit_price", T.DoubleType()),
         T.StructField("r_mult", T.DoubleType()),
+        # net R after the per-roundtrip cost (== r_mult when
+        # cost_r_per_trade is 0; backtest_router_event_v1_1.py:272-275
+        # charges the cost against equity at entry — per-trade that is
+        # gross R minus one roundtrip cost)
+        T.StructField("pnl_r", T.DoubleType()),
         T.StructField("exit_reason", T.StringType()),
         T.StructField("bars_in_trade", T.LongType()),
     ]
@@ -225,18 +237,28 @@ def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> 
     gal, gas = g("gate_allow_long"), g("gate_allow_short")
     gml, gms = g("gate_size_mult_long"), g("gate_size_mult_short")
 
+    cooldown_bars = int(cfg.get("cooldown_after_loss", 0) or 0)
+    cost_r = float(cfg.get("cost_r_per_trade", 0.0) or 0.0)
+
     pos = None
     rows = []
+    cooldown_until = -1  # backtest_router_event_v1_1.py:262
 
     def close_out(i, rr, reason):
+        nonlocal cooldown_until
         rows.append(
             (
                 cfg["name"], pos["engine"], pos["side"],
                 ts[pos["entry_i"]], ts[i],
-                float(pos["entry"]), float(close[i]), float(rr), reason,
+                float(pos["entry"]), float(close[i]), float(rr),
+                float(rr - cost_r), reason,
                 int(i - pos["entry_i"]),
             )
         )
+        # cooldown triggers on the GROSS trade result, matching the event
+        # simulator (its pnl_r excludes costs; :368-369)
+        if cooldown_bars > 0 and rr < 0:
+            cooldown_until = i + cooldown_bars
 
     n = len(pdf)
     for i in range(n):
@@ -315,6 +337,10 @@ def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> 
 
         if ONE_POSITION_MAX and pos is not None:
             continue
+        # a losing close at THIS bar already set cooldown_until >= i, so
+        # same-bar re-entry after a loss is blocked (:268-269 `i <=`)
+        if i <= cooldown_until:
+            continue
 
         cand = [
             ("RANGE", "LONG", bool(ml[i]) and ALLOW_LONGS and bool(gal[i])),
@@ -358,7 +384,7 @@ def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> 
         rows,
         columns=[
             "cfg", "engine", "side", "entry_ts", "exit_ts", "entry_price",
-            "exit_price", "r_mult", "exit_reason", "bars_in_trade",
+            "exit_price", "r_mult", "pnl_r", "exit_reason", "bars_in_trade",
         ],
     )
 
@@ -434,6 +460,112 @@ def sweep_stats(trades: DataFrame, by: Sequence[str] = ("cfg",)) -> DataFrame:
         rate(F.col("exit_reason").isin("FLIP_ROUTER", "VOL_HIGH_KILL")).alias("FLIP_rate"),
         rate(F.col("exit_reason") == "TIME_STOP").alias("TIME_rate"),
     )
+
+
+def equity_curve(
+    bars: DataFrame,
+    trades: DataFrame,
+    by: Sequence[str] = ("symbol",),
+    ts_col: str = "ts",
+    initial: float = 1.0,
+    cost_r_per_trade: float = 0.0,
+    r_col: str = "r_mult",
+) -> DataFrame:
+    """Per-bar equity curve in R-units (backtest_router_event_v1_1.py:
+    256-280,436): ``equity_r`` at each bar is the equity BEFORE that
+    bar's events — the simulator records ``equity_curve[i] = equity`` at
+    the top of the loop, then applies exits (+gross R, :344-345) and
+    entry costs (−cost, :272-275) for bar i.
+
+    Spark-first: the in-loop accounting is re-expressed as two grouped
+    delta tables (gross R summed per exit bar; −cost per entry) joined
+    onto the bars and a single strictly-before running sum per key — one
+    window pass, no kernel, so the curve for a 5000-group sweep stays
+    declarative. Derived from CLOSED trades: a position still open at the
+    data edge contributes its entry cost only once it closes (the in-loop
+    simulator charges it immediately — a ≤1-trade tail difference).
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    exits = trades.groupBy(*by, F.col("exit_ts").alias(ts_col)).agg(
+        F.sum(r_col).alias("__d_exit")
+    )
+    entries = trades.groupBy(*by, F.col("entry_ts").alias(ts_col)).agg(
+        (-F.lit(float(cost_r_per_trade)) * F.count(F.lit(1))).alias("__d_entry")
+    )
+    keys = by + [ts_col]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    delta = F.coalesce(F.col("__d_exit"), F.lit(0.0)) + F.coalesce(
+        F.col("__d_entry"), F.lit(0.0)
+    )
+    return (
+        bars.select(*keys)
+        .join(exits, keys, "left")
+        .join(entries, keys, "left")
+        .withColumn(
+            "equity_r", F.lit(float(initial)) + F.coalesce(F.sum(delta).over(w), F.lit(0.0))
+        )
+        .select(*keys, "equity_r")
+    )
+
+
+def with_drawdown(
+    equity: DataFrame,
+    by: Sequence[str] = ("symbol",),
+    ts_col: str = "ts",
+    eq_col: str = "equity_r",
+) -> DataFrame:
+    """Running peak-to-trough drawdown over an equity curve
+    (backtest_router_event_v1_1.py:133-142 ``_max_drawdown``, as a
+    windowed runmax instead of the reference's per-element loop):
+    ``drawdown_r = runmax(equity) − equity`` per key, so
+    ``max(drawdown_r)`` is the simulator's ``max_drawdown_r``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*list(by))
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return equity.withColumn("drawdown_r", F.max(eq_col).over(w) - F.col(eq_col))
+
+
+def backtest_metrics(
+    trades: DataFrame,
+    equity: DataFrame,
+    by: Sequence[str] = ("cfg",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-simulator summary metrics (backtest_router_event_v1_1.py:
+    440-453): n_trades, winrate, avg/median/sum R, profit factor from the
+    trades; max_drawdown_r from the per-bar equity curve. Two plain
+    aggregations broadcast-joined on the (small) per-key grain."""
+    by = list(by)
+    r = F.col("r_mult")
+    gains = F.sum(F.when(r > 0, r).otherwise(0.0))
+    losses = -F.sum(F.when(r < 0, r).otherwise(0.0))
+    pf = F.when(losses <= 0, F.when(gains > 0, float("inf")).otherwise(0.0)).otherwise(
+        gains / losses
+    )
+    n = F.count(F.lit(1))
+    t = trades.groupBy(*by).agg(
+        n.alias("n_trades"),
+        (F.sum(F.when(r > 0, 1).otherwise(0)) / n).alias("winrate"),
+        F.avg(r).alias("avg_r"),
+        F.expr("percentile(r_mult, 0.5)").alias("median_r"),
+        pf.alias("profit_factor"),
+        F.sum(r).alias("sum_r"),
+        F.sum("pnl_r").alias("sum_r_net"),
+    )
+    dd = with_drawdown(equity, by, ts_col).groupBy(*by).agg(
+        F.max("drawdown_r").alias("max_drawdown_r")
+    )
+    return t.join(dd, by, "left")
 
 
 def mae_mfe(

@@ -166,9 +166,12 @@ def lr_gd_weights(
     groupBy(pos) aggregate. No driver-side collect anywhere — the weight
     "vector" never leaves the cluster, so the same code shape trains on a
     billion-row embedding table (each iteration = one broadcast + two
-    aggregations). Weights are 6-dp rounded between iterations in BOTH
-    engines, which resets cross-engine float-summation drift each step
-    and is what keeps a 3-iteration recursion hash-comparable.
+    aggregations). Every float REDUCTION (dot products, gradient sums,
+    weights) is 6-dp rounded in BOTH engines — a sum is the one place
+    summation ORDER leaks engine-dependent drift, so rounding at each sum
+    (not only at the weight update, r3 ADVICE) means every downstream
+    stage consumes bit-identical inputs in both engines and the drift
+    surface per rounding step is a single un-compounded float-sum.
 
     Output: ``(pos, weight)`` — the trained weight per feature dimension.
     """
@@ -188,13 +191,13 @@ def lr_gd_weights(
         dot = (
             X.join(F.broadcast(w), "pos")
             .groupBy("id", "y")
-            .agg(F.sum(F.col("x") * F.col("wt")).alias("z"))
+            .agg(round6(F.sum(F.col("x") * F.col("wt"))).alias("z"))
         )
         sig = dot.withColumn("err", 1.0 / (1.0 + F.exp(-F.col("z"))) - F.col("y"))
         grad = (
             X.join(sig.select("id", "err"), "id")
             .groupBy("pos")
-            .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
+            .agg(round6(F.sum(F.col("x") * F.col("err"))).alias("g"))
         )
         w = (
             w.join(grad, "pos")

@@ -42,16 +42,33 @@ def weekly_candles_frame(
     ts_col: str = "ts",
     value_col: str = "close",
     max_weeks: int = 0,
+    ohlc_cols: bool | None = None,
 ) -> DataFrame:
     """Plot-ready weekly OHLC frame (the data half of the reference plot).
+
+    ``ohlc_cols`` selects the aggregation mode. ``True`` rolls existing
+    open/high/low/close columns (klines bars — weekly open = first bar's
+    open, high = max of highs; plot_weekly_candles_v1.py:60-68).
+    ``False`` builds candles from the single ``value_col`` (tick
+    streams). ``None`` (default) auto-detects: OHLC mode iff the frame
+    carries all four columns, so klines input gets true wicks without
+    callers opting in.
 
     ``max_weeks > 0`` keeps only the LAST n weeks per key — applied
     in-plan (per-key rank over week desc), so the cap happens before any
     collection regardless of history length.
     """
-    from binance_futures_data_lake_spark.operators.resample import calendar_ohlcv
+    from binance_futures_data_lake_spark.operators.resample import (
+        calendar_ohlcv,
+        calendar_rollup_bars,
+    )
 
-    w = calendar_ohlcv(df, "week", key_cols, ts_col=ts_col, value_col=value_col)
+    if ohlc_cols is None:
+        ohlc_cols = {"open", "high", "low", "close"}.issubset(df.columns)
+    if ohlc_cols:
+        w = calendar_rollup_bars(df, "week", key_cols, ts_col=ts_col)
+    else:
+        w = calendar_ohlcv(df, "week", key_cols, ts_col=ts_col, value_col=value_col)
     w = w.withColumnRenamed("bucket_ts", "week_ts")
     if max_weeks > 0:
         rank = F.row_number().over(

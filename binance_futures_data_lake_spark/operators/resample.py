@@ -277,6 +277,44 @@ def with_availability(
     )
 
 
+def calendar_rollup_bars(
+    df: DataFrame,
+    unit: str,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Roll bars that ALREADY carry open/high/low/close columns up to a
+    calendar bucket — weekly open = first bar's *open* (time-ordered),
+    high = max(high), low = min(low), close = last bar's *close*.
+
+    This is the aggregation plot_weekly_candles_v1.py:60-68 does with
+    pandas ``resample("W-MON").agg({"open": "first", "high": "max",
+    "low": "min", "close": "last"})``; ``calendar_ohlcv`` by contrast
+    builds candles from a single value column (tick streams), which on
+    klines input would understate wicks (high = max of closes) and shift
+    opens (open = first close). Same single-shuffle min_by/max_by shape
+    as ``rollup_bars``.
+    """
+    unit = unit.lower()
+    if unit not in ("day", "week", "month", "quarter", "year", "hour"):
+        raise ValueError(f"unsupported calendar unit: {unit}")
+    order = F.col(ts_col)
+    aggs = [
+        F.min_by("open", order).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", order).alias("close"),
+    ]
+    if "volume" in df.columns:
+        aggs.append(F.sum("volume").alias("volume"))
+    aggs.append(F.count(F.lit(1)).alias("n_bars"))
+    return (
+        df.withColumn("bucket_ts", F.date_trunc(unit, F.col(ts_col)))
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(*aggs)
+    )
+
+
 def calendar_ohlcv(
     df: DataFrame,
     unit: str,

@@ -1959,11 +1959,24 @@ def _backtest_trend_sql() -> str:
         WHEN 'SL_and_TP_same_bar' THEN w.sl WHEN 'SL' THEN w.sl
         WHEN 'TP_TREND' THEN w.tp WHEN 'TIME_STOP' THEN nb.close END"""
     st0 = f"CASE WHEN w.st <> 0 AND ({exit_reason}) IS NULL THEN w.st ELSE 0 END"
+    # r4 event-simulator extras, active in this twin so the driver row
+    # attests them: 5-bar cooldown after a LOSING close (gross R < 0 ⟺
+    # exit fill worse than entry; risk > 0 so the sign test is exact) and
+    # a 0.02 R per-roundtrip cost netted into pnl_r. The kernel sets
+    # cooldown at the exit bar BEFORE the same bar's entry check
+    # (backtest_router_event_v1_1.py:264-270,368-369), so the entry gate
+    # reads the UPDATED cool value (cool1), blocking same-bar re-entry
+    # after a loss.
+    loss = f"CASE WHEN w.st = 1 THEN ({exit_price}) < w.entry ELSE ({exit_price}) > w.entry END"
+    cool1 = (
+        f"CASE WHEN ({exit_reason}) IS NOT NULL AND ({loss}) "
+        f"THEN nb.i + 5 ELSE w.cool END"
+    )
     # kernel order: a fired LONG signal claims the bar; an invalid atr/risk
     # then skips the bar entirely (no fallback to the SHORT signal)
     long_ok = "(nb.atr IS NOT NULL AND nb.atr > 0 AND (nb.close - (nb.close - 1.6 * nb.atr)) > 0)"
     short_ok = "(nb.atr IS NOT NULL AND nb.atr > 0 AND ((nb.close + 1.6 * nb.atr) - nb.close) > 0)"
-    enter = f"""CASE WHEN ({st0}) = 0 THEN
+    enter = f"""CASE WHEN ({st0}) = 0 AND nb.i > ({cool1}) THEN
         CASE WHEN nb.tl THEN (CASE WHEN {long_ok} THEN 1 ELSE 0 END)
              WHEN nb.tsg THEN (CASE WHEN {short_ok} THEN -1 ELSE 0 END)
              ELSE 0 END ELSE 0 END"""
@@ -1994,7 +2007,8 @@ def _backtest_trend_sql() -> str:
              CAST(NULL AS VARCHAR) AS x_reason, CAST(NULL AS DOUBLE) AS x_price,
              CAST(NULL AS DOUBLE) AS x_entry, CAST(NULL AS TIMESTAMP) AS x_entry_ts,
              CAST(NULL AS INT) AS x_entry_i, CAST(NULL AS INT) AS x_side,
-             CAST(NULL AS DOUBLE) AS x_sl, CAST(NULL AS DOUBLE) AS x_close
+             CAST(NULL AS DOUBLE) AS x_sl, CAST(NULL AS DOUBLE) AS x_close,
+             -1 AS cool
       FROM (SELECT DISTINCT event_type FROM nbt)
       UNION ALL
       SELECT nb.event_type, nb.i, nb.bucket_ts,
@@ -2015,7 +2029,8 @@ def _backtest_trend_sql() -> str:
         CASE WHEN ({exit_reason}) IS NOT NULL THEN w.entry_i END AS x_entry_i,
         CASE WHEN ({exit_reason}) IS NOT NULL THEN w.st END AS x_side,
         CASE WHEN ({exit_reason}) IS NOT NULL THEN w.sl END AS x_sl,
-        CASE WHEN ({exit_reason}) IS NOT NULL THEN nb.close END AS x_close
+        CASE WHEN ({exit_reason}) IS NOT NULL THEN nb.close END AS x_close,
+        ({cool1}) AS cool
       FROM walk w JOIN nbt nb ON nb.event_type = w.event_type AND nb.i = w.i + 1
     )
     SELECT event_type, 'trend_twin' AS cfg, 'TREND' AS engine,
@@ -2027,6 +2042,9 @@ def _backtest_trend_sql() -> str:
            round(CASE x_side
                  WHEN 1 THEN (x_price - x_entry) / (x_entry - x_sl)
                  ELSE (x_entry - x_price) / (x_sl - x_entry) END, 6) AS r_mult,
+           round((CASE x_side
+                 WHEN 1 THEN (x_price - x_entry) / (x_entry - x_sl)
+                 ELSE (x_entry - x_price) / (x_sl - x_entry) END) - 0.02, 6) AS pnl_r,
            x_reason AS exit_reason,
            CAST(i - x_entry_i AS BIGINT) AS bars_in_trade
     FROM walk WHERE x_reason IS NOT NULL
@@ -2044,7 +2062,11 @@ def q_backtest_trend_kernel(spark, sf_dir):
     replays the identical state machine as a recursive CTE. The MR/gate
     columns are pinned to constants that keep those branches cold — what
     runs IS the production kernel, so any arithmetic drift in entries,
-    exits or r-multiple math fails the hash. Entries are dip-buy /
+    exits or r-multiple math fails the hash. r4: the event-simulator
+    extras run HOT here — 5-bar cooldown-after-loss (which deletes
+    post-loss entries, so a cooldown bug changes the trade LIST, not just
+    a column) and a 0.02 R roundtrip cost netted into pnl_r
+    (backtest_router_event_v1_1.py:64-66,272-275,368-369). Entries are dip-buy /
     rip-sell (close beyond the prior 20-bar band) rather than breakout-
     follow: on the mean-reverting test data that exercises the TP, SL and
     TIME_STOP exits and both sides (breakout entries stop out ~100% here,
@@ -2106,6 +2128,10 @@ def q_backtest_trend_kernel(spark, sf_dir):
         F.lit(0.05).alias("mr_be_offset_r"),
         F.lit(1.8).alias("mr_sl_atr"),
         F.lit("TREND_FIRST").alias("priority"),
+        # r4 event-simulator extras, ACTIVE so the driver row attests them:
+        # 5-bar cooldown after a losing close + 0.02 R roundtrip cost
+        F.lit(5).alias("cooldown_after_loss"),
+        F.lit(0.02).alias("cost_r_per_trade"),
     )
     out_schema = T.StructType(
         [T.StructField("event_type", T.StringType())] + list(TRADE_SCHEMA.fields)
@@ -2120,7 +2146,84 @@ def q_backtest_trend_kernel(spark, sf_dir):
     return trades.select(
         "event_type", "cfg", "engine", "side", "entry_ts", "exit_ts",
         "entry_price", "exit_price", r6(F.col("r_mult")).alias("r_mult"),
+        r6(F.col("pnl_r")).alias("pnl_r"),
         "exit_reason", "bars_in_trade",
+    )
+
+
+@register(
+    "backtest_equity_curve",
+    sql=_HOURLY_BARS_SQL + """
+    , num AS (
+      SELECT event_type, bucket_ts, close,
+             row_number() OVER wk AS rn,
+             lead(bucket_ts, 5) OVER wk AS exit_ts,
+             round((lead(close, 5) OVER wk - close) / close * 100, 6) AS r
+      FROM bars WINDOW wk AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), tr AS (
+      SELECT event_type, bucket_ts AS entry_ts, exit_ts, r
+      FROM num WHERE rn % 37 = 1 AND exit_ts IS NOT NULL
+    ), dx AS (
+      SELECT event_type, exit_ts AS bucket_ts, sum(r) AS d_exit
+      FROM tr GROUP BY 1, 2
+    ), de AS (
+      SELECT event_type, entry_ts AS bucket_ts, -0.01 * count(*) AS d_entry
+      FROM tr GROUP BY 1, 2
+    ), eqd AS (
+      SELECT b.event_type, b.bucket_ts,
+             1.0 + coalesce(sum(coalesce(dx.d_exit, 0) + coalesce(de.d_entry, 0)) OVER
+               (PARTITION BY b.event_type ORDER BY b.bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS equity_r
+      FROM bars b LEFT JOIN dx USING (event_type, bucket_ts)
+                  LEFT JOIN de USING (event_type, bucket_ts)
+    )
+    SELECT event_type, bucket_ts, round(equity_r, 6) AS equity_r,
+           round(max(equity_r) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - equity_r, 6)
+             AS drawdown_r
+    FROM eqd
+    """,
+)
+def q_backtest_equity_curve(spark, sf_dir):
+    """Event-simulator equity-curve emission + drawdown
+    (backtest_router_event_v1_1.py:256-280,133-142), oracle-checked per
+    BAR: ``equity_r`` at bar i is the equity BEFORE bar i's events
+    (+gross R at exits, −0.01 R cost at entries), exactly the
+    simulator's ``equity_curve[i] = equity`` top-of-loop sample;
+    ``drawdown_r`` is the running peak-to-trough. Trades here are a
+    deterministic non-overlapping window rule (every 37th bar, 5-bar
+    hold) so the equity/cost/drawdown MACHINERY — delta join, strictly-
+    before cumsum frame, runmax — is what the hash checks, in plain SQL
+    with no recursion (the kernel's trade generation is attested
+    separately by backtest_trend_kernel)."""
+    from pyspark.sql import Window
+
+    from binance_futures_data_lake_spark.operators.backtest import (
+        equity_curve,
+        with_drawdown,
+    )
+
+    bars = _hourly_bars(spark, sf_dir)
+    wk = Window.partitionBy("event_type").orderBy("bucket_ts")
+    num = bars.select(
+        "event_type", "bucket_ts", "close",
+        F.row_number().over(wk).alias("rn"),
+        F.lead("bucket_ts", 5).over(wk).alias("exit_ts"),
+        r6((F.lead("close", 5).over(wk) - F.col("close")) / F.col("close") * 100)
+        .alias("r_mult"),
+    )
+    tr = num.filter((F.col("rn") % 37 == 1) & F.col("exit_ts").isNotNull()).select(
+        "event_type", F.col("bucket_ts").alias("entry_ts"), "exit_ts", "r_mult"
+    )
+    eq = equity_curve(
+        bars, tr, by=["event_type"], ts_col="bucket_ts",
+        initial=1.0, cost_r_per_trade=0.01,
+    )
+    dd = with_drawdown(eq, ["event_type"], ts_col="bucket_ts")
+    return dd.select(
+        "event_type", "bucket_ts",
+        r6(F.col("equity_r")).alias("equity_r"),
+        r6(F.col("drawdown_r")).alias("drawdown_r"),
     )
 
 
@@ -2218,29 +2321,29 @@ def q_ml_lr_embeddings(spark, sf_dir):
     ), w0 AS (
       SELECT DISTINCT pos, 0.0 AS wt FROM x
     ), d1 AS (
-      SELECT id, y, sum(x.x * w.wt) AS z FROM x JOIN w0 w USING (pos) GROUP BY 1, 2
+      SELECT id, y, round(sum(x.x * w.wt), 6) AS z FROM x JOIN w0 w USING (pos) GROUP BY 1, 2
     ), e1 AS (
       SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d1
     ), g1 AS (
-      SELECT pos, sum(x.x * e.err) AS g FROM x JOIN e1 e USING (id) GROUP BY 1
+      SELECT pos, round(sum(x.x * e.err), 6) AS g FROM x JOIN e1 e USING (id) GROUP BY 1
     ), w1 AS (
       SELECT w0.pos, round(w0.wt - 0.1 * g1.g / nn.n, 6) AS wt
       FROM w0 JOIN g1 USING (pos) CROSS JOIN nn
     ), d2 AS (
-      SELECT id, y, sum(x.x * w.wt) AS z FROM x JOIN w1 w USING (pos) GROUP BY 1, 2
+      SELECT id, y, round(sum(x.x * w.wt), 6) AS z FROM x JOIN w1 w USING (pos) GROUP BY 1, 2
     ), e2 AS (
       SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d2
     ), g2 AS (
-      SELECT pos, sum(x.x * e.err) AS g FROM x JOIN e2 e USING (id) GROUP BY 1
+      SELECT pos, round(sum(x.x * e.err), 6) AS g FROM x JOIN e2 e USING (id) GROUP BY 1
     ), w2 AS (
       SELECT w1.pos, round(w1.wt - 0.1 * g2.g / nn.n, 6) AS wt
       FROM w1 JOIN g2 USING (pos) CROSS JOIN nn
     ), d3 AS (
-      SELECT id, y, sum(x.x * w.wt) AS z FROM x JOIN w2 w USING (pos) GROUP BY 1, 2
+      SELECT id, y, round(sum(x.x * w.wt), 6) AS z FROM x JOIN w2 w USING (pos) GROUP BY 1, 2
     ), e3 AS (
       SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d3
     ), g3 AS (
-      SELECT pos, sum(x.x * e.err) AS g FROM x JOIN e3 e USING (id) GROUP BY 1
+      SELECT pos, round(sum(x.x * e.err), 6) AS g FROM x JOIN e3 e USING (id) GROUP BY 1
     ), w3 AS (
       SELECT w2.pos, round(w2.wt - 0.1 * g3.g / nn.n, 6) AS wt
       FROM w2 JOIN g3 USING (pos) CROSS JOIN nn
@@ -2253,9 +2356,10 @@ def q_ml_lr_gd_weights(spark, sf_dir):
     full-batch gradient descent (y = label%2, w0 = 0, lr = 0.1) as pure
     relational algebra — posexplode the feature matrix once, per
     iteration one broadcast of the 64-row weight table + two aggregations
-    (dot products, gradient). Weights 6-dp rounded between iterations in
-    both engines, resetting cross-engine float-summation drift so the
-    recursion stays hash-comparable (operators/ml.py:lr_gd_weights)."""
+    (dot products, gradient). Every float reduction — dot products,
+    gradient sums, weights — is 6-dp rounded in both engines, so each
+    stage consumes bit-identical inputs and summation-order drift never
+    compounds across iterations (operators/ml.py:lr_gd_weights)."""
     from binance_futures_data_lake_spark.operators.ml import lr_gd_weights
 
     emb = load_table(spark, "embeddings", sf_dir)

@@ -99,9 +99,15 @@ def exchange_count(df: DataFrame, execute: bool = True) -> int:
     # an executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
     # "== Initial Plan ==" — count only the plan that actually ran
     plan = plan.split("== Initial Plan ==")[0]
+    # Count every Exchange form: hash/range/single for joins+aggs+sorts,
+    # RoundRobinPartitioning for plain repartition(n)/rebalance, and
+    # PartitioningCollection for composite requirements — a zero-shuffle
+    # assertion must not pass just because the shuffle used an unlisted
+    # partitioning scheme.
     return len(
         re.findall(
-            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition"
+            r"|RoundRobinPartitioning|PartitioningCollection)",
             plan,
         )
     )

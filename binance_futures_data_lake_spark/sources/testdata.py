@@ -54,17 +54,24 @@ def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         # newer readers ingest TIMESTAMP(NANOS) natively as NTZ (µs
         # truncation, same as DuckDB); normalize to TIMESTAMP so downstream
-        # epoch math (unix_micros rejects NTZ) sees one type. The cast
+        # epoch math (unix_micros rejects NTZ) sees one type. A bare cast
         # reinterprets wall-clock in the SESSION timezone — the file's
         # wall-clocks are UTC instants, so on a hosting session running in
-        # any other zone the cast would silently shift every event. Pin the
-        # session to UTC first (same hosting-session contract as the
-        # nanosAsLong conf above; every engine query assumes UTC anyway).
-        if spark.conf.get("spark.sql.session.timeZone") not in (
-            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
-        ):
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # any other zone the cast would silently shift every event. Rather
+        # than repinning the session to UTC (a permanent side effect on
+        # everything else the hosting session runs — r3 ADVICE), make the
+        # conversion timezone-independent in-plan: shift the UTC wall-clock
+        # to the session zone's wall-clock first, so the session-zoned cast
+        # lands on the original UTC instant whatever the zone is. Both
+        # convert_timezone and the cast read current_timezone() at
+        # EXECUTION time, so the pair stays consistent even if the session
+        # zone changes between plan build and run.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+            ),
+        )
     return df
 
 

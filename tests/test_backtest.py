@@ -153,3 +153,100 @@ def test_full_pipeline_to_sweep_smoke(spark):
     stats = sweep_stats(trades)
     stats.collect()
     assert set(trades.columns) >= {"cfg", "engine", "side", "r_mult", "exit_reason", "symbol"}
+
+
+def test_cooldown_after_loss_blocks_reentry(spark):
+    """backtest_router_event_v1_1.py:64-66,264-270: after a LOSING close at
+    bar i, entries are blocked while i <= cooldown_until (= loss bar +
+    cooldown_after_loss); a winning close sets no cooldown."""
+    rows = [list(_quiet(i)) for i in range(12)]
+    # bar1: TREND long entry (close=100, atr=1 -> sl 98.4)
+    rows[1][8:13] = ["TREND", "BULL", "MID", True, True]
+    rows[1][5:8] = [0.8, 0.5, 1.0]
+    # bar2: SL hit (low <= 98.4) -> loss, r = -1
+    rows[2][2] = 98.0
+    rows[2][8] = "TREND"
+    # bars 3..6: fresh TREND long signals every bar — all inside cooldown 4
+    for j in range(3, 7):
+        rows[j][8:13] = ["TREND", "BULL", "MID", True, True]
+        rows[j][5:8] = [0.8, 0.5, 1.0]
+    # bar 7: signal AFTER cooldown expiry (2 + 4 = 6 -> entry ok at 7)
+    rows[7][8:13] = ["TREND", "BULL", "MID", True, True]
+    rows[7][5:8] = [0.8, 0.5, 1.0]
+    # bar 8: TP bar closes whichever position is open (tp = 102.88)
+    rows[8][1] = 103.0
+    for j in range(8, 12):
+        rows[j][8] = "TREND"  # keep router TREND: no flip exit
+
+    with_cd = Cfg(name="cd", cooldown_after_loss=4)
+    no_cd = Cfg(name="nocd")
+    trades = run_sweep(_bars(spark, rows), [with_cd, no_cd]).toPandas()
+    cd = trades[trades["cfg"] == "cd"].sort_values("entry_ts")
+    nocd = trades[trades["cfg"] == "nocd"].sort_values("entry_ts")
+    assert len(cd) == 2 and len(nocd) == 2
+    # without cooldown: loss at bar2 then immediate re-entry at bar3
+    assert pd.Timestamp(nocd.iloc[1]["entry_ts"]).minute == 33  # bar3
+    # with cooldown: next entry deferred to bar7
+    assert pd.Timestamp(cd.iloc[1]["entry_ts"]).minute == 37  # bar7
+    # gross r_mult identical accounting; first trade is the -1R stop in both
+    assert abs(cd.iloc[0]["r_mult"] + 1.0) < 1e-9
+
+
+def test_cost_nets_pnl_r(spark):
+    """cost_r_per_trade nets a roundtrip cost out of pnl_r; r_mult stays
+    gross (the simulator charges equity at entry, :272-275)."""
+    rows = [list(_quiet(i)) for i in range(6)]
+    rows[1][8:13] = ["TREND", "BULL", "MID", True, True]
+    rows[1][5:8] = [0.8, 0.5, 1.0]
+    rows[2][1] = 103.0
+    rows[2][8] = "TREND"
+    rows[3][8] = "TREND"
+    trades = run_sweep(
+        _bars(spark, rows), [Cfg(name="c", cost_r_per_trade=0.05)]
+    ).toPandas()
+    t = trades.iloc[0]
+    assert abs(t["r_mult"] - 1.8) < 1e-9
+    assert abs(t["pnl_r"] - 1.75) < 1e-9
+
+
+def test_equity_curve_and_metrics_match_reference_loop(spark):
+    """equity_curve/with_drawdown/backtest_metrics reproduce the in-loop
+    accounting of backtest_router_event_v1_1.run_backtest on a hand case:
+    equity at bar i is the value BEFORE bar i's events."""
+    import datetime as dt
+
+    from binance_futures_data_lake_spark.operators.backtest import (
+        backtest_metrics,
+        equity_curve,
+        with_drawdown,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    bars = spark.createDataFrame(
+        [("AAA", t0 + dt.timedelta(hours=i)) for i in range(6)], ["cfg", "ts"]
+    )
+    # trade1 enters bar1 exits bar2 with +2R; trade2 enters bar3 exits bar4 -1R
+    trades = spark.createDataFrame(
+        [
+            ("AAA", t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=2), 2.0, 1.9),
+            ("AAA", t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=4), -1.0, -1.1),
+        ],
+        ["cfg", "entry_ts", "exit_ts", "r_mult", "pnl_r"],
+    )
+    eq = equity_curve(bars, trades, by=["cfg"], cost_r_per_trade=0.1)
+    vals = {r["ts"].hour: r["equity_r"] for r in eq.collect()}
+    # reference loop: curve[i] = equity before bar i events
+    # bar0: 1.0; bar1: 1.0 (entry cost hits during bar1); bar2: 0.9;
+    # bar3: 2.9 (+2R exit during bar2); bar4: 2.8 (entry cost bar3);
+    # bar5: 1.8 (-1R exit during bar4)
+    assert {h: round(v, 6) for h, v in vals.items()} == {
+        0: 1.0, 1: 1.0, 2: 0.9, 3: 2.9, 4: 2.8, 5: 1.8,
+    }
+    dd = with_drawdown(eq, ["cfg"]).collect()
+    assert max(r["drawdown_r"] for r in dd) == pytest.approx(1.1)  # 2.9 -> 1.8
+    m = backtest_metrics(trades, eq, by=["cfg"]).collect()[0]
+    assert m["n_trades"] == 2 and m["winrate"] == pytest.approx(0.5)
+    assert m["sum_r"] == pytest.approx(1.0)
+    assert m["sum_r_net"] == pytest.approx(0.8)
+    assert m["max_drawdown_r"] == pytest.approx(1.1)
+    assert m["profit_factor"] == pytest.approx(2.0)

@@ -170,3 +170,11 @@ def test_composite_key_join_needs_full_key_bucketing(spark, tmp_path_factory, no
     finally:
         for t in ("t_comp_l", "t_comp_r", "t_sub_l", "t_sub_r"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exchange_count_sees_round_robin(spark):
+    """A plain repartition(n) shuffles via RoundRobinPartitioning — the
+    counter must see it, or a zero-shuffle assertion could pass falsely
+    (r3 ADVICE)."""
+    df = spark.range(1000).repartition(4)
+    assert exchange_count(df) == 1

@@ -102,4 +102,4 @@ def test_plot_writes_svg_per_symbol(spark, tmp_path, capsys):
     wrote = [r for r in lines if "wrote" in r]
     assert wrote and wrote[-1]["symbol"] == "BTCUSDT"
     svg = open(wrote[-1]["wrote"]).read()
-    assert svg.startswith("<svg") and "#1f9d55" in svg or "#d64545" in svg
+    assert svg.startswith("<svg") and ("#1f9d55" in svg or "#d64545" in svg)

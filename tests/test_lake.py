@@ -179,10 +179,12 @@ def test_fix_meta_noop_when_conformant(tmp_path):
     assert lake.read_meta(root) == before
 
 
-def test_load_events_pins_utc_on_foreign_tz_session(spark):
-    """A hosting session in a non-UTC zone must not shift event instants:
-    load_events pins the session to UTC before the NTZ->timestamp cast
-    (ADVICE r2: the cast reinterprets wall-clock in session tz)."""
+def test_load_events_utc_instants_without_tz_side_effect(spark):
+    """A hosting session in a non-UTC zone must not shift event instants —
+    and load_events must not mutate the session timezone to achieve it
+    (ADVICE r3: the r2 fix repinned the session to UTC as a permanent
+    side effect; the NTZ conversion is now tz-independent in-plan via
+    convert_timezone('UTC', current_timezone(), ts))."""
     from pyspark.sql import functions as F
 
     from binance_futures_data_lake_spark.sources.testdata import load_events
@@ -198,6 +200,7 @@ def test_load_events_pins_utc_on_foreign_tz_session(spark):
             load_events(spark, sf).select(F.min(F.unix_micros("ts"))).collect()[0][0]
         )
         assert shifted == baseline
-        assert spark.conf.get("spark.sql.session.timeZone") in ("UTC", "Etc/UTC")
+        # the session zone the user picked survives load_events untouched
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)

@@ -76,3 +76,32 @@ def test_render_rejects_empty():
 
     with _pytest.raises(ValueError):
         render_candles_svg([])
+
+
+def test_ohlc_mode_uses_real_ohlc_columns(spark):
+    """Klines-shaped input (open/high/low/close columns) must aggregate the
+    REAL columns — weekly high = max(high), open = first bar's open — not
+    candles-from-closes (r3 ADVICE: wicks/opens were understated)."""
+    import datetime as dt
+
+    rows = [
+        # (ts, open, high, low, close) — one Monday-anchored week
+        (dt.datetime(2026, 1, 5, 0, 0), 10.0, 99.0, 1.0, 12.0),
+        (dt.datetime(2026, 1, 6, 0, 0), 12.0, 14.0, 11.0, 13.0),
+        (dt.datetime(2026, 1, 7, 0, 0), 13.0, 15.0, 12.0, 14.0),
+    ]
+    df = spark.createDataFrame(
+        [("BTC", *r) for r in rows],
+        ["symbol", "ts", "open", "high", "low", "close"],
+    )
+    # auto-detect: OHLC columns present -> rollup mode
+    out = weekly_candles_frame(df, ["symbol"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.open == 10.0   # first bar's OPEN, not its close
+    assert r.high == 99.0   # max of HIGH, not max of closes (14.0)
+    assert r.low == 1.0
+    assert r.close == 14.0  # last bar's close
+    # explicit single-value mode still builds candles from closes
+    sv = weekly_candles_frame(df, ["symbol"], value_col="close", ohlc_cols=False).collect()[0]
+    assert sv.high == 14.0 and sv.open == 12.0
