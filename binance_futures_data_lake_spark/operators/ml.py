@@ -205,3 +205,56 @@ def lr_gd_weights(
             .select("pos", round6(F.col("wt") - F.lit(lr) * F.col("g") / F.col("n")).alias("wt"))
         )
     return w.select("pos", F.col("wt").alias("weight"))
+
+
+def net_confidence_eval(
+    scored: DataFrame,
+    by,
+    prob_col: str = "p",
+    ret_col: str = "ret_fwd",
+    keep_frac: float = 0.4,
+    fee_bps: float = 4.0,
+    slippage_bps: float = 1.0,
+) -> DataFrame:
+    """SURVEY M8 — the fee+slippage transaction-cost model
+    (run_ml_m15_v1.py:167-186,229): ``cost_roundtrip = 2·(fee_bps +
+    slippage_bps)/10⁴`` and every kept trade's return is netted
+    ``r = side·ret_fwd − cost_roundtrip`` before the avg/sum/PF/winrate
+    metrics, exactly ``evaluate_confidence``'s arithmetic. Confidence is
+    ``|p − 0.5|``; the keep set is the top ``keep_frac`` by exact
+    interpolated quantile (``np.quantile`` ≙ percentile/quantile_cont);
+    ``side = +1`` iff ``p ≥ 0.5``.
+
+    Shape: one exact-percentile aggregation per key (map-side partial),
+    broadcast of the tiny per-key threshold table back onto the rows, one
+    final aggregation — two shuffles total on the (small) key grain.
+    """
+    by = list(by)
+    p, ret = F.col(prob_col), F.col(ret_col)
+    base = scored.filter(p.isNotNull() & ret.isNotNull()).withColumn(
+        "__conf", F.abs(p - 0.5)
+    )
+    q = max(0.0, 1.0 - float(keep_frac))
+    th = base.groupBy(*by).agg(
+        F.expr(f"percentile(__conf, {q!r})").alias("__thr"),
+        F.count(F.lit(1)).alias("__n_all"),
+    )
+    cost = 2.0 * (float(fee_bps) + float(slippage_bps)) / 1e4
+    kept = base.join(F.broadcast(th), by).filter(F.col("__conf") >= F.col("__thr"))
+    side = F.when(p >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    rs = side * ret - F.lit(cost)
+    gains = F.sum(F.when(rs > 0, rs).otherwise(0.0))
+    losses = -F.sum(F.when(rs < 0, rs).otherwise(0.0))
+    pf = F.when(losses <= 0, F.when(gains > 0, float("inf")).otherwise(0.0)).otherwise(
+        gains / losses
+    )
+    n = F.count(F.lit(1))
+    return kept.groupBy(*by).agg(
+        round_half_away(n / F.first("__n_all"), 6).alias("keep_frac"),
+        n.alias("n_trades"),
+        round_half_away(F.avg(rs), 6).alias("avg_r"),
+        round_half_away(F.sum(rs), 6).alias("sum_r"),
+        round_half_away(pf, 6).alias("pf"),
+        round_half_away(F.sum((rs > 0).cast("int")) / n, 6).alias("winrate"),
+        round_half_away(F.first("__thr"), 6).alias("conf_threshold"),
+    )

@@ -2896,6 +2896,73 @@ def q_ml_confidence_keep(spark, sf_dir):
 
 
 @register(
+    "ml_net_confidence_keep",
+    sql=_HOURLY_BARS_SQL + """
+    , lab AS (
+      SELECT event_type, bucket_ts, close,
+        lead(open) OVER wo AS entry_next_open,
+        lead(close, 4) OVER wo AS future_close
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), scored AS (
+      SELECT event_type, bucket_ts,
+        future_close / entry_next_open - 1.0 AS ret_fwd,
+        CASE WHEN count(*) OVER w20 >= 20 AND stddev_pop(close) OVER w20 <> 0
+             THEN round(1.0 / (1.0 + exp(-((close - avg(close) OVER w20) / stddev_pop(close) OVER w20))), 6)
+        END AS p
+      FROM lab
+      WINDOW w20 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), conf AS (
+      SELECT *, abs(p - 0.5) AS c FROM scored
+      WHERE p IS NOT NULL AND ret_fwd IS NOT NULL
+    ), th AS (
+      SELECT event_type, quantile_cont(c, 0.6) AS thr, count(*) AS n_all
+      FROM conf GROUP BY 1
+    ), kept AS (
+      SELECT v.event_type, t.thr, t.n_all,
+             (CASE WHEN v.p >= 0.5 THEN 1.0 ELSE -1.0 END) * v.ret_fwd - 0.001 AS rs
+      FROM conf v JOIN th t USING (event_type) WHERE v.c >= t.thr
+    )
+    SELECT event_type,
+      round(CAST(count(*) AS DOUBLE) / max(n_all), 6) AS keep_frac,
+      count(*) AS n_trades,
+      round(avg(rs), 6) AS avg_r,
+      round(sum(rs), 6) AS sum_r,
+      round(CASE WHEN sum(CASE WHEN rs < 0 THEN -rs ELSE 0 END) <= 0
+                 THEN CASE WHEN sum(CASE WHEN rs > 0 THEN rs ELSE 0 END) > 0
+                      THEN CAST('infinity' AS DOUBLE) ELSE 0.0 END
+                 ELSE sum(CASE WHEN rs > 0 THEN rs ELSE 0 END)
+                      / sum(CASE WHEN rs < 0 THEN -rs ELSE 0 END) END, 6) AS pf,
+      round(CAST(sum(CASE WHEN rs > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS winrate,
+      round(max(thr), 6) AS conf_threshold
+    FROM kept GROUP BY 1
+    """,
+)
+def q_ml_net_confidence_keep(spark, sf_dir):
+    """SURVEY M8 — the last unimplemented §2 row (VERDICT r3): fee+slippage
+    transaction-cost netting (run_ml_m15_v1.py:167-186,229).
+    ``cost_roundtrip = 2·(4+1)bps = 0.001`` is subtracted from every kept
+    trade's directional return BEFORE the avg/sum/PF/winrate metrics —
+    the oracle replays evaluate_confidence's exact arithmetic, so a
+    gross-vs-net bug (the r3 gap) fails the hash, not just a unit test.
+    Confidence is |p−0.5| of a sigmoid'd momentum z-score (6-dp rounded
+    in both engines); keep_frac=0.4 via exact interpolated quantile."""
+    from binance_futures_data_lake_spark.operators.ml import net_confidence_eval
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    entry = W.lead_col("open", 1, by, order)
+    fut = W.lead_col("close", 4, by, order)
+    scored = bars.select(
+        "event_type", "bucket_ts",
+        (fut / entry - 1.0).alias("ret_fwd"),
+        r6(1.0 / (1.0 + F.exp(-W.rolling_zscore("close", 20, by, order)))).alias("p"),
+    )
+    return net_confidence_eval(
+        scored, ["event_type"], keep_frac=0.4, fee_bps=4.0, slippage_bps=1.0
+    )
+
+
+@register(
     "calendar_weekly_ohlcv",
     sql="""
     WITH b AS (

@@ -77,3 +77,25 @@ def test_train_standardize_uses_train_stats_only(spark):
     assert abs(got[1.0] - (1.0 - mu) / sd) < 1e-6
     assert abs(got[100.0] - (100.0 - mu) / sd) < 1e-6  # test outlier uses TRAIN stats
     assert abs(got["null"] - 0.0) < 1e-6  # imputed to train median = mean here
+
+
+def test_net_confidence_eval_cost_arithmetic(spark):
+    """M8 (run_ml_m15_v1.py:167-186): rs = side*ret - 2*(fee+slip)/1e4 on
+    the kept set; keep all rows with keep_frac=1.0 so the numbers are
+    hand-checkable."""
+    from binance_futures_data_lake_spark.operators.ml import net_confidence_eval
+
+    rows = [
+        ("A", 0.9, 0.01),   # long, rs = 0.01 - 0.001 = 0.009
+        ("A", 0.1, 0.02),   # short, rs = -0.02 - 0.001 = -0.021
+        ("A", 0.8, -0.005),  # long, rs = -0.005 - 0.001 = -0.006
+    ]
+    df = spark.createDataFrame(rows, ["k", "p", "ret_fwd"])
+    m = net_confidence_eval(
+        df, ["k"], keep_frac=1.0, fee_bps=4.0, slippage_bps=1.0
+    ).collect()[0]
+    assert m["n_trades"] == 3
+    assert m["sum_r"] == pytest.approx(0.009 - 0.021 - 0.006)
+    assert m["winrate"] == pytest.approx(round(1 / 3, 6))
+    assert m["pf"] == pytest.approx(round(0.009 / 0.027, 6))
+    assert m["keep_frac"] == 1.0
