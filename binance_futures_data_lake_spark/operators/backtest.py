@@ -462,6 +462,34 @@ def sweep_stats(trades: DataFrame, by: Sequence[str] = ("cfg",)) -> DataFrame:
     )
 
 
+def with_router_gate(
+    bars: DataFrame,
+    gate: DataFrame,
+    by: Sequence[str] = ("symbol",),
+    ts_col: str = "ts",
+    gate_ts_col: str = "ts",
+) -> DataFrame:
+    """As-of join a derived router gate (structure.router_gate_from_cases)
+    onto the bar stream, surfacing the four ``gate_*`` columns the sweep
+    kernel consumes — the derivation that replaces ``_gate_defaults``
+    with real allow/size values (the reference writes the gate CSV and
+    the event backtest as-of merges it; build_router_gate_from_audit_v1
+    → backtest input). Backward as-of: each bar sees the latest gate row
+    at or before it, so a coarser-TF gate rides onto finer bars without a
+    grid join."""
+    from binance_futures_data_lake_spark.operators.asof import asof_join_backward
+
+    g = gate.select(
+        *list(by),
+        F.col(gate_ts_col).alias(ts_col),
+        (F.col("allow_long") == 1).alias("gate_allow_long"),
+        (F.col("allow_short") == 1).alias("gate_allow_short"),
+        F.col("size_mult_long").alias("gate_size_mult_long"),
+        F.col("size_mult_short").alias("gate_size_mult_short"),
+    )
+    return asof_join_backward(bars, g, on=ts_col, by=list(by))
+
+
 def equity_curve(
     bars: DataFrame,
     trades: DataFrame,

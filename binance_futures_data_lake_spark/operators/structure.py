@@ -170,6 +170,102 @@ def assign_regime_cases(
     return df.repartition(*by).groupBy(*by).applyInPandas(kernel, out_schema)
 
 
+# --- router gate derivation --------------------------------------------------
+
+TREND_CASES_LONG = (
+    "TREND_CONTINUATION_LONG", "PULLBACK_LONG_IN_BULL_TREND",
+    "BREAKOUT_UP_FROM_RANGE",
+)
+TREND_CASES_SHORT = (
+    "TREND_CONTINUATION_SHORT", "PULLBACK_SHORT_IN_BEAR_TREND",
+    "BREAKOUT_DOWN_FROM_RANGE",
+)
+_ZERO_SIZE_CASES = ("WARMUP_UNDEFINED", "DATA_GAP_OR_INVALID", "CHAOS_CONFLICT_TF")
+
+
+def _dir_label(c) -> "F.Column":
+    return (
+        F.when(c == 1, "LONG")
+        .when(c == -1, "SHORT")
+        .when(c == 0, "NEUTRE")
+        .otherwise("NA")
+    )
+
+
+def router_gate_from_cases(
+    cases: DataFrame,
+    dir_cols: Sequence[str] = ("dir_w", "dir_d", "dir_h4", "dir_h1"),
+    case_col: str = "case",
+    only_trend_cases: bool = False,
+) -> DataFrame:
+    """Derive the backtest router gate from the regime-case audit
+    (build_router_gate_from_audit_v1.py:31-57,82-115): strict multi-TF
+    alignment — every confirming timeframe agrees on the direction and the
+    counter-TF (H4 here) is at least not opposed (a MISSING counter-TF
+    passes the not-opposed check, like the reference's ``NaN != 'SHORT'``)
+    — yields ``allow_long``/``allow_short``; ``size_mult_base`` ladders on
+    the |confluence| score (≥10→1.0, ≥7→0.75, ≥4→0.5, else 0.25; hard 0 on
+    warmup/gap/chaos cases, :52-63); per-side multipliers zero out the
+    disallowed side (:103-104); plus ``gate_direction`` and the
+    human-readable ``dir_stack``. 4-TF form (W/D/H4/H1) — the driver
+    tables have no MN1/M30 analogue; weights follow the reference's
+    3/3/2/2.
+
+    Pure column algebra — one whole-stage-codegen pass, no shuffle, no
+    UDF; at 100 TB the gate derivation is free next to the scan."""
+    w, d, h4, h1 = (F.col(c) for c in dir_cols)
+    case = F.col(case_col)
+    allow_long = F.coalesce(
+        (w == 1) & (d == 1) & (h1 == 1) & (h4.isNull() | (h4 != -1)), F.lit(False)
+    )
+    allow_short = F.coalesce(
+        (w == -1) & (d == -1) & (h1 == -1) & (h4.isNull() | (h4 != 1)), F.lit(False)
+    )
+    if only_trend_cases:
+        allow_long = allow_long & case.isin(*TREND_CASES_LONG)
+        allow_short = allow_short & case.isin(*TREND_CASES_SHORT)
+    # defensive both-direction neutralization (:90-94); strict alignment
+    # makes this a no-op (w == 1 and w == -1 are disjoint) but the
+    # reference keeps it against dirty input, so the port does too
+    both = allow_long & allow_short
+    allow_long = allow_long & ~both
+    allow_short = allow_short & ~both
+
+    score = 3 * w + 3 * d + 2 * h4 + 2 * h1
+    size_base = (
+        F.when(case.isin(*_ZERO_SIZE_CASES), 0.0)
+        .when(F.abs(score) >= 10, 1.0)
+        .when(F.abs(score) >= 7, 0.75)
+        .when(F.abs(score) >= 4, 0.5)
+        .otherwise(0.25)
+    )
+    out = (
+        cases.withColumn("allow_long", allow_long.cast("int"))
+        .withColumn("allow_short", allow_short.cast("int"))
+        .withColumn("confluence_score", score.cast("int"))
+        .withColumn("size_mult_base", size_base)
+        .withColumn(
+            "size_mult_long",
+            F.when(F.col("allow_long") == 1, F.col("size_mult_base")).otherwise(0.0),
+        )
+        .withColumn(
+            "size_mult_short",
+            F.when(F.col("allow_short") == 1, F.col("size_mult_base")).otherwise(0.0),
+        )
+        .withColumn(
+            "gate_direction",
+            F.when(F.col("allow_long") == 1, "LONG")
+            .when(F.col("allow_short") == 1, "SHORT")
+            .otherwise("NONE"),
+        )
+        .withColumn(
+            "dir_stack",
+            F.concat_ws("|", _dir_label(w), _dir_label(d), _dir_label(h4), _dir_label(h1)),
+        )
+    )
+    return out
+
+
 # --- W21: range-box expansion -----------------------------------------------
 
 BOX_SCHEMA_FIELDS = [

@@ -2669,6 +2669,75 @@ def q_regime_cases(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "dir_w", "dir_d", "dir_h4", "dir_h1", "case", "case_age")
 
 
+def _router_gate_sql() -> str:
+    """Gate derivation stacked on the regime_cases recursive walk: reuse
+    that oracle's CTEs up to ``walk`` and replace the final SELECT with
+    the strict-alignment gate algebra."""
+    base = ORACLE["regime_cases"].rsplit("SELECT event_type", 1)[0]
+    lbl = lambda c: (  # noqa: E731
+        f"CASE WHEN {c} = 1 THEN 'LONG' WHEN {c} = -1 THEN 'SHORT' "
+        f"WHEN {c} = 0 THEN 'NEUTRE' ELSE 'NA' END"
+    )
+    return base + f"""
+    , g AS (
+      SELECT event_type, bucket_ts, dir_w, dir_d, dir_h4, dir_h1, kase,
+        CASE WHEN coalesce(dir_w = 1 AND dir_d = 1 AND dir_h1 = 1
+                           AND (dir_h4 IS NULL OR dir_h4 <> -1), false)
+             THEN 1 ELSE 0 END AS allow_long,
+        CASE WHEN coalesce(dir_w = -1 AND dir_d = -1 AND dir_h1 = -1
+                           AND (dir_h4 IS NULL OR dir_h4 <> 1), false)
+             THEN 1 ELSE 0 END AS allow_short,
+        3 * dir_w + 3 * dir_d + 2 * dir_h4 + 2 * dir_h1 AS score
+      FROM walk WHERE i > 0
+    ), sm AS (
+      SELECT *,
+        CASE WHEN kase IN ('WARMUP_UNDEFINED', 'DATA_GAP_OR_INVALID', 'CHAOS_CONFLICT_TF')
+               THEN 0.0
+             WHEN abs(score) >= 10 THEN 1.0
+             WHEN abs(score) >= 7 THEN 0.75
+             WHEN abs(score) >= 4 THEN 0.5
+             ELSE 0.25 END AS size_mult_base
+      FROM g
+    )
+    SELECT event_type, bucket_ts, allow_long, allow_short,
+           score AS confluence_score, size_mult_base,
+           CASE WHEN allow_long = 1 THEN size_mult_base ELSE 0.0 END AS size_mult_long,
+           CASE WHEN allow_short = 1 THEN size_mult_base ELSE 0.0 END AS size_mult_short,
+           CASE WHEN allow_long = 1 THEN 'LONG'
+                WHEN allow_short = 1 THEN 'SHORT' ELSE 'NONE' END AS gate_direction,
+           concat_ws('|', {lbl("dir_w")}, {lbl("dir_d")}, {lbl("dir_h4")}, {lbl("dir_h1")})
+             AS dir_stack
+    FROM sm
+    """
+
+
+@register("router_gate_from_cases", sql=_router_gate_sql())
+def q_router_gate_from_cases(spark, sf_dir):
+    """Router-gate derivation (build_router_gate_from_audit_v1.py:31-57,
+    82-115 — the r3 VERDICT's missing surface #4): strict multi-TF
+    alignment over the regime-case audit → allow_long/allow_short,
+    confluence-laddered size multipliers (hard 0 on warmup/gap/chaos),
+    gate_direction and the dir_stack string. The Spark side runs the
+    REAL case classifier (applyInPandas recursion) + the pure-column
+    gate algebra; the oracle replays both (recursive CTE + CASE
+    ladder), so every branch of the gate table the sweep consumes is
+    hash-attested. backtest.with_router_gate as-of joins this output
+    onto bars as the gate_* columns, replacing _gate_defaults."""
+    from binance_futures_data_lake_spark.operators.structure import (
+        assign_regime_cases,
+        router_gate_from_cases,
+    )
+
+    d = _dir_bars(spark, sf_dir)
+    cases = assign_regime_cases(d, ["event_type"], ["bucket_ts"])
+    g = router_gate_from_cases(cases)
+    return g.select(
+        "event_type", "bucket_ts", "allow_long", "allow_short",
+        "confluence_score", "size_mult_base", "size_mult_long",
+        "size_mult_short", "gate_direction", "dir_stack",
+    )
+
+
 @register(
     "range_boxes",
     # The kernel's bidirectional walk (expand while bars stay inside the

@@ -250,3 +250,61 @@ def test_equity_curve_and_metrics_match_reference_loop(spark):
     assert m["sum_r_net"] == pytest.approx(0.8)
     assert m["max_drawdown_r"] == pytest.approx(1.1)
     assert m["profit_factor"] == pytest.approx(2.0)
+
+
+def test_router_gate_derivation_and_sweep_consumption(spark):
+    """build_router_gate_from_audit_v1.py: strict alignment -> allow flags
+    and size ladder; with_router_gate as-of joins the derived gate into
+    the sweep (replacing _gate_defaults) and actually gates entries."""
+    from binance_futures_data_lake_spark.operators.backtest import with_router_gate
+    from binance_futures_data_lake_spark.operators.structure import (
+        router_gate_from_cases,
+    )
+
+    t0 = pd.Timestamp("2024-01-05 15:00:00").to_pydatetime()
+    cases = spark.createDataFrame(
+        [
+            # aligned bull, full confluence 10 -> allow_long, size 1.0
+            ("AAA", t0, 1, 1, 1, 1, "TREND_CONTINUATION_LONG"),
+            # aligned except H4 neutral (score 8 -> 0.75), H4 not opposed
+            ("BBB", t0, 1, 1, 0, 1, "TREND_CONTINUATION_LONG"),
+            # H4 opposed -> strict long fails
+            ("CCC", t0, 1, 1, -1, 1, "PULLBACK_LONG_IN_BULL_TREND"),
+            # chaos case: aligned dirs impossible, size hard 0
+            ("DDD", t0, 1, -1, 1, 1, "CHAOS_CONFLICT_TF"),
+        ],
+        ["symbol", "ts", "dir_w", "dir_d", "dir_h4", "dir_h1", "case"],
+    )
+    g = router_gate_from_cases(cases).toPandas().set_index("symbol")
+    assert g.loc["AAA", "allow_long"] == 1 and g.loc["AAA", "size_mult_long"] == 1.0
+    assert g.loc["BBB", "allow_long"] == 1 and g.loc["BBB", "size_mult_long"] == 0.75
+    assert g.loc["CCC", "allow_long"] == 0 and g.loc["CCC", "size_mult_long"] == 0.0
+    assert g.loc["DDD", "size_mult_base"] == 0.0
+    assert g.loc["AAA", "gate_direction"] == "LONG"
+    assert g.loc["CCC", "gate_direction"] == "NONE"
+    assert g.loc["AAA", "dir_stack"] == "LONG|LONG|LONG|LONG"
+
+    # sweep consumption: same TREND-long scenario per symbol; only the
+    # symbols whose derived gate allows longs may trade
+    def mk(symbol):
+        rows = [list(_quiet(i)) for i in range(6)]
+        rows[1][8:13] = ["TREND", "BULL", "MID", True, True]
+        rows[1][5:8] = [0.8, 0.5, 1.0]
+        rows[2][1] = 103.0
+        rows[2][8] = "TREND"
+        rows[3][8] = "TREND"
+        pdf = pd.DataFrame(rows, columns=[
+            "ts", "high", "low", "close", "atr14", "close_pos", "delta_norm",
+            "range_rel", "router_mode_h1", "dir_state", "vol_state", "dir_ready",
+            "tradable_final", "atr_pct_pctl_h1", "hour_utc", "minute_utc",
+        ])
+        pdf["symbol"] = symbol
+        return pdf
+
+    bars = spark.createDataFrame(
+        pd.concat([mk(s) for s in ["AAA", "CCC", "DDD"]], ignore_index=True)
+    )
+    gate = router_gate_from_cases(cases)
+    gated = with_router_gate(bars, gate, by=["symbol"])
+    trades = run_sweep(gated, [Cfg(name="g")]).toPandas()
+    assert set(trades["symbol"]) == {"AAA"}  # CCC gate-denied, DDD size 0
