@@ -1,11 +1,16 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-The container has no image/audio libraries, so the DECODE step is a
-deterministic stub (`_fake_decode`, clearly marked) — but every piece of
-Spark-side plumbing is real and tested: the schema (binary payload +
-metadata struct), the Arrow-batched `mapInPandas` signature, batch-shape
-handling, partitioning, and the feature-extraction dataflow. Swapping the
-stub for PIL/libav is a one-function change inside the UDF.
+The image path uses a REAL codec (r4 — the r1-r3 ``_fake_decode`` stub is
+gone): 8-bit grayscale PNG implemented on stdlib ``zlib`` + ``struct``
+per the public PNG spec (signature, IHDR/IDAT/IEND chunks, CRC32, all
+five scanline filters). ``synthetic_media`` ENCODES deterministic pixels
+into real PNG payloads and ``image_features``/``resize_images`` DECODE
+them — so the driver oracle can hash-check the whole roundtrip: pixels
+are an arithmetic function of (text, dims) that DuckDB recomputes in
+SQL, and any codec bug (chunk parse, inflate, defilter) breaks the
+feature hash. Audio/video payloads remain opaque bytes with typed
+metadata; their decode is out of scope here and raises
+``NotImplementedError`` (a real libav boundary, stated honestly).
 
 Scale design:
 - payloads stay opaque `binary` end-to-end — Spark never interprets them,
@@ -20,11 +25,143 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+# --- minimal real PNG codec (8-bit grayscale, stdlib only) ------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_gray(
+    pixels: bytes, width: int, height: int, filter_type: int = 0
+) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major) as a real PNG.
+
+    ``filter_type`` applies that PNG scanline filter to every row (0=None,
+    1=Sub, 2=Up, 3=Average, 4=Paeth) — the encoder normally emits 0, the
+    other types exist so the decoder's defilter paths are testable with
+    genuine filtered files. Deterministic: fixed zlib level, no ancillary
+    chunks, so identical pixels ⇒ identical bytes."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    lines = []
+    prev = bytes(width)
+    for y in range(height):
+        cur = pixels[y * width : (y + 1) * width]
+        if filter_type == 0:
+            enc = cur
+        else:
+            enc = bytearray(width)
+            for x in range(width):
+                a = cur[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 2:
+                    pred = b
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+            enc = bytes(enc)
+        lines.append(bytes([filter_type]) + enc)
+        prev = cur
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit grayscale non-interlaced PNG → (width, height,
+    pixels). Full chunk walk (multi-IDAT safe), zlib inflate, and all five
+    defilter types; the all-None-filters case (what our encoder emits) is
+    one vectorized slice."""
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, bit, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if bit != 8 or color != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit grayscale non-interlaced PNG is supported"
+                )
+        elif tag == b"IDAT":
+            idat.append(chunk)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError("malformed PNG: wrong decompressed size")
+    arr = np.frombuffer(raw, np.uint8).reshape(height, width + 1)
+    filters, scans = arr[:, 0], arr[:, 1:]
+    if not filters.any():  # fast path: every scanline filter is None
+        return width, height, scans.tobytes()
+    out = np.zeros((height, width), np.uint8)
+    prev = np.zeros(width, np.int32)
+    for y in range(height):
+        ft = int(filters[y])
+        line = scans[y].astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = np.empty(width, np.int32)
+            a = 0
+            for x in range(width):
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                a = (line[x] + pred) & 0xFF
+                cur[x] = a
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.int32)
+    return width, height, out.tobytes()
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -59,42 +196,73 @@ FRAME_SCHEMA = T.StructType([
 
 
 def synthetic_media(docs: DataFrame, kind: str = "image") -> DataFrame:
-    """Deterministic media table derived from `documents` (payload = utf-8
-    text bytes; metadata derived from doc stats) so the pipeline has real
-    binary data to move without bundled assets."""
-    meta = F.struct(
-        F.lit("png" if kind == "image" else "wav").alias("format"),
-        (F.pmod(F.col("doc_id"), F.lit(64)) + 32).cast("int").alias("width"),
-        (F.pmod(F.col("doc_id"), F.lit(48)) + 24).cast("int").alias("height"),
-        F.lit(3).alias("n_channels"),
-        F.lit(16000).alias("sample_rate"),
-        (F.length("text").cast("long") * 10).alias("duration_ms"),
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit(kind).alias("kind"),
-        F.encode("text", "utf-8").cast("binary").alias("payload"),
-        meta.alias("meta"),
-    )
+    """Deterministic media table derived from `documents`, so the pipeline
+    has real binary data to move without bundled assets.
+
+    ``kind="image"``: payload is a REAL grayscale PNG whose pixels are the
+    document's utf-8 bytes tiled to width×height (dims keyed on doc_id) —
+    identical (text, dims) ⇒ byte-identical PNG, and the pixel values are
+    an arithmetic function of the text a SQL oracle can recompute without
+    a decoder. Other kinds keep opaque utf-8 payloads (their decoders are
+    out of scope)."""
+    if kind != "image":
+        meta = F.struct(
+            F.lit("wav").alias("format"),
+            (F.pmod(F.col("doc_id"), F.lit(64)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(48)) + 24).cast("int").alias("height"),
+            F.lit(1).alias("n_channels"),
+            F.lit(16000).alias("sample_rate"),
+            (F.length("text").cast("long") * 10).alias("duration_ms"),
+        )
+        return docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit(kind).alias("kind"),
+            F.encode("text", "utf-8").cast("binary").alias("payload"),
+            meta.alias("meta"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                did = int(did)
+                w, h = did % 64 + 32, did % 48 + 24
+                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                px = np.resize(tb, w * h)  # cyclic tile to the pixel count
+                rows.append(
+                    (
+                        did,
+                        "image",
+                        png_encode_gray(px.tobytes(), w, h),
+                        {
+                            "format": "png",
+                            "width": w,
+                            "height": h,
+                            "n_channels": 1,
+                            "sample_rate": 16000,
+                            "duration_ms": len(text) * 10,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return docs.select("doc_id", "text").mapInPandas(build, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, width: int, height: int):
-    """STUB — stands in for PIL.Image.open(...).
-
-    Deterministic pseudo-decode: expands md5(payload) into `width*height`
-    pseudo-intensity bytes. Replace with a real decoder where image libs
-    exist; raise for formats a real decoder wouldn't handle.
-    """
+def _decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
+    """Dispatch to the real decoder for the payload's format. PNG is
+    implemented (stdlib codec above); other image formats would need a
+    real imaging library and raise explicitly rather than faking it."""
     if payload is None:
-        raise NotImplementedError("real decoder required for null payloads")
-    n = width * height
-    out = bytearray()
-    seed = payload if len(payload) < 1024 else payload[:1024]
-    block = hashlib.md5(seed).digest()
-    while len(out) < n:
-        block = hashlib.md5(block).digest()
-        out.extend(block)
-    return bytes(out[:n])
+        raise ValueError("null media payload")
+    if fmt == "png":
+        return png_decode_gray(payload)
+    raise NotImplementedError(f"no decoder for image format {fmt!r}")
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -106,11 +274,9 @@ def image_features(media: DataFrame) -> DataFrame:
     pixels (ragged layout: offsets + ``np.add.reduceat``), not a Python
     loop per image: per-image sums/sumsq give mean/std, and the 64
     aHash block sums come from one reduceat over per-image block
-    boundaries. Only the decode call itself is per-item — as a real
-    decoder would be. Measured 2.4x over the per-row ``iterrows`` version
-    at 50k images (1.9 s → 0.78 s, 64k img/s on local[32]); the residual
-    is the per-item decode stub, which dominates exactly as a real
-    decoder would. Per-image results are independent of batch
+    boundaries. Only the decode call itself is per-item — inflate +
+    defilter per image, exactly as any real codec. Per-image results are
+    independent of batch
     composition, so the output is deterministic under any partitioning
     (tested)."""
     import numpy as np
@@ -122,14 +288,24 @@ def image_features(media: DataFrame) -> DataFrame:
                 continue
             metas = pdf["meta"].tolist()
             payloads = pdf["payload"].tolist()
-            ws = np.array([int(m["width"]) for m in metas])
-            hs = np.array([int(m["height"]) for m in metas])
+            # decode is inherently per-item (inflate + defilter per image,
+            # as any real codec would be); everything after is
+            # batch-vectorized. Decoded dims are authoritative — a
+            # metadata/payload mismatch surfaces as an error here rather
+            # than silently mis-shaped stats.
+            decoded = [
+                _decode_image(p, m["format"]) for p, m in zip(payloads, metas)
+            ]
+            ws = np.array([d[0] for d in decoded])
+            hs = np.array([d[1] for d in decoded])
+            for (dw, dh, _), m in zip(decoded, metas):
+                if (dw, dh) != (int(m["width"]), int(m["height"])):
+                    raise ValueError(
+                        f"metadata dims {(m['width'], m['height'])} != decoded {(dw, dh)}"
+                    )
             n_px = ws * hs
-            # decode is inherently per-item (a real decoder is a C call per
-            # image); everything after is batch-vectorized
             px = np.frombuffer(
-                b"".join(_fake_decode(p, w, h) for p, w, h in zip(payloads, ws, hs)),
-                dtype=np.uint8,
+                b"".join(d[2] for d in decoded), dtype=np.uint8
             ).astype(np.float64)
             off = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum(n_px[:-1], out=off[1:])
@@ -151,8 +327,11 @@ def image_features(media: DataFrame) -> DataFrame:
                 "n_bytes": np.array([len(p) for p in payloads], dtype=np.int64),
                 "width": ws.astype(np.int32),
                 "height": hs.astype(np.int32),
-                "mean_intensity": np.round(means, 6),
-                "std_intensity": np.round(stds, 6),
+                # full precision out — consumers round at comparison time
+                # (np.round is half-even; the oracle convention is
+                # half-away via functions/scalars.round6)
+                "mean_intensity": means,
+                "std_intensity": stds,
                 "phash": (phash - np.uint64(2**63)).view(np.int64),  # signed long
             })
 
@@ -162,9 +341,10 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Resize plumbing: decode → (stub) nearest-neighbor downsample →
-    re-emit binary payload with updated metadata. Shows the
-    binary-in/binary-out UDF shape used by a real thumbnailing job."""
+    """Real thumbnail job: PNG decode → vectorized nearest-neighbor
+    downsample → PNG re-encode with updated metadata. Binary-in/
+    binary-out ``mapInPandas``; the heavy source payload never crosses a
+    shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -181,12 +361,12 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 continue
             metas = pdf["meta"].tolist()
             payloads = pdf["payload"].tolist()
-            ws = np.array([int(m["width"]) for m in metas])
-            hs = np.array([int(m["height"]) for m in metas])
-            px = np.frombuffer(
-                b"".join(_fake_decode(p, w, h) for p, w, h in zip(payloads, ws, hs)),
-                dtype=np.uint8,
-            )
+            decoded = [
+                _decode_image(p, m["format"]) for p, m in zip(payloads, metas)
+            ]
+            ws = np.array([d[0] for d in decoded])
+            hs = np.array([d[1] for d in decoded])
+            px = np.frombuffer(b"".join(d[2] for d in decoded), dtype=np.uint8)
             off = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum((ws * hs)[:-1], out=off[1:])
             # one fancy-gather for the whole batch: nearest-neighbor sample
@@ -198,7 +378,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             small = px[idx].reshape(len(pdf), out_h * out_w)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].astype(np.int64),
-                "payload": [r.tobytes() for r in small],
+                # re-encode: thumbnails come back out as real PNGs
+                "payload": [
+                    png_encode_gray(r.tobytes(), out_w, out_h) for r in small
+                ],
                 "width": np.int32(out_w),
                 "height": np.int32(out_h),
             })

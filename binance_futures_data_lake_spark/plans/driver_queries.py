@@ -2504,18 +2504,84 @@ def q_streaming_ohlcv_bars(spark, sf_dir):
     return out
 
 
-@register("media_image_features")  # rows-only: Arrow mapInPandas with stubbed decode
+@register(
+    "media_image_features",
+    # The media pixels are deterministic arithmetic over (text, dims):
+    # utf-8 bytes tiled to width×height. Spark ENCODES them into real PNGs
+    # and DECODES them back (stdlib zlib codec) before computing features;
+    # DuckDB recomputes the same features straight from the text — so the
+    # hash attests the entire encode→decode roundtrip (chunk layout, CRC,
+    # inflate, defilter), not just the stats math.
+    sql="""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 64 + 32 AS BIGINT) AS w,
+             CAST(doc_id % 48 + 24 AS BIGINT) AS h,
+             text, length(text) AS L
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h, L, text, unnest(range(w * h)) AS i FROM d
+    ), pv AS (
+      SELECT media_id, w, h, w * h AS n, i,
+             ascii(substr(text, CAST(i % L AS INT) + 1, 1)) AS v
+      FROM px
+    ), st AS (
+      SELECT media_id, w, h, max(n) AS n, sum(v) AS s,
+             sum(CAST(v AS BIGINT) * v) AS ss
+      FROM pv GROUP BY 1, 2, 3
+    ), pb AS (
+      -- pixel -> aHash block (array_split sizing: first n%64 blocks one
+      -- longer), inverted to a closed-form index expression
+      SELECT media_id, v,
+             CASE WHEN i < (n % 64) * (n // 64 + 1)
+                  THEN i // (n // 64 + 1)
+                  ELSE (n % 64) + (i - (n % 64) * (n // 64 + 1)) // (n // 64)
+             END AS blk
+      FROM pv
+    ), bm AS (
+      SELECT media_id, blk, sum(v) AS bs, count(*) AS bn FROM pb GROUP BY 1, 2
+    ), ph AS (
+      -- signed view of the uint64 bit pattern: bit63 contributes 0 when
+      -- set (2^63 - 2^63) and -2^63 when clear
+      SELECT bm.media_id,
+        CAST(sum(CASE WHEN CAST(bm.bs AS DOUBLE) / bm.bn > CAST(st.s AS DOUBLE) / st.n
+                 THEN CASE WHEN bm.blk = 63 THEN 0
+                           ELSE (CAST(1 AS BIGINT) << CAST(bm.blk AS INT)) END
+                 ELSE CASE WHEN bm.blk = 63 THEN -9223372036854775807 - 1
+                           ELSE 0 END END) AS BIGINT) AS phash
+      FROM bm JOIN st USING (media_id) GROUP BY 1
+    )
+    SELECT st.media_id, st.w AS width, st.h AS height,
+           round(CAST(st.s AS DOUBLE) / st.n, 6) AS mean_intensity,
+           round(sqrt(greatest(CAST(st.ss AS DOUBLE) / st.n
+                 - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n), 0)), 6)
+             AS std_intensity,
+           ph.phash
+    FROM st JOIN ph USING (media_id)
+    """,
+)
 def q_media_image_features(spark, sf_dir):
-    """Multimodal plumbing: documents → synthetic binary media table →
-    Arrow-batched decode (deterministic stub) → fixed-width feature rows
-    (intensity stats + aHash fingerprint). The binary column never crosses
-    a shuffle boundary."""
+    """Multimodal image features, oracle-checked end-to-end (was rows-only
+    r1-r3 with a stubbed decode): documents → REAL grayscale PNG payloads
+    (stdlib zlib codec) → Arrow-batched decode → per-image intensity
+    stats + 64-bit aHash. The oracle recomputes the features from the
+    deterministic pixel function in pure SQL, so any codec bug — chunk
+    parse, CRC layout, inflate, defilter, tiling — fails the hash. The
+    binary column never crosses a shuffle boundary."""
     from binance_futures_data_lake_spark.operators.multimodal import (
         image_features, synthetic_media,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    return image_features(synthetic_media(docs, kind="image"))
+    feats = image_features(synthetic_media(docs, kind="image"))
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        r6(F.col("mean_intensity")).alias("mean_intensity"),
+        r6(F.col("std_intensity")).alias("std_intensity"),
+        "phash",
+    )
 
 
 @register(

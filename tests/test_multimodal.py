@@ -65,13 +65,17 @@ def test_identical_payloads_same_phash(spark):
     assert f[1] != f[3] or f[2] != f[3]  # different text ⇒ fingerprints differ somewhere
 
 
-def test_resize_payload_size(spark, media):
+def test_resize_payload_roundtrip(spark, media):
+    from binance_futures_data_lake_spark.operators.multimodal import png_decode_gray
+
     out = resize_images(media, 8, 6)
     rows = out.collect()
     assert len(rows) == media.count()
     for r in rows:
         assert r.width == 8 and r.height == 6
-        assert len(r.payload) == 8 * 6  # exact resized byte count
+        # thumbnails are REAL PNGs: decode and check exact dims/pixel count
+        w, h, px = png_decode_gray(bytes(r.payload))
+        assert (w, h) == (8, 6) and len(px) == 8 * 6
 
 
 def test_frame_sampling_fanout(spark, media):
@@ -89,3 +93,29 @@ def test_frame_sampling_fanout(spark, media):
     fr = frames.filter(F.col("media_id") == list(src_meta)[0]).orderBy("frame_idx").collect()
     ts = [r.frame_ts_ms for r in fr]
     assert ts == sorted(ts)
+
+
+def test_png_codec_all_filter_types_roundtrip():
+    """The decoder must undo every PNG scanline filter (0=None..4=Paeth),
+    exercised with genuinely filtered files from the test encoder."""
+    from binance_futures_data_lake_spark.operators.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    px = bytes((i * 37 + 11) % 256 for i in range(48 * 32))
+    for ft in range(5):
+        enc = png_encode_gray(px, 48, 32, filter_type=ft)
+        assert enc[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png_decode_gray(enc) == (48, 32, px)
+    # filtered encodings differ on the wire but decode identically
+    assert png_encode_gray(px, 48, 32, 0) != png_encode_gray(px, 48, 32, 4)
+
+
+def test_png_decoder_rejects_garbage():
+    from binance_futures_data_lake_spark.operators.multimodal import png_decode_gray
+
+    with pytest.raises(ValueError):
+        png_decode_gray(b"not a png at all")
+    with pytest.raises(ValueError):
+        png_decode_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
