@@ -2051,6 +2051,230 @@ def _backtest_trend_sql() -> str:
     """
 
 
+def _backtest_range_sql() -> str:
+    """Recursive-CTE oracle for the kernel's RANGE/MR path — the 11-state
+    machine (partial TP1 with qty split, break-even stop move, TP2,
+    router-flip, vol-kill, time-stop; SL short-circuits TP1 and settles
+    at PRE-TP1 qty/racc) that was rows-only through r3. Every float step
+    replicates the kernel's exact op order: r = (fill − entry)/risk
+    multiplied by qty AFTER the division, racc accumulated in bar order,
+    BE stop = entry ± risk·0.05. Config constants are written as the
+    arithmetic the kernel performs (``1.0 - 0.55``, not a pre-folded
+    literal) so both engines materialize identical doubles."""
+    TP1, TP2, FRAC, BE, SLA, TSTOP = "0.55", "0.75", "0.5", "0.05", "1.8", "20"
+    rr = lambda p: (  # noqa: E731 — kernel _r_mult: divide, then scale
+        f"CASE WHEN w.st = 1 THEN (({p}) - w.entry) / w.risk"
+        f" ELSE (w.entry - ({p})) / w.risk END"
+    )
+    sl_hit = "((w.st = 1 AND nb.low <= w.sl) OR (w.st = -1 AND nb.high >= w.sl))"
+    tp1_raw = (
+        f"(CASE WHEN w.st = 1 THEN nb.cp >= {TP1}"
+        f" ELSE nb.cp <= (1.0 - {TP1}) END)"
+    )
+    tp1_fires = f"(w.st <> 0 AND NOT {sl_hit} AND NOT w.tp1 AND {tp1_raw})"
+    qty_exit = f"least({FRAC}, w.qty)"
+    racc1 = (
+        f"(w.racc + CASE WHEN {tp1_fires}"
+        f" THEN ({qty_exit}) * ({rr('nb.close')}) ELSE 0.0 END)"
+    )
+    qty1 = f"(w.qty - CASE WHEN {tp1_fires} THEN ({qty_exit}) ELSE 0.0 END)"
+    tp1_1 = f"(w.tp1 OR {tp1_fires})"
+    sl1 = (
+        f"CASE WHEN {tp1_fires} THEN CASE WHEN w.st = 1"
+        f" THEN w.entry + w.risk * {BE} ELSE w.entry - w.risk * {BE} END"
+        f" ELSE w.sl END"
+    )
+    closed_tp = f"({tp1_fires} AND {qty1} <= 1e-12)"
+    tp2_hit = (
+        f"(CASE WHEN w.st = 1 THEN nb.cp >= {TP2}"
+        f" ELSE nb.cp <= (1.0 - {TP2}) END)"
+    )
+    exit_reason = f"""CASE WHEN w.st = 0 THEN NULL
+      WHEN {sl_hit} THEN 'SL'
+      WHEN {closed_tp} THEN 'TP_CP'
+      WHEN {tp2_hit} THEN 'TP2_CP'
+      WHEN nb.router <> 'RANGE' THEN 'FLIP_ROUTER'
+      WHEN nb.vol = 'HIGH' THEN 'VOL_HIGH_KILL'
+      WHEN nb.i - w.entry_i >= {TSTOP} THEN 'TIME_STOP' END"""
+    x_rr = f"""CASE ({exit_reason})
+      WHEN 'SL' THEN w.racc + w.qty * ({rr('w.sl')})
+      WHEN 'TP_CP' THEN {racc1}
+      WHEN NULL THEN NULL
+      ELSE {racc1} + {qty1} * ({rr('nb.close')}) END"""
+    st0 = f"CASE WHEN w.st <> 0 AND ({exit_reason}) IS NULL THEN w.st ELSE 0 END"
+    long_ok = (
+        f"(nb.atr IS NOT NULL AND nb.atr > 0"
+        f" AND (nb.close - (nb.close - {SLA} * nb.atr)) > 0)"
+    )
+    short_ok = (
+        f"(nb.atr IS NOT NULL AND nb.atr > 0"
+        f" AND ((nb.close + {SLA} * nb.atr) - nb.close) > 0)"
+    )
+    enter = f"""CASE WHEN ({st0}) = 0 THEN
+        CASE WHEN nb.ml THEN (CASE WHEN {long_ok} THEN 1 ELSE 0 END)
+             WHEN nb.ms THEN (CASE WHEN {short_ok} THEN -1 ELSE 0 END)
+             ELSE 0 END ELSE 0 END"""
+    keep = f"({st0}) <> 0"
+    entered = f"({enter}) <> 0"
+    exited = f"({exit_reason}) IS NOT NULL"
+    return _HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + f"""
+    , fbt AS (
+      SELECT event_type, bucket_ts, high, low, close,
+             greatest(high - low, abs(high - lag(close) OVER wk),
+                      abs(low - lag(close) OVER wk)) AS tr
+      FROM bars WINDOW wk AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), abt AS (
+      SELECT event_type, bucket_ts, high, low, close,
+        CASE WHEN high > low THEN (close - low) / (high - low) ELSE 0.5 END AS cp,
+        CASE WHEN count(tr) OVER w14 = 14 THEN round(avg(tr) OVER w14, 6) END AS atr,
+        CASE WHEN count(*) OVER w10 = 10 THEN close < min(low) OVER w10 ELSE false END AS ml,
+        CASE WHEN count(*) OVER w10 = 10 THEN close > max(high) OVER w10 ELSE false END AS ms
+      FROM fbt
+      WINDOW w14 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             w10 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ), nbt AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS INT) AS i
+      FROM abt
+    ), nbv AS (
+      SELECT *,
+        CASE WHEN i % 97 < 3 THEN 'HIGH' ELSE 'MID' END AS vol,
+        CASE WHEN i % 113 < 4 THEN 'TREND' ELSE 'RANGE' END AS router
+      FROM nbt
+    ), walk AS (
+      SELECT event_type, 0 AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+             0 AS st, CAST(NULL AS DOUBLE) AS entry, CAST(NULL AS DOUBLE) AS sl,
+             CAST(NULL AS DOUBLE) AS risk, CAST(0.0 AS DOUBLE) AS qty,
+             CAST(0.0 AS DOUBLE) AS racc, false AS tp1,
+             CAST(NULL AS INT) AS entry_i, CAST(NULL AS TIMESTAMP) AS entry_ts,
+             CAST(NULL AS VARCHAR) AS x_reason, CAST(NULL AS DOUBLE) AS x_rr,
+             CAST(NULL AS DOUBLE) AS x_entry, CAST(NULL AS TIMESTAMP) AS x_entry_ts,
+             CAST(NULL AS INT) AS x_entry_i, CAST(NULL AS INT) AS x_side,
+             CAST(NULL AS DOUBLE) AS x_close
+      FROM (SELECT DISTINCT event_type FROM nbt)
+      UNION ALL
+      SELECT nb.event_type, nb.i, nb.bucket_ts,
+        CASE WHEN {keep} THEN w.st ELSE ({enter}) END AS st,
+        CASE WHEN {keep} THEN w.entry WHEN {entered} THEN nb.close END AS entry,
+        CASE WHEN {keep} THEN ({sl1})
+             WHEN ({enter}) = 1 THEN nb.close - {SLA} * nb.atr
+             WHEN ({enter}) = -1 THEN nb.close + {SLA} * nb.atr END AS sl,
+        CASE WHEN {keep} THEN w.risk
+             WHEN ({enter}) = 1 THEN nb.close - (nb.close - {SLA} * nb.atr)
+             WHEN ({enter}) = -1 THEN (nb.close + {SLA} * nb.atr) - nb.close END AS risk,
+        CASE WHEN {keep} THEN ({qty1}) WHEN {entered} THEN 1.0 ELSE 0.0 END AS qty,
+        CASE WHEN {keep} THEN ({racc1}) ELSE 0.0 END AS racc,
+        CASE WHEN {keep} THEN ({tp1_1}) ELSE false END AS tp1,
+        CASE WHEN {keep} THEN w.entry_i WHEN {entered} THEN nb.i END AS entry_i,
+        CASE WHEN {keep} THEN w.entry_ts WHEN {entered} THEN nb.bucket_ts END AS entry_ts,
+        ({exit_reason}) AS x_reason,
+        ({x_rr}) AS x_rr,
+        CASE WHEN {exited} THEN w.entry END AS x_entry,
+        CASE WHEN {exited} THEN w.entry_ts END AS x_entry_ts,
+        CASE WHEN {exited} THEN w.entry_i END AS x_entry_i,
+        CASE WHEN {exited} THEN w.st END AS x_side,
+        CASE WHEN {exited} THEN nb.close END AS x_close
+      FROM walk w JOIN nbv nb ON nb.event_type = w.event_type AND nb.i = w.i + 1
+    )
+    SELECT event_type, 'range_twin' AS cfg, 'RANGE' AS engine,
+           CASE x_side WHEN 1 THEN 'LONG' ELSE 'SHORT' END AS side,
+           x_entry_ts AS entry_ts, bucket_ts AS exit_ts,
+           x_entry AS entry_price, x_close AS exit_price,
+           round(x_rr, 6) AS r_mult, round(x_rr, 6) AS pnl_r,
+           x_reason AS exit_reason,
+           CAST(i - x_entry_i AS BIGINT) AS bars_in_trade
+    FROM walk WHERE x_reason IS NOT NULL
+    """
+
+
+@register("backtest_range_kernel", sql=_backtest_range_sql())
+def q_backtest_range_kernel(spark, sf_dir):
+    """The production position kernel's RANGE/MR path, oracle-checked —
+    closes the last rows-only slice of B2/B3 (VERDICT r3 "what's wrong"
+    #3): partial TP1 with qty split + accumulated R, break-even stop
+    move, TP2/flip/vol-kill/time-stop precedence, SL short-circuiting
+    TP1 at pre-TP1 quantity. ``_position_loop`` runs UNCHANGED with the
+    TREND branch pinned cold; vol and router states are deterministic
+    index functions (i%97, i%113) so FLIP_ROUTER and VOL_HIGH_KILL fire
+    on schedule in both engines; close_pos is the bar's real
+    (close−low)/(high−low). DuckDB replays the full 11-state machine as
+    a recursive CTE (_backtest_range_sql)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from binance_futures_data_lake_spark.operators.backtest import (
+        TRADE_SCHEMA,
+        _position_loop,
+    )
+
+    bars = _hourly_bars(spark, sf_dir)
+    by = ["event_type"]
+    wk = Window.partitionBy(*by).orderBy("bucket_ts")
+    w14 = wk.rowsBetween(-13, 0)
+    w10 = wk.rowsBetween(-10, -1)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(wk)),
+        F.abs(F.col("low") - F.lag("close").over(wk)),
+    )
+    feat = bars.withColumn("tr", tr)
+    feat = feat.withColumn(
+        "atr14",
+        F.when(F.count("tr").over(w14) == 14, F.round(F.avg("tr").over(w14), 6)),
+    ).withColumn(
+        "mr_long_signal",
+        F.when(F.count(F.lit(1)).over(w10) == 10,
+               F.col("close") < F.min("low").over(w10)).otherwise(F.lit(False)),
+    ).withColumn(
+        "mr_short_signal",
+        F.when(F.count(F.lit(1)).over(w10) == 10,
+               F.col("close") > F.max("high").over(w10)).otherwise(F.lit(False)),
+    ).withColumn("__i", F.row_number().over(wk))
+    kin = feat.select(
+        "event_type",
+        F.col("bucket_ts").alias("ts"),
+        "high", "low", "close", "atr14",
+        F.when(F.col("high") > F.col("low"),
+               (F.col("close") - F.col("low")) / (F.col("high") - F.col("low")))
+        .otherwise(F.lit(0.5)).alias("close_pos"),
+        F.when(F.col("__i") % 113 < 4, "TREND").otherwise("RANGE").alias("router_mode_h1"),
+        F.when(F.col("__i") % 97 < 3, "HIGH").otherwise("MID").alias("vol_state"),
+        F.lit(False).alias("trend_long_signal"),
+        F.lit(False).alias("trend_short_signal"),
+        "mr_long_signal", "mr_short_signal",
+        F.lit(True).alias("gate_allow_long"),
+        F.lit(True).alias("gate_allow_short"),
+        F.lit(1.0).alias("gate_size_mult_long"),
+        F.lit(1.0).alias("gate_size_mult_short"),
+        F.lit("range_twin").alias("name"),
+        F.lit(True).alias("vol_filter_high"),
+        F.lit(20).alias("mr_time_stop"),
+        F.lit(0.55).alias("mr_tp1_cp"),
+        F.lit(0.75).alias("tp_cp"),
+        F.lit(0.5).alias("tp1_fraction"),
+        F.lit(0.05).alias("mr_be_offset_r"),
+        F.lit(1.8).alias("mr_sl_atr"),
+        F.lit("TREND_FIRST").alias("priority"),
+        F.lit(0).alias("cooldown_after_loss"),
+        F.lit(0.0).alias("cost_r_per_trade"),
+    )
+    out_schema = T.StructType(
+        [T.StructField("event_type", T.StringType())] + list(TRADE_SCHEMA.fields)
+    )
+
+    def kernel(key, pdf):
+        trades = _position_loop(pdf, ["ts"], ["event_type"])
+        trades.insert(0, "event_type", key[0])
+        return trades
+
+    trades = kin.repartition(*by).groupBy(*by).applyInPandas(kernel, schema=out_schema)
+    return trades.select(
+        "event_type", "cfg", "engine", "side", "entry_ts", "exit_ts",
+        "entry_price", "exit_price", r6(F.col("r_mult")).alias("r_mult"),
+        r6(F.col("pnl_r")).alias("pnl_r"),
+        "exit_reason", "bars_in_trade",
+    )
+
+
 @register("backtest_trend_kernel", sql=_backtest_trend_sql())
 def q_backtest_trend_kernel(spark, sf_dir):
     """The REAL backtest position kernel, oracle-checked (SURVEY B2/A12
