@@ -258,3 +258,93 @@ def net_confidence_eval(
         round_half_away(F.sum((rs > 0).cast("int")) / n, 6).alias("winrate"),
         round_half_away(F.first("__thr"), 6).alias("conf_threshold"),
     )
+
+
+def net_confidence_grid(
+    scored: DataFrame,
+    by,
+    prob_col: str = "p",
+    ret_col: str = "ret_fwd",
+    keep_fracs=(1.0, 0.8, 0.6, 0.5, 0.4, 0.3, 0.2),
+    fee_bps: float = 4.0,
+    slippage_bps: float = 1.0,
+    min_trades: int = 50,
+) -> DataFrame:
+    """SURVEY M11 — the keep-fraction selection grid
+    (run_ml_m15_v1.py:189-215 ``choose_keep_frac_val``): evaluate the
+    cost-netted confidence metrics at EVERY candidate keep fraction,
+    mark eligibility (``n_trades >= min_trades``) and the chosen best
+    (max ``avg_r + 0.01·ln(max(pf, 1e-9))`` among eligible; the
+    reference scans candidates in order and takes strictly-greater, so
+    ties resolve to the earlier candidate).
+
+    Shape: ONE percentile aggregation computes all thresholds at once
+    (``percentile(conf, array(q₁..qₙ))``), the tiny (key × frac)
+    threshold table broadcasts back, and the grid metrics are one
+    aggregation over (key, frac) — no per-candidate rescan of the data,
+    unlike the reference's loop. Scores rank over 6-dp-rounded metrics
+    so the choice is engine-deterministic."""
+    from pyspark.sql import Window
+
+    by = list(by)
+    p, ret = F.col(prob_col), F.col(ret_col)
+    base = scored.filter(p.isNotNull() & ret.isNotNull()).withColumn(
+        "__conf", F.abs(p - 0.5)
+    )
+    fracs = list(keep_fracs)
+    qs = [max(0.0, 1.0 - float(k)) for k in fracs]
+    q_arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    th = base.groupBy(*by).agg(
+        F.expr(f"percentile(__conf, {q_arr})").alias("__thrs"),
+        F.count(F.lit(1)).alias("__n_all"),
+    )
+    frac_idx = F.array(*[F.lit(float(k)) for k in fracs])
+    th = (
+        th.select(
+            *by, "__n_all",
+            F.posexplode(F.arrays_zip(frac_idx.alias("frac"), F.col("__thrs").alias("thr"))),
+        )
+        .select(
+            *by, "__n_all",
+            F.col("pos").alias("__ord"),
+            F.col("col.frac").alias("candidate_keep_frac"),
+            F.col("col.thr").alias("__thr"),
+        )
+    )
+    cost = 2.0 * (float(fee_bps) + float(slippage_bps)) / 1e4
+    kept = base.join(F.broadcast(th), by).filter(F.col("__conf") >= F.col("__thr"))
+    side = F.when(p >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    rs = side * ret - F.lit(cost)
+    gains = F.sum(F.when(rs > 0, rs).otherwise(0.0))
+    losses = -F.sum(F.when(rs < 0, rs).otherwise(0.0))
+    pf = F.when(losses <= 0, F.when(gains > 0, float("inf")).otherwise(0.0)).otherwise(
+        gains / losses
+    )
+    n = F.count(F.lit(1))
+    g = kept.groupBy(*by, "__ord", "candidate_keep_frac").agg(
+        round_half_away(n / F.first("__n_all"), 6).alias("keep_frac"),
+        n.alias("n_trades"),
+        round_half_away(F.avg(rs), 6).alias("avg_r"),
+        round_half_away(F.sum(rs), 6).alias("sum_r"),
+        round_half_away(pf, 6).alias("pf"),
+        round_half_away(F.sum((rs > 0).cast("int")) / n, 6).alias("winrate"),
+        round_half_away(F.first("__thr"), 6).alias("conf_threshold"),
+    )
+    eligible = (F.col("n_trades") >= min_trades).cast("int")
+    score = F.col("avg_r") + 0.01 * F.log(F.greatest(F.col("pf"), F.lit(1e-9)))
+    w = Window.partitionBy(*by).orderBy(
+        F.col("__elig").desc(), F.col("__score").desc(), F.col("__ord").asc()
+    )
+    out = (
+        g.withColumn("__elig", eligible)
+        .withColumn("__score", score)
+        .withColumn(
+            "is_best",
+            ((F.row_number().over(w) == 1) & (F.col("__elig") == 1)).cast("int"),
+        )
+        .withColumn("eligible", F.col("__elig"))
+    )
+    return out.select(
+        *by, "candidate_keep_frac", "keep_frac", "n_trades", "avg_r", "sum_r",
+        "pf", "winrate", "conf_threshold", "eligible", "is_best",
+    )

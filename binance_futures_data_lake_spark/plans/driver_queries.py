@@ -3321,6 +3321,97 @@ def q_ml_net_confidence_keep(spark, sf_dir):
     )
 
 
+def _keep_grid_sql() -> str:
+    fracs = (1.0, 0.8, 0.6, 0.5, 0.4, 0.3, 0.2)
+    qs = [max(0.0, 1.0 - float(k)) for k in fracs]
+    q_list = "[" + ", ".join(repr(q) for q in qs) + "]"
+    vals = ", ".join(f"({i + 1}, {k!r})" for i, k in enumerate(fracs))
+    return _HOURLY_BARS_SQL + f"""
+    , lab AS (
+      SELECT event_type, bucket_ts, close,
+        lead(open) OVER wo AS entry_next_open,
+        lead(close, 4) OVER wo AS future_close
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), scored AS (
+      SELECT event_type,
+        future_close / entry_next_open - 1.0 AS ret_fwd,
+        CASE WHEN count(*) OVER w20 >= 20 AND stddev_pop(close) OVER w20 <> 0
+             THEN round(1.0 / (1.0 + exp(-((close - avg(close) OVER w20) / stddev_pop(close) OVER w20))), 6)
+        END AS p
+      FROM lab
+      WINDOW w20 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), conf AS (
+      SELECT *, abs(p - 0.5) AS c FROM scored
+      WHERE p IS NOT NULL AND ret_fwd IS NOT NULL
+    ), th AS (
+      SELECT event_type, count(*) AS n_all,
+             quantile_cont(c, {q_list}) AS thrs
+      FROM conf GROUP BY 1
+    ), fx AS (
+      SELECT * FROM (VALUES {vals}) AS t(ord, frac)
+    ), thx AS (
+      SELECT th.event_type, th.n_all, fx.ord,
+             fx.frac AS candidate_keep_frac, th.thrs[fx.ord] AS thr
+      FROM th, fx
+    ), kept AS (
+      SELECT x.event_type, x.ord, x.candidate_keep_frac, x.thr, x.n_all,
+             (CASE WHEN v.p >= 0.5 THEN 1.0 ELSE -1.0 END) * v.ret_fwd - 0.001 AS rs
+      FROM conf v JOIN thx x ON v.event_type = x.event_type AND v.c >= x.thr
+    ), g AS (
+      SELECT event_type, ord, candidate_keep_frac,
+        round(CAST(count(*) AS DOUBLE) / max(n_all), 6) AS keep_frac,
+        count(*) AS n_trades,
+        round(avg(rs), 6) AS avg_r,
+        round(sum(rs), 6) AS sum_r,
+        round(CASE WHEN sum(CASE WHEN rs < 0 THEN -rs ELSE 0 END) <= 0
+                   THEN CASE WHEN sum(CASE WHEN rs > 0 THEN rs ELSE 0 END) > 0
+                        THEN CAST('infinity' AS DOUBLE) ELSE 0.0 END
+                   ELSE sum(CASE WHEN rs > 0 THEN rs ELSE 0 END)
+                        / sum(CASE WHEN rs < 0 THEN -rs ELSE 0 END) END, 6) AS pf,
+        round(CAST(sum(CASE WHEN rs > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS winrate,
+        round(max(thr), 6) AS conf_threshold
+      FROM kept GROUP BY 1, 2, 3
+    )
+    SELECT event_type, candidate_keep_frac, keep_frac, n_trades, avg_r, sum_r,
+           pf, winrate, conf_threshold,
+           CASE WHEN n_trades >= 50 THEN 1 ELSE 0 END AS eligible,
+           CASE WHEN n_trades >= 50 AND row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY (CASE WHEN n_trades >= 50 THEN 1 ELSE 0 END) DESC,
+                           (avg_r + 0.01 * ln(greatest(pf, 1e-9))) DESC,
+                           ord ASC) = 1
+                THEN 1 ELSE 0 END AS is_best
+    FROM g
+    """
+
+
+@register("ml_keep_frac_grid", sql=_keep_grid_sql())
+def q_ml_keep_frac_grid(spark, sf_dir):
+    """SURVEY M11 — keep-fraction selection grid
+    (run_ml_m15_v1.py:189-215): the cost-netted confidence metrics at all
+    seven candidate keep fractions, eligibility, and the chosen best
+    (max avg_r + 0.01·ln(max(pf,1e-9)) among eligible, earlier candidate
+    on ties). One array-percentile aggregation computes every threshold
+    in a single pass — the reference rescans the validation set per
+    candidate. Metrics are 6-dp rounded BEFORE scoring so the pick is
+    engine-deterministic; the oracle replays grid and choice."""
+    from binance_futures_data_lake_spark.operators.ml import net_confidence_grid
+
+    bars = _hourly_bars(spark, sf_dir)
+    by, order = ["event_type"], ["bucket_ts"]
+    entry = W.lead_col("open", 1, by, order)
+    fut = W.lead_col("close", 4, by, order)
+    scored = bars.select(
+        "event_type",
+        (fut / entry - 1.0).alias("ret_fwd"),
+        r6(1.0 / (1.0 + F.exp(-W.rolling_zscore("close", 20, by, order)))).alias("p"),
+    )
+    return net_confidence_grid(
+        scored, ["event_type"], keep_fracs=(1.0, 0.8, 0.6, 0.5, 0.4, 0.3, 0.2),
+        fee_bps=4.0, slippage_bps=1.0, min_trades=50,
+    )
+
+
 @register(
     "calendar_weekly_ohlcv",
     sql="""
