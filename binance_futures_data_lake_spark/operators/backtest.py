@@ -462,6 +462,252 @@ def sweep_stats(trades: DataFrame, by: Sequence[str] = ("cfg",)) -> DataFrame:
     )
 
 
+@dataclass(frozen=True)
+class EventParams:
+    """Event-simulator configuration (backtest_router_event_v1_1.py:28-65)
+    — the EVENT kernel differs from the sweep kernel (``Cfg``) in its MR
+    management: price-based TP (no partial TP1/TP2-by-close-pos),
+    break-even armed by UNREALIZED R (checked before the bar's SL/TP),
+    and per-engine SL/TP/time constants."""
+
+    trend_d: float = 0.20
+    trend_p: float = 0.65
+    trend_rr: float = 0.80
+    mr_d: float = 0.20
+    mr_rr: float = 0.80
+    mr_cp_low: float = 0.20
+    mr_cp_high: float = 0.80
+    trend_sl_atr: float = 1.00
+    trend_tp_r: float = 2.00
+    trend_time_stop: int = 60
+    mr_sl_atr: float = 0.80
+    mr_tp_r: float = 1.20
+    mr_time_stop: int = 30
+    mr_break_even_at_r: float | None = 0.60
+    mr_be_offset_r: float = 0.00
+    cost_r_per_trade: float = 0.0
+    cooldown_after_loss: int = 5
+    allow_longs: bool = True
+    allow_shorts: bool = True
+
+
+EVENT_TRADE_SCHEMA = T.StructType(
+    [
+        T.StructField("engine", T.StringType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("entry_ts", T.TimestampType()),
+        T.StructField("exit_ts", T.TimestampType()),
+        T.StructField("entry_price", T.DoubleType()),
+        T.StructField("exit_price", T.DoubleType()),
+        T.StructField("sl_price", T.DoubleType()),
+        T.StructField("tp_price", T.DoubleType()),
+        T.StructField("r_mult", T.DoubleType()),
+        T.StructField("pnl_r", T.DoubleType()),
+        T.StructField("exit_reason", T.StringType()),
+        T.StructField("bars_in_trade", T.LongType()),
+    ]
+)
+
+
+def event_signals(
+    df: DataFrame, by: Sequence[str], order: Sequence[str], p: EventParams
+) -> DataFrame:
+    """compute_regimes_and_signals (backtest_router_event_v1_1.py:219-249)
+    as one codegen pass of column algebra."""
+    from pyspark.sql import Window
+
+    col = F.col
+    tradable = col("tradable_final") & col("dir_ready") & (col("vol_state") != "NA")
+    is_trend = (
+        tradable & (col("router_mode_h1") == "TREND")
+        & col("vol_state").isin("MID", "HIGH")
+    )
+    is_range = tradable & (col("router_mode_h1") == "RANGE")
+    impulse_long = (
+        (col("delta_norm") > p.trend_d)
+        & (col("close_pos") > p.trend_p)
+        & (col("range_rel") > p.trend_rr)
+    )
+    impulse_short = (
+        (col("delta_norm") < -p.trend_d)
+        & (col("close_pos") < (1.0 - p.trend_p))
+        & (col("range_rel") > p.trend_rr)
+    )
+    mr_long_setup = (
+        (col("close_pos") <= p.mr_cp_low)
+        & (col("delta_norm") <= -p.mr_d)
+        & (col("range_rel") >= p.mr_rr)
+        & (col("dir_state") == "BULL")
+    )
+    mr_short_setup = (
+        (col("close_pos") >= p.mr_cp_high)
+        & (col("delta_norm") >= p.mr_d)
+        & (col("range_rel") >= p.mr_rr)
+        & (col("dir_state") == "BEAR")
+    )
+    w = Window.partitionBy(*list(by)).orderBy(*list(order))
+    conf_long = (col("delta_norm") > 0) | (col("close_pos") > 0.50)
+    conf_short = (col("delta_norm") < 0) | (col("close_pos") < 0.50)
+    return (
+        df.withColumn(
+            "trend_long_signal",
+            F.coalesce(is_trend & (col("dir_state") == "BULL") & impulse_long, F.lit(False)),
+        )
+        .withColumn(
+            "trend_short_signal",
+            F.coalesce(is_trend & (col("dir_state") == "BEAR") & impulse_short, F.lit(False)),
+        )
+        .withColumn(
+            "mr_long_signal",
+            F.coalesce(
+                F.lag(F.coalesce(is_range & mr_long_setup, F.lit(False)), 1, False).over(w)
+                & is_range & conf_long,
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "mr_short_signal",
+            F.coalesce(
+                F.lag(F.coalesce(is_range & mr_short_setup, F.lit(False)), 1, False).over(w)
+                & is_range & conf_short,
+                F.lit(False),
+            ),
+        )
+    )
+
+
+def _event_loop(pdf: pd.DataFrame, order: list[str], p: EventParams) -> pd.DataFrame:
+    """The event simulator's run_backtest position loop, faithful
+    (backtest_router_event_v1_1.py:255-434): BE arming (unrealized R ≥
+    threshold, checked BEFORE the bar's SL/TP using the possibly-moved
+    stop), price-based SL/TP with same-bar SL priority for both engines,
+    router-flip before time-stop, per-engine constants, cooldown after a
+    gross loss, per-roundtrip cost netted into pnl_r."""
+    pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+    g = lambda c: pdf[c].to_numpy()  # noqa: E731
+    ts = pdf["ts"].to_numpy()
+    high, low, close, atr = g("high"), g("low"), g("close"), g("atr14")
+    router = g("router_mode_h1")
+    tl, tsg = g("trend_long_signal"), g("trend_short_signal")
+    ml, ms = g("mr_long_signal"), g("mr_short_signal")
+
+    pos = None
+    cooldown_until = -1
+    rows = []
+    for i in range(len(pdf)):
+        if pos is not None:
+            bars = i - pos["entry_i"]
+            flip = str(router[i]) != pos["need"]
+            time_exit = bars >= (
+                p.trend_time_stop if pos["engine"] == "TREND" else p.mr_time_stop
+            )
+            # BE for MR — BEFORE this bar's SL/TP checks (:305-312)
+            if (
+                pos["engine"] == "RANGE"
+                and p.mr_break_even_at_r is not None
+                and not pos["be_armed"]
+            ):
+                unreal = _r_mult(pos["side"], pos["entry"], float(close[i]), pos["risk"])
+                if unreal >= float(p.mr_break_even_at_r):
+                    off = pos["risk"] * float(p.mr_be_offset_r)
+                    pos["sl"] = (
+                        pos["entry"] + off if pos["side"] == "LONG" else pos["entry"] - off
+                    )
+                    pos["be_armed"] = True
+            if pos["side"] == "LONG":
+                sl_hit = low[i] <= pos["sl"]
+                tp_hit = high[i] >= pos["tp"]
+            else:
+                sl_hit = high[i] >= pos["sl"]
+                tp_hit = low[i] <= pos["tp"]
+            reason = exit_price = None
+            if sl_hit and tp_hit:
+                reason, exit_price = "SL_and_TP_same_bar", pos["sl"]
+            elif sl_hit:
+                reason, exit_price = "SL", pos["sl"]
+            elif tp_hit:
+                reason, exit_price = "TP", pos["tp"]
+            elif flip:
+                reason, exit_price = "FLIP_ROUTER", close[i]
+            elif time_exit:
+                reason, exit_price = "TIME_STOP", close[i]
+            if reason is not None:
+                r = _r_mult(pos["side"], pos["entry"], float(exit_price), pos["risk"])
+                rows.append(
+                    (
+                        pos["engine"], pos["side"], ts[pos["entry_i"]], ts[i],
+                        float(pos["entry"]), float(exit_price),
+                        float(pos["sl"]), float(pos["tp"]),
+                        float(r), float(r - p.cost_r_per_trade), reason, int(bars),
+                    )
+                )
+                if p.cooldown_after_loss > 0 and r < 0:
+                    cooldown_until = i + p.cooldown_after_loss
+                pos = None
+
+        if pos is not None or i <= cooldown_until:
+            continue
+        engine = side = None
+        if (p.allow_longs and tl[i]) or (p.allow_shorts and tsg[i]):
+            engine, side = "TREND", ("LONG" if p.allow_longs and tl[i] else "SHORT")
+        elif (p.allow_longs and ml[i]) or (p.allow_shorts and ms[i]):
+            engine, side = "RANGE", ("LONG" if p.allow_longs and ml[i] else "SHORT")
+        if engine is None:
+            continue
+        entry, a = float(close[i]), float(atr[i])
+        if not np.isfinite(a) or a <= 0:
+            continue
+        sl_dist = (p.trend_sl_atr if engine == "TREND" else p.mr_sl_atr) * a
+        tp_r = p.trend_tp_r if engine == "TREND" else p.mr_tp_r
+        if side == "LONG":
+            sl = entry - sl_dist
+            risk = entry - sl
+            tp = entry + tp_r * risk
+        else:
+            sl = entry + sl_dist
+            risk = sl - entry
+            tp = entry - tp_r * risk
+        if not np.isfinite(risk) or risk <= 0:
+            continue
+        pos = {
+            "engine": engine, "side": side, "entry_i": i, "entry": entry,
+            "sl": sl, "tp": tp, "risk": risk,
+            "need": "TREND" if engine == "TREND" else "RANGE",
+            "be_armed": False,
+        }
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "engine", "side", "entry_ts", "exit_ts", "entry_price", "exit_price",
+            "sl_price", "tp_price", "r_mult", "pnl_r", "exit_reason", "bars_in_trade",
+        ],
+    )
+
+
+def run_event_backtest(
+    bars: DataFrame,
+    params: EventParams = EventParams(),
+    by: Sequence[str] = ("symbol",),
+    order: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """Full event-simulator replay: vectorized signals → per-key faithful
+    position loop. One shuffle on the key; keys run in parallel (the
+    reference is a single-symbol serial script)."""
+    by, order = list(by), list(order)
+    sig = event_signals(bars, by, order, params)
+    out_schema = T.StructType(
+        [f for f in sig.schema.fields if f.name in by] + list(EVENT_TRADE_SCHEMA.fields)
+    )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        trades = _event_loop(pdf, order, params)
+        for i, c in enumerate(by):
+            trades.insert(i, c, key[i])
+        return trades
+
+    return sig.repartition(*by).groupBy(*by).applyInPandas(kernel, schema=out_schema)
+
+
 def with_router_gate(
     bars: DataFrame,
     gate: DataFrame,

@@ -2275,6 +2275,252 @@ def q_backtest_range_kernel(spark, sf_dir):
     )
 
 
+def _backtest_event_sql() -> str:
+    """Recursive-CTE oracle for the EVENT simulator kernel
+    (backtest_router_event_v1_1.run_backtest, operators/backtest._event_loop):
+    break-even armed by unrealized R BEFORE the bar's SL/TP (the moved
+    stop applies same-bar), price-based SL/TP with same-bar SL priority
+    for both engines, per-engine constants (TREND 1.0·ATR/2R/60 bars;
+    RANGE 0.8·ATR/1.2R/30 bars/BE@0.6R offset 0), flip-before-time
+    precedence, 5-bar cooldown after a gross loss. Float op order
+    replicates the kernel exactly (sl = close − mult·atr; risk =
+    close − sl; tp = close + tp_r·risk; unreal = (close−entry)/risk)."""
+    unreal = (
+        "CASE WHEN w.st = 1 THEN (nb.close - w.entry) / w.risk"
+        " ELSE (w.entry - nb.close) / w.risk END"
+    )
+    be_fires = (
+        f"(w.st <> 0 AND w.eng = 2 AND NOT w.be AND ({unreal}) >= 0.6)"
+    )
+    sl_eff = (
+        f"CASE WHEN {be_fires} THEN CASE WHEN w.st = 1"
+        f" THEN w.entry + w.risk * 0.0 ELSE w.entry - w.risk * 0.0 END"
+        f" ELSE w.sl END"
+    )
+    be1 = f"(w.be OR {be_fires})"
+    sl_hit = (
+        f"((w.st = 1 AND nb.low <= ({sl_eff}))"
+        f" OR (w.st = -1 AND nb.high >= ({sl_eff})))"
+    )
+    tp_hit = (
+        "((w.st = 1 AND nb.high >= w.tp) OR (w.st = -1 AND nb.low <= w.tp))"
+    )
+    flip = (
+        "nb.router <> CASE w.eng WHEN 1 THEN 'TREND' ELSE 'RANGE' END"
+    )
+    time_exit = "nb.i - w.entry_i >= CASE w.eng WHEN 1 THEN 60 ELSE 30 END"
+    exit_reason = f"""CASE WHEN w.st = 0 THEN NULL
+      WHEN {sl_hit} AND {tp_hit} THEN 'SL_and_TP_same_bar'
+      WHEN {sl_hit} THEN 'SL'
+      WHEN {tp_hit} THEN 'TP'
+      WHEN {flip} THEN 'FLIP_ROUTER'
+      WHEN {time_exit} THEN 'TIME_STOP' END"""
+    x_price = f"""CASE ({exit_reason})
+      WHEN 'SL_and_TP_same_bar' THEN ({sl_eff}) WHEN 'SL' THEN ({sl_eff})
+      WHEN 'TP' THEN w.tp ELSE nb.close END"""
+    x_r = (
+        f"CASE WHEN w.st = 1 THEN (({x_price}) - w.entry) / w.risk"
+        f" ELSE (w.entry - ({x_price})) / w.risk END"
+    )
+    exited = f"({exit_reason}) IS NOT NULL"
+    loss = f"({exited} AND CASE WHEN w.st = 1 THEN ({x_price}) < w.entry ELSE ({x_price}) > w.entry END)"
+    cool1 = f"CASE WHEN {loss} THEN nb.i + 5 ELSE w.cool END"
+    st0 = f"CASE WHEN w.st <> 0 AND NOT {exited} THEN w.st ELSE 0 END"
+    atr_ok = "(nb.atr IS NOT NULL AND nb.atr > 0)"
+    # chosen signal claims the bar (trend pair first, long before short);
+    # invalid atr then skips the bar entirely (:393-397)
+    pick = """CASE WHEN nb.tl THEN 11 WHEN nb.tsg THEN 12
+              WHEN nb.ml THEN 21 WHEN nb.ms THEN 22 ELSE 0 END"""
+    entered = f"(({st0}) = 0 AND nb.i > ({cool1}) AND ({pick}) <> 0 AND {atr_ok})"
+    eng_new = f"CASE WHEN {entered} THEN ({pick}) // 10 ELSE 0 END"
+    side_new = f"CASE WHEN {entered} THEN CASE ({pick}) % 10 WHEN 1 THEN 1 ELSE -1 END ELSE 0 END"
+    sl_dist = f"CASE ({pick}) // 10 WHEN 1 THEN 1.0 * nb.atr ELSE 0.8 * nb.atr END"
+    tp_r = f"CASE ({pick}) // 10 WHEN 1 THEN 2.0 ELSE 1.2 END"
+    sl_new = (
+        f"CASE WHEN ({side_new}) = 1 THEN nb.close - ({sl_dist})"
+        f" WHEN ({side_new}) = -1 THEN nb.close + ({sl_dist}) END"
+    )
+    risk_new = (
+        f"CASE WHEN ({side_new}) = 1 THEN nb.close - (nb.close - ({sl_dist}))"
+        f" WHEN ({side_new}) = -1 THEN (nb.close + ({sl_dist})) - nb.close END"
+    )
+    tp_new = (
+        f"CASE WHEN ({side_new}) = 1 THEN nb.close + ({tp_r}) * ({risk_new})"
+        f" WHEN ({side_new}) = -1 THEN nb.close - ({tp_r}) * ({risk_new}) END"
+    )
+    keep = f"({st0}) <> 0"
+    return _HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + f"""
+    , fbt AS (
+      SELECT event_type, bucket_ts, open, high, low, close,
+             greatest(high - low, abs(high - lag(close) OVER wk),
+                      abs(low - lag(close) OVER wk)) AS tr,
+             lag(close, 24) OVER wk AS lag24
+      FROM bars WINDOW wk AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), abt AS (
+      SELECT event_type, bucket_ts, open, high, low, close, lag24,
+        CASE WHEN count(tr) OVER w14 = 14 THEN round(avg(tr) OVER w14, 6) END AS atr
+      FROM fbt
+      WINDOW w14 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), ctx AS (
+      SELECT event_type, bucket_ts, high, low, close, atr,
+        CAST(row_number() OVER wo AS INT) AS i,
+        CASE WHEN high > low THEN (close - low) / (high - low) ELSE 0.5 END AS cp,
+        CASE WHEN atr IS NOT NULL AND atr > 0 THEN (close - open) / atr END AS dn,
+        CASE WHEN atr IS NOT NULL AND atr > 0 THEN (high - low) / atr END AS rr,
+        CASE WHEN lag24 IS NULL THEN 'NA'
+             WHEN close > lag24 THEN 'BULL' ELSE 'BEAR' END AS dir,
+        lag24 IS NOT NULL AS dir_ready
+      FROM abt WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), rv AS (
+      SELECT *,
+        CASE WHEN ((i - 1) // 60) % 2 = 0 THEN 'TREND' ELSE 'RANGE' END AS router,
+        CASE WHEN i % 89 < 2 THEN 'NA' WHEN i % 7 < 5 THEN 'MID' ELSE 'HIGH' END AS vol
+      FROM ctx
+    ), sg AS (
+      SELECT *,
+        (dir_ready AND vol <> 'NA' AND router = 'TREND' AND vol IN ('MID', 'HIGH')) AS is_trend,
+        (dir_ready AND vol <> 'NA' AND router = 'RANGE') AS is_range
+      FROM rv
+    ), sig AS (
+      SELECT event_type, bucket_ts, i, high, low, close, atr, router,
+        coalesce(is_trend AND dir = 'BULL'
+                 AND dn > 0.2 AND cp > 0.65 AND rr > 0.8, false) AS tl,
+        coalesce(is_trend AND dir = 'BEAR'
+                 AND dn < -0.2 AND cp < (1.0 - 0.65) AND rr > 0.8, false) AS tsg,
+        (coalesce(lag(coalesce(is_range AND cp <= 0.2 AND dn <= -0.2 AND rr >= 0.8
+                               AND dir = 'BULL', false)) OVER wo2, false)
+         AND is_range AND (dn > 0 OR cp > 0.5)) AS ml0,
+        (coalesce(lag(coalesce(is_range AND cp >= 0.8 AND dn >= 0.2 AND rr >= 0.8
+                               AND dir = 'BEAR', false)) OVER wo2, false)
+         AND is_range AND (dn < 0 OR cp < 0.5)) AS ms0
+      FROM sg WINDOW wo2 AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), nbt AS MATERIALIZED (
+      -- materialized: the recursion would otherwise re-inline the whole
+      -- 7-layer window pipeline at every one of ~3400 iterations
+      SELECT event_type, bucket_ts, i, high, low, close, atr, router, tl, tsg,
+             coalesce(ml0, false) AS ml, coalesce(ms0, false) AS ms
+      FROM sig
+    ), walk AS (
+      SELECT event_type, 0 AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+             0 AS st, 0 AS eng, CAST(NULL AS DOUBLE) AS entry,
+             CAST(NULL AS DOUBLE) AS sl, CAST(NULL AS DOUBLE) AS tp,
+             CAST(NULL AS DOUBLE) AS risk, false AS be,
+             CAST(NULL AS INT) AS entry_i, CAST(NULL AS TIMESTAMP) AS entry_ts,
+             -1 AS cool,
+             CAST(NULL AS VARCHAR) AS x_reason, CAST(NULL AS DOUBLE) AS x_price_o,
+             CAST(NULL AS DOUBLE) AS x_r, CAST(NULL AS DOUBLE) AS x_entry,
+             CAST(NULL AS TIMESTAMP) AS x_entry_ts, CAST(NULL AS INT) AS x_entry_i,
+             CAST(NULL AS INT) AS x_side, CAST(NULL AS INT) AS x_eng,
+             CAST(NULL AS DOUBLE) AS x_sl, CAST(NULL AS DOUBLE) AS x_tp
+      FROM (SELECT DISTINCT event_type FROM nbt)
+      UNION ALL
+      SELECT nb.event_type, nb.i, nb.bucket_ts,
+        CASE WHEN {keep} THEN w.st ELSE ({side_new}) END AS st,
+        CASE WHEN {keep} THEN w.eng ELSE ({eng_new}) END AS eng,
+        CASE WHEN {keep} THEN w.entry WHEN {entered} THEN nb.close END AS entry,
+        CASE WHEN {keep} THEN ({sl_eff}) WHEN {entered} THEN ({sl_new}) END AS sl,
+        CASE WHEN {keep} THEN w.tp WHEN {entered} THEN ({tp_new}) END AS tp,
+        CASE WHEN {keep} THEN w.risk WHEN {entered} THEN ({risk_new}) END AS risk,
+        CASE WHEN {keep} THEN ({be1}) ELSE false END AS be,
+        CASE WHEN {keep} THEN w.entry_i WHEN {entered} THEN nb.i END AS entry_i,
+        CASE WHEN {keep} THEN w.entry_ts WHEN {entered} THEN nb.bucket_ts END AS entry_ts,
+        ({cool1}) AS cool,
+        ({exit_reason}) AS x_reason,
+        ({x_price}) AS x_price_o,
+        ({x_r}) AS x_r,
+        CASE WHEN {exited} THEN w.entry END AS x_entry,
+        CASE WHEN {exited} THEN w.entry_ts END AS x_entry_ts,
+        CASE WHEN {exited} THEN w.entry_i END AS x_entry_i,
+        CASE WHEN {exited} THEN w.st END AS x_side,
+        CASE WHEN {exited} THEN w.eng END AS x_eng,
+        CASE WHEN {exited} THEN ({sl_eff}) END AS x_sl,
+        CASE WHEN {exited} THEN w.tp END AS x_tp
+      FROM walk w JOIN nbt nb ON nb.event_type = w.event_type AND nb.i = w.i + 1
+    )
+    SELECT event_type,
+           CASE x_eng WHEN 1 THEN 'TREND' ELSE 'RANGE' END AS engine,
+           CASE x_side WHEN 1 THEN 'LONG' ELSE 'SHORT' END AS side,
+           x_entry_ts AS entry_ts, bucket_ts AS exit_ts,
+           x_entry AS entry_price, x_price_o AS exit_price,
+           x_sl AS sl_price, x_tp AS tp_price,
+           round(x_r, 6) AS r_mult, round(x_r, 6) AS pnl_r,
+           x_reason AS exit_reason,
+           CAST(i - x_entry_i AS BIGINT) AS bars_in_trade
+    FROM walk WHERE x_reason IS NOT NULL
+    """
+
+
+@register("backtest_event_kernel", sql=_backtest_event_sql())
+def q_backtest_event_kernel(spark, sf_dir):
+    """The EVENT simulator replayed end-to-end (backtest_router_event_v1_1
+    — r4: full parity beyond the r3 cooldown/cost/equity extras):
+    ``event_signals`` (regime gating, impulse/MR setups with the 1-bar
+    confirm shift) + ``_event_loop`` (BE armed by unrealized R BEFORE the
+    bar's SL/TP so the moved stop applies same-bar, price-based SL/TP
+    with same-bar SL priority on BOTH engines, per-engine
+    SL/TP/time-stop constants, flip-before-time precedence, 5-bar
+    cooldown after gross losses). Regime context (router blocks, vol
+    states incl. NA exclusions, dir from a 24-bar lag) is deterministic
+    bar arithmetic both engines recompute; DuckDB replays signals AND
+    the full position machine as one recursive CTE."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from binance_futures_data_lake_spark.operators.backtest import (
+        EventParams,
+        run_event_backtest,
+    )
+
+    bars = _hourly_bars(spark, sf_dir)  # includes the open column
+    by = ["event_type"]
+    wk = Window.partitionBy(*by).orderBy("bucket_ts")
+    w14 = wk.rowsBetween(-13, 0)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(wk)),
+        F.abs(F.col("low") - F.lag("close").over(wk)),
+    )
+    lag24 = F.lag("close", 24).over(wk)
+    feat = (
+        bars.withColumn("tr", tr)
+        .withColumn(
+            "atr14",
+            F.when(F.count("tr").over(w14) == 14, F.round(F.avg("tr").over(w14), 6)),
+        )
+        .withColumn("__lag24", lag24)
+        .withColumn("__i", F.row_number().over(wk))
+    )
+    atr_pos = F.col("atr14").isNotNull() & (F.col("atr14") > 0)
+    kin = feat.select(
+        "event_type",
+        F.col("bucket_ts").alias("ts"),
+        "high", "low", "close", "atr14",
+        F.when(F.col("high") > F.col("low"),
+               (F.col("close") - F.col("low")) / (F.col("high") - F.col("low")))
+        .otherwise(F.lit(0.5)).alias("close_pos"),
+        F.when(atr_pos, (F.col("close") - F.col("open")) / F.col("atr14"))
+        .alias("delta_norm"),
+        F.when(atr_pos, (F.col("high") - F.col("low")) / F.col("atr14"))
+        .alias("range_rel"),
+        F.when((F.col("__i") - 1).cast("long") % 120 < 60, "TREND")
+        .otherwise("RANGE").alias("router_mode_h1"),
+        F.when(F.col("__i") % 89 < 2, "NA")
+        .when(F.col("__i") % 7 < 5, "MID").otherwise("HIGH").alias("vol_state"),
+        F.when(F.col("__lag24").isNull(), "NA")
+        .when(F.col("close") > F.col("__lag24"), "BULL")
+        .otherwise("BEAR").alias("dir_state"),
+        F.col("__lag24").isNotNull().alias("dir_ready"),
+        F.lit(True).alias("tradable_final"),
+    )
+    trades = run_event_backtest(kin, EventParams(), by=by, order=["ts"])
+    return trades.select(
+        "event_type", "engine", "side", "entry_ts", "exit_ts",
+        "entry_price", "exit_price", "sl_price", "tp_price",
+        r6(F.col("r_mult")).alias("r_mult"), r6(F.col("pnl_r")).alias("pnl_r"),
+        "exit_reason", "bars_in_trade",
+    )
+
+
 @register("backtest_trend_kernel", sql=_backtest_trend_sql())
 def q_backtest_trend_kernel(spark, sf_dir):
     """The REAL backtest position kernel, oracle-checked (SURVEY B2/A12
