@@ -308,3 +308,53 @@ def test_router_gate_derivation_and_sweep_consumption(spark):
     gated = with_router_gate(bars, gate, by=["symbol"])
     trades = run_sweep(gated, [Cfg(name="g")]).toPandas()
     assert set(trades["symbol"]) == {"AAA"}  # CCC gate-denied, DDD size 0
+
+
+def test_event_kernel_break_even_semantics(spark):
+    """Event simulator (backtest_router_event_v1_1.py:305-321): once
+    unrealized R >= mr_break_even_at_r, the stop moves to entry (offset 0)
+    BEFORE the bar's SL check — a later dip to entry exits at exactly 0R;
+    without BE the same path would ride to the original stop."""
+    import datetime as dt
+
+    from binance_futures_data_lake_spark.operators.backtest import (
+        EventParams,
+        run_event_backtest,
+    )
+
+    t0 = dt.datetime(2024, 1, 5, 15, 0)
+    # columns: ts, high, low, close, atr14, close_pos, delta_norm,
+    #          range_rel, router, dir_state, vol_state, dir_ready, tradable
+    def bar(i, high, low, close, cp=0.5, dn=0.0, rr=0.5):
+        return ("AAA", t0 + dt.timedelta(minutes=i), float(high), float(low),
+                float(close), 1.0, cp, dn, rr, "RANGE", "BULL", "MID", True, True)
+
+    rows = [
+        bar(0, 100.5, 99.5, 100.0),
+        # bar1: MR long SETUP (cp<=0.2, dn<=-0.2, rr>=0.8, BULL)
+        bar(1, 100.5, 99.5, 100.0, cp=0.1, dn=-0.5, rr=1.0),
+        # bar2: confirm (dn>0) -> ENTRY at close 100; atr 1 -> sl 99.2,
+        # risk 0.8, tp 100.96
+        bar(2, 100.5, 99.5, 100.0, cp=0.6, dn=0.1),
+        # bar3: close 100.6 -> unrealized (100.6-100)/0.8 = 0.75R >= 0.6 ->
+        # BE arms, sl -> 100.0 (high stays < tp 100.96)
+        bar(3, 100.9, 100.2, 100.6),
+        # bar4: dip to 99.9 <= BE stop 100.0 -> SL exit at 100.0, r = 0
+        bar(4, 100.4, 99.9, 100.1),
+    ]
+    cols = ["symbol", "ts", "high", "low", "close", "atr14", "close_pos",
+            "delta_norm", "range_rel", "router_mode_h1", "dir_state",
+            "vol_state", "dir_ready", "tradable_final"]
+    bars = spark.createDataFrame(rows, cols)
+    with_be = run_event_backtest(bars, EventParams(), by=["symbol"]).toPandas()
+    assert len(with_be) == 1
+    t = with_be.iloc[0]
+    assert t["engine"] == "RANGE" and t["exit_reason"] == "SL"
+    assert t["sl_price"] == 100.0      # the BE-moved stop
+    assert abs(t["r_mult"]) < 1e-12    # exits at exactly 0R
+    # same path with BE disabled: bar4 low 99.9 > original stop 99.2 -> no
+    # exit there; position survives to the data edge with no trade emitted
+    no_be = run_event_backtest(
+        bars, EventParams(mr_break_even_at_r=None), by=["symbol"]
+    ).toPandas()
+    assert len(no_be) == 0
