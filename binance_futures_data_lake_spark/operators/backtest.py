@@ -151,14 +151,18 @@ def with_signals(bars_x_cfg: DataFrame, by: Sequence[str], order: Sequence[str])
     )
 
     # ATR-percentile cap with auto 0-1 vs 0-100 scale detection
-    # (run_sweep_router_v2.py:286-293): global max over finite values per cfg
-    wcfg = Window.partitionBy("name")
+    # (run_sweep_router_v2.py:286-293): global max over finite values per
+    # cfg. NOT a Window.partitionBy("name") — that funnels the whole
+    # bars×cfg frame into |cfgs| data-proportional partitions (measured:
+    # the dominant cost of a 4M-row sweep probe, r4). A grouped aggregate
+    # gets map-side partial max and the |cfgs|-row result broadcasts back.
     finite = F.when(
         ~F.isnan(F.coalesce(col("atr_pct_pctl_h1"), F.lit(float("nan")))),
         col("atr_pct_pctl_h1"),
     )
-    scale_max = F.max(finite).over(wcfg)
-    atr_cap = F.when(scale_max > 1.5, col("mr_atr_pctl_max") * 100.0).otherwise(
+    scale_tbl = d.groupBy("name").agg(F.max(finite).alias("__scale_max"))
+    d = d.join(F.broadcast(scale_tbl), "name")
+    atr_cap = F.when(F.col("__scale_max") > 1.5, col("mr_atr_pctl_max") * 100.0).otherwise(
         col("mr_atr_pctl_max")
     )
     atr_pctl_ok = finite.isNull() | (col("atr_pct_pctl_h1") <= atr_cap)
@@ -192,7 +196,7 @@ def with_signals(bars_x_cfg: DataFrame, by: Sequence[str], order: Sequence[str])
             F.lag(mr_short_setup, 1, False).over(w) & is_range & conf_short, F.lit(False)
         ),
     )
-    return d
+    return d.drop("__scale_max")
 
 
 TRADE_SCHEMA = T.StructType(

@@ -220,6 +220,31 @@ def main() -> None:
     media.count()
     stage("image_features_vectorized", lambda: force(image_features(media)))
 
+    # backtest kernel probe (r4): the full research pipeline -> 4-config
+    # sweep over every symbol. Exercises bars x cfg cross, vectorized
+    # signals, and the per-(symbol, cfg) applyInPandas position loop —
+    # 4 x n_symbols independent groups, the B3 scale story.
+    from binance_futures_data_lake_spark.operators.backtest import Cfg, run_sweep, sweep_stats
+    from binance_futures_data_lake_spark.operators.regime import VolRegimeParams
+    from binance_futures_data_lake_spark.plans.pipeline import joined_research_frame
+
+    frame = joined_research_frame(m1c, vol_params=VolRegimeParams(lookback=48)).cache()
+    frame.count()
+    all_hours = ",".join(str(h) for h in range(24))
+    cfgs = [
+        Cfg(name="base", session_hours=all_hours, minute_guard=0),
+        Cfg(name="tight", session_hours=all_hours, minute_guard=0, mr_sl_atr=1.2),
+        Cfg(name="cooldown", session_hours=all_hours, minute_guard=0,
+            cooldown_after_loss=5, cost_r_per_trade=0.02),
+        Cfg(name="no_trend", session_hours=all_hours, minute_guard=0,
+            trend_enabled=False),
+    ]
+    stage(
+        "config_sweep_4cfg",
+        lambda: force(sweep_stats(run_sweep(frame, cfgs))),
+    )
+    frame.unpersist()
+
     print(json.dumps({"rows": n, "n_symbols": n_symbols, "stages": stages}))
     spark.stop()
 
