@@ -8,9 +8,19 @@ into real PNG payloads and ``image_features``/``resize_images`` DECODE
 them — so the driver oracle can hash-check the whole roundtrip: pixels
 are an arithmetic function of (text, dims) that DuckDB recomputes in
 SQL, and any codec bug (chunk parse, inflate, defilter) breaks the
-feature hash. Audio/video payloads remain opaque bytes with typed
-metadata; their decode is out of scope here and raises
-``NotImplementedError`` (a real libav boundary, stated honestly).
+feature hash.
+
+The audio path (r4, second half) gets the same treatment: a REAL
+PCM16 WAV codec on stdlib ``struct`` per the public RIFF/WAVE layout
+(RIFF size, ``fmt `` chunk, ``data`` chunk, even-byte chunk padding).
+``synthetic_media(kind="audio")`` ENCODES deterministic int16 samples
+derived from the document text into real WAV containers and
+``audio_features`` DECODES them into clip-level stats (RMS, peak,
+zero-crossing count) — again fully SQL-replayable, so the oracle
+attests the container roundtrip including the 44-byte header size.
+Video payloads remain opaque bytes with typed metadata; their decode is
+a real libav boundary and stays out of scope (stated honestly) — the
+frame-sampling fan-out plumbing is real (``sample_frames``).
 
 Scale design:
 - payloads stay opaque `binary` end-to-end — Spark never interprets them,
@@ -163,6 +173,58 @@ def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
         prev = out[y].astype(np.int32)
     return width, height, out.tobytes()
 
+# --- minimal real WAV codec (PCM16, stdlib only) ----------------------------
+
+
+def wav_encode_pcm16(samples: bytes, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Encode little-endian int16 PCM frames as a real RIFF/WAVE file.
+
+    Canonical 44-byte header (RIFF size + ``fmt `` + ``data``), no
+    ancillary chunks — deterministic: identical samples ⇒ identical
+    bytes. ``samples`` is the raw interleaved frame buffer."""
+    if len(samples) % (2 * n_channels):
+        raise ValueError("sample buffer is not whole int16 frames")
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,  # byte rate
+        n_channels * 2,  # block align
+        16,  # bits/sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode_pcm16(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a PCM16 RIFF/WAVE file → (sample_rate, n_channels,
+    samples). Full chunk walk — unknown chunks are skipped, chunk sizes
+    are padded to even offsets per the RIFF spec, multi-``data`` files
+    concatenate — so real-world WAVs parse, not only our encoder's."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    pos, rate, ch, chunks = 12, None, None, []
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", chunk)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV is supported")
+        elif tag == b"data":
+            chunks.append(chunk)
+    if rate is None or not chunks:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    return rate, ch, b"".join(chunks)
+
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),           # image | audio | video
@@ -203,8 +265,48 @@ def synthetic_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     document's utf-8 bytes tiled to width×height (dims keyed on doc_id) —
     identical (text, dims) ⇒ byte-identical PNG, and the pixel values are
     an arithmetic function of the text a SQL oracle can recompute without
-    a decoder. Other kinds keep opaque utf-8 payloads (their decoders are
-    out of scope)."""
+    a decoder. ``kind="audio"``: payload is a REAL PCM16 mono WAV whose
+    samples are ``(byte − 96) · 180`` over the text bytes tiled to
+    ``doc_id % 800 + 400`` samples — ASCII text straddles 96 ('`'), so
+    clips genuinely cross zero and zero-crossing stats are non-trivial;
+    again pure arithmetic a SQL oracle replays. Other kinds keep opaque
+    utf-8 payloads (a video decoder is out of scope)."""
+    if kind == "audio":
+        import numpy as np
+        import pandas as pd
+
+        def build_wav(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                rows = []
+                for did, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                    did = int(did)
+                    n = did % 800 + 400
+                    tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                    v = (
+                        (np.resize(tb, n).astype(np.int32) - 96) * 180
+                    ).astype("<i2")
+                    rows.append(
+                        (
+                            did,
+                            "audio",
+                            wav_encode_pcm16(v.tobytes(), 16000),
+                            {
+                                "format": "wav",
+                                "width": 0,
+                                "height": 0,
+                                "n_channels": 1,
+                                "sample_rate": 16000,
+                                "duration_ms": n * 1000 // 16000,
+                            },
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "payload", "meta"]
+                )
+
+        return docs.select("doc_id", "text").mapInPandas(build_wav, MEDIA_SCHEMA)
     if kind != "image":
         meta = F.struct(
             F.lit("wav").alias("format"),
@@ -337,6 +439,74 @@ def image_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload", "meta").mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("mean_amplitude", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak_abs", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode → clip-level audio stats (duration, mean,
+    RMS, peak, zero-crossing count). Same scale contract as
+    ``image_features``: the binary column is consumed inside the UDF and
+    never shuffled; everything after the per-item decode is ONE
+    vectorized pass over the batch's concatenated samples (offsets +
+    ``reduceat``); per-clip results are independent of batch composition,
+    so output is deterministic under any partitioning.
+
+    Zero crossings count strict sign flips between adjacent samples
+    (``v[i−1]·v[i] < 0``); clip-boundary products are masked out of the
+    one concatenated product vector."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = pdf["payload"].tolist()
+            decoded = [wav_decode_pcm16(p) for p in payloads]
+            rates = np.array([d[0] for d in decoded], dtype=np.int32)
+            chans = np.array([d[1] for d in decoded])
+            if (chans != 1).any():
+                raise NotImplementedError("clip stats expect mono WAV")
+            v = np.frombuffer(
+                b"".join(d[2] for d in decoded), dtype="<i2"
+            ).astype(np.int64)
+            n = np.array([len(d[2]) // 2 for d in decoded], dtype=np.int64)
+            off = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(n[:-1], out=off[1:])
+            sums = np.add.reduceat(v.astype(np.float64), off)
+            sumsq = np.add.reduceat((v * v).astype(np.float64), off)
+            peaks = np.maximum.reduceat(np.abs(v), off)
+            prod = v[:-1] * v[1:]
+            neg = prod < 0
+            neg[off[1:] - 1] = False  # mask cross-clip products
+            zcr = np.add.reduceat(neg.astype(np.int64), off)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype(np.int64),
+                "n_bytes": np.array([len(p) for p in payloads], dtype=np.int64),
+                "sample_rate": rates,
+                "n_samples": n,
+                "duration_ms": n * 1000 // rates,
+                "mean_amplitude": sums / n,
+                "rms": np.sqrt(sumsq / n),
+                "peak_abs": peaks.astype(np.int64),
+                "zero_crossings": zcr,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
     )
 
 

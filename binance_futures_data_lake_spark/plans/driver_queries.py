@@ -3055,6 +3055,65 @@ def q_media_image_features(spark, sf_dir):
 
 
 @register(
+    "media_audio_features",
+    # Audio twin of media_image_features: samples are deterministic
+    # arithmetic over the text — (byte − 96)·180 int16, tiled to
+    # doc_id % 800 + 400 samples. Spark ENCODES them into real PCM16 WAV
+    # containers and DECODES them back (stdlib RIFF codec); DuckDB
+    # recomputes the clip stats straight from the text. n_bytes attests
+    # the container layout itself (44-byte canonical header + 2·n data).
+    sql="""
+    WITH d AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 800 + 400 AS BIGINT) AS n,
+             text, length(text) AS L
+      FROM documents
+    ), px AS (
+      SELECT media_id, n, L, text, unnest(range(n)) AS i FROM d
+    ), sv AS (
+      SELECT media_id, n, i,
+             CAST((ascii(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 180
+                  AS BIGINT) AS v
+      FROM px
+    ), zc AS (
+      SELECT media_id, n, v,
+             CASE WHEN lag(v) OVER (PARTITION BY media_id ORDER BY i) * v < 0
+                  THEN 1 ELSE 0 END AS z
+      FROM sv
+    )
+    SELECT media_id,
+           max(n) * 2 + 44 AS n_bytes,
+           max(n) AS n_samples,
+           max(n) * 1000 // 16000 AS duration_ms,
+           round(sum(v) * 1.0 / max(n), 6) AS mean_amplitude,
+           round(sqrt(sum(v * v) * 1.0 / max(n)), 6) AS rms,
+           max(abs(v)) AS peak_abs,
+           CAST(sum(z) AS BIGINT) AS zero_crossings
+    FROM zc GROUP BY 1
+    """,
+)
+def q_media_audio_features(spark, sf_dir):
+    """Multimodal audio features, oracle-checked end-to-end: documents →
+    REAL PCM16 WAV payloads (stdlib RIFF codec) → Arrow-batched decode →
+    clip stats (mean/RMS/peak/zero-crossings). The oracle recomputes the
+    stats from the deterministic sample function in pure SQL, so any
+    codec bug — chunk walk, word alignment, fmt parse, frame packing —
+    fails the hash; ``n_bytes = 44 + 2·n`` additionally pins the exact
+    container layout. The binary column never crosses a shuffle."""
+    from binance_futures_data_lake_spark.operators.multimodal import (
+        audio_features, synthetic_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = audio_features(synthetic_media(docs, kind="audio"))
+    return feats.select(
+        "media_id", "n_bytes", "n_samples", "duration_ms",
+        r6(F.col("mean_amplitude")).alias("mean_amplitude"),
+        r6(F.col("rms")).alias("rms"),
+        "peak_abs", "zero_crossings",
+    )
+
+
+@register(
     "structure_breaks_hourly",
     sql=_HOURLY_BARS_SQL + """
     , tr AS (
