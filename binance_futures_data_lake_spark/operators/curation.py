@@ -231,3 +231,80 @@ def write_shards(
         os.path.join(path, "_manifest")
     )
     return spark.read.parquet(os.path.join(path, "_manifest"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every shard's documents
+    (ordered by id) end-to-end into one token stream and cut it into
+    fixed ``budget_tokens`` training sequences, splitting documents that
+    straddle a boundary — the standard GPT-style pretraining packing
+    (zero padding waste; every sequence except each shard's last is
+    exactly full).
+
+    Output is one row per (document × sequence) SEGMENT — the loader-side
+    assignment table::
+
+        shard, doc_id, n_tok, seq_id, seq_offset, tok_start, tok_len
+
+    ``seq_id`` is the shard-local sequence index, ``seq_offset`` the
+    token position inside that sequence where the segment begins, and
+    ``[tok_start, tok_start+tok_len)`` the slice of the document it
+    carries. A document spanning k boundaries emits k+1 rows via an
+    in-plan ``sequence()`` explode — no driver loop, no UDF.
+
+    Scale shape: ONE window (running token total) per shard, keyed and
+    ordered — packing is inherently serial *within* a shard (the stream
+    order defines the sequences), so the shard key bounds the serial
+    extent; a 100 TB corpus packs with fine-grained shards (e.g. the
+    md5 buckets of :func:`with_shard`), giving |shards|-way parallelism
+    with each window sorting only its own shard. All index arithmetic is
+    exact long division (``div``), not float ``floor`` — document streams
+    beyond 2^53 tokens would silently mis-cut on doubles.
+
+    Empty documents (0 tokens) occupy no stream positions and emit no
+    segments, by construction of the concat semantics.
+    """
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    b = int(budget_tokens)
+    t = (
+        docs.select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col).alias("doc_id"),
+            F.size(words(F.col(text_col))).cast("long").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tok").over(
+                    Window.partitionBy("shard")
+                    .orderBy("doc_id")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("first_seq", F.expr(f"cum_before div {b}"))
+        .withColumn("last_seq", F.expr(f"(cum_before + n_tok - 1) div {b}"))
+        .withColumn("seq_id", F.explode(F.sequence("first_seq", "last_seq")))
+    )
+    tok_start = F.greatest(F.col("seq_id") * b - F.col("cum_before"), F.lit(0).cast("long"))
+    tok_end = F.least((F.col("seq_id") + 1) * b - F.col("cum_before"), F.col("n_tok"))
+    return t.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        "seq_id",
+        (F.col("cum_before") + tok_start - F.col("seq_id") * b).alias("seq_offset"),
+        tok_start.alias("tok_start"),
+        (tok_end - tok_start).alias("tok_len"),
+    )

@@ -350,3 +350,86 @@ def unigram_logprob(
             / F.sum("cnt")
         ).alias("logprob_avg"),
     )
+
+
+def scrub_cross_doc_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring scrubbing — the ACTIONABLE half of
+    :func:`cross_doc_spans`: remove shared boilerplate from the corpus
+    while keeping one canonical copy, and REBUILD the cleaned text
+    (Lee et al. 2022 / SlimPajama-style "dedup but keep one occurrence",
+    token-window flavor).
+
+    Rule: a ``span_tokens``-long window appearing in ≥ ``min_docs``
+    documents is shared text. Its canonical owner is the smallest doc_id
+    containing it; in every OTHER document, all token positions covered
+    by any occurrence of the span are dropped. Overlapping shared spans
+    compose naturally (a position is dropped if ANY non-owned span covers
+    it). Output: ``doc_id, n_tokens, n_removed, text_clean`` — cleaned
+    text is the kept tokens in order, single-space joined (tokenization
+    lowercases, so the rebuild is normalized text, stated openly).
+
+    Scale shape mirrors cross_doc_spans: span candidates collapse to
+    per-(span, doc) rows map-side before the span-keyed agg (no Expand,
+    no self-join); the coverage test is a dense-rank window trick —
+    position p is covered iff some marked span STARTS in
+    ``[p−k+1, p]``, i.e. one rows-frame ``max`` over the per-position
+    start flags, never a range join against span intervals. The rebuild
+    is one per-doc aggregate (collect kept (pos, tok) structs, sort,
+    join) — tokens of one document must meet anyway, and the agg rides
+    the same doc_id shuffle as the window.
+    """
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        ngrams_of_tokens,
+        words,
+    )
+
+    k = int(span_tokens)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+    )
+    tok = base.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "tok")
+    )
+    sp = base.select(
+        "doc_id",
+        F.posexplode(ngrams_of_tokens(F.col("__toks"), k)).alias("start", "span"),
+    )
+    shared = (
+        sp.groupBy("span", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("owner"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    marked = (
+        sp.join(shared, "span")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "start")
+    )
+    flagged = tok.join(
+        marked.withColumnRenamed("start", "pos").withColumn("__hit", F.lit(1)),
+        ["doc_id", "pos"],
+        "left",
+    ).withColumn(
+        "covered",
+        F.max(F.coalesce("__hit", F.lit(0))).over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(-(k - 1), 0)
+        ),
+    )
+    kept = F.when(F.col("covered") == 0, F.struct("pos", "tok"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("covered").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s.tok),
+        ).alias("text_clean"),
+    )

@@ -3114,6 +3114,110 @@ def q_media_audio_features(spark, sf_dir):
 
 
 @register(
+    "scrub_cross_doc_spans",
+    # keep-one-copy exact-substring scrubbing, replayed end-to-end: the
+    # oracle rebuilds the cleaned TEXT itself, so ownership choice,
+    # coverage windowing, overlap composition and token order are all
+    # pinned by the string hash.
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, toks, len(toks) AS n, unnest(range(len(toks))) AS pos
+      FROM d
+    ), tok AS (
+      SELECT doc_id, n, pos, toks[CAST(pos AS INT) + 1] AS tok FROM tk
+    ), sp AS (
+      SELECT doc_id, pos AS start,
+             array_to_string(toks[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)],
+                             ' ') AS span
+      FROM tk WHERE pos + 8 <= n
+    ), sh AS (
+      SELECT span, min(doc_id) AS owner
+      FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), mk AS (
+      SELECT sp.doc_id, sp.start
+      FROM sp JOIN sh USING (span) WHERE sp.doc_id <> sh.owner
+    ), fl AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             CASE WHEN m.start IS NOT NULL THEN 1 ELSE 0 END AS is_start
+      FROM tok t LEFT JOIN mk m ON t.doc_id = m.doc_id AND t.pos = m.start
+    ), cv AS (
+      SELECT doc_id, pos, tok,
+             max(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      FROM fl
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(covered) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
+                               ' ' ORDER BY pos), '') AS text_clean
+    FROM cv GROUP BY 1
+    """,
+)
+def q_scrub_cross_doc_spans(spark, sf_dir):
+    """Exact-substring scrubbing with text REBUILD: 8-token windows shared
+    by ≥2 docs are boilerplate; every non-canonical document (owner = min
+    doc_id per span) drops all covered positions and is reassembled from
+    its kept tokens. The actionable sibling of dup_spans_cross_doc —
+    detection tells you it exists, this removes it and hands back the
+    cleaned corpus. See textquality.scrub_cross_doc_spans."""
+    from binance_futures_data_lake_spark.operators.textquality import (
+        scrub_cross_doc_spans,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return scrub_cross_doc_spans(docs, span_tokens=8, min_docs=2)
+
+
+@register(
+    "pack_sequences",
+    # Concat-and-chunk packing is pure window + integer-division algebra,
+    # so the oracle replays the full segment table: any drift in stream
+    # order, boundary cuts, or offset math fails the hash row-for-row.
+    sql="""
+    WITH t AS (
+      SELECT source AS shard, doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM t WHERE n_tok > 0
+    ), e AS (
+      SELECT shard, doc_id, n_tok, cb,
+             unnest(range(cb // 256, (cb + n_tok - 1) // 256 + 1)) AS seq_id
+      FROM c
+    )
+    SELECT shard, doc_id, n_tok, seq_id,
+           cb + greatest(seq_id * 256 - cb, 0) - seq_id * 256 AS seq_offset,
+           greatest(seq_id * 256 - cb, 0) AS tok_start,
+           least((seq_id + 1) * 256 - cb, n_tok)
+             - greatest(seq_id * 256 - cb, 0) AS tok_len
+    FROM e
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (concat-and-chunk, budget 256 tokens per
+    sequence): per-shard token streams cut into fixed sequences with
+    boundary-straddling documents split into segments — the GPT-style
+    zero-padding packing step between curation and the training run. One
+    window per shard + an in-plan sequence() explode; exact long
+    ``div`` arithmetic (no float floor). See curation.pack_sequences."""
+    from binance_futures_data_lake_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, 256)
+
+
+@register(
     "structure_breaks_hourly",
     sql=_HOURLY_BARS_SQL + """
     , tr AS (

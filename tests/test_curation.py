@@ -152,3 +152,75 @@ def test_seeded_ivf_recall_and_determinism(spark):
     # every query returns k ranked rows (corpus >> k in every probed cell)
     per_q = {r.q_id: r.rnk for r in approx.collect()}
     assert set(per_q) == set(range(10))
+
+
+def test_pack_sequences_invariants(spark, docs):
+    from binance_futures_data_lake_spark.operators.curation import pack_sequences
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    B = 64
+    seg = pack_sequences(docs, B).cache()
+    rows = seg.collect()
+    assert rows, "packing produced no segments"
+
+    # per-document: segments cover [0, n_tok) exactly, in seq order
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r.shard, r.doc_id), []).append(r)
+    for (_, _), segs in by_doc.items():
+        segs.sort(key=lambda r: r.seq_id)
+        assert segs[0].tok_start == 0
+        assert sum(s.tok_len for s in segs) == segs[0].n_tok
+        for a, b in zip(segs, segs[1:]):
+            assert b.seq_id == a.seq_id + 1       # consecutive sequences
+            assert b.tok_start == a.tok_start + a.tok_len
+            assert b.seq_offset == 0              # continuation starts a sequence
+
+    # per-sequence: every sequence except each shard's last is exactly full,
+    # and segments tile [0, B) without gaps
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    last_seq = {}
+    for shard, seq_id in by_seq:
+        last_seq[shard] = max(last_seq.get(shard, -1), seq_id)
+    for (shard, seq_id), segs in by_seq.items():
+        segs.sort(key=lambda r: r.seq_offset)
+        assert segs[0].seq_offset == 0
+        for a, b in zip(segs, segs[1:]):
+            assert b.seq_offset == a.seq_offset + a.tok_len
+        total = sum(s.tok_len for s in segs)
+        if seq_id < last_seq[shard]:
+            assert total == B
+        else:
+            assert 0 < total <= B
+
+    # token accounting matches the tokenizer
+    n_tok_truth = dict(
+        docs.select("doc_id", F.size(words(F.col("text"))).alias("n")).collect()
+    )
+    got = {d: segs[0].n_tok for (_, d), segs in by_doc.items()}
+    assert got == {d: n for d, n in n_tok_truth.items() if n > 0}
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+
+
+def test_pack_sequences_skips_empty_docs_and_splits_long(spark):
+    from binance_futures_data_lake_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s"),
+            (2, "   ", "s"),                      # empty after tokenize
+            (3, " ".join(["t"] * 11), "s"),       # straddles 2 boundaries at B=4
+        ],
+        ["doc_id", "text", "source"],
+    )
+    segs = {(r.doc_id, r.seq_id): r for r in pack_sequences(df, 4).collect()}
+    assert not any(d == 2 for d, _ in segs)       # empty doc emits nothing
+    # doc1: 5 tokens -> seqs 0 (4 toks) and 1 (1 tok)
+    assert segs[(1, 0)].tok_len == 4 and segs[(1, 1)].tok_len == 1
+    # doc3 starts at stream pos 5 -> spans seqs 1..3
+    assert [segs[(3, s)].tok_len for s in (1, 2, 3)] == [3, 4, 4]
+    assert segs[(3, 1)].seq_offset == 1 and segs[(3, 2)].seq_offset == 0

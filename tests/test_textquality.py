@@ -170,3 +170,46 @@ def test_unigram_logprob_hand_case(spark):
     )
     o2 = {r["doc_id"]: r["logprob_avg"] for r in unigram_logprob(docs2).collect()}
     assert o2[1] > o2[2]
+
+
+def test_scrub_cross_doc_spans_keep_one_copy(spark):
+    from binance_futures_data_lake_spark.operators.textquality import (
+        scrub_cross_doc_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),        # canonical owner of shared span "a b c"
+            (2, "p q a b c r"),        # loses the shared occurrence
+            (3, "a b c a b c"),        # BOTH occurrences scrubbed (non-owner)
+            (4, "u v w t1 t2"),        # unique text, untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_cross_doc_spans(docs, span_tokens=3, min_docs=2).collect()
+    }
+    assert out[1].text_clean == "a b c x y z" and out[1].n_removed == 0
+    assert out[2].text_clean == "p q r" and out[2].n_removed == 3
+    assert out[3].text_clean == "" and out[3].n_removed == 6
+    assert out[4].text_clean == "u v w t1 t2" and out[4].n_removed == 0
+    assert all(out[i].n_tokens == 6 for i in (1, 2, 3)) and out[4].n_tokens == 5
+
+
+def test_scrub_cross_doc_spans_overlap_composes(spark):
+    from binance_futures_data_lake_spark.operators.textquality import (
+        scrub_cross_doc_spans,
+    )
+
+    # a 4-token shared run yields two OVERLAPPING 3-spans; coverage must
+    # remove the union (4 tokens), not double-count or truncate
+    docs = spark.createDataFrame(
+        [(1, "m n o p xx"), (2, "yy m n o p zz")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_cross_doc_spans(docs, span_tokens=3, min_docs=2).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[2].text_clean == "yy zz" and out[2].n_removed == 4
