@@ -308,3 +308,95 @@ def pack_sequences(
         tok_start.alias("tok_start"),
         (tok_end - tok_start).alias("tok_len"),
     )
+
+
+def pack_sequences_nextfit(
+    docs: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Whole-document next-fit packing — the no-split discipline
+    (SFT-style: a document never straddles sequences): per shard, in doc
+    order, a document joins the current sequence iff it fits the
+    remaining budget, else it starts a new one. Documents longer than
+    the budget occupy a sequence alone, truncated to the budget
+    (``truncated = 1``). Unlike :func:`pack_sequences` this wastes the
+    per-sequence tail as padding — the price of document integrity.
+
+    One row per document::
+
+        shard, doc_id, n_tok, seq_id, seq_offset, tok_len, truncated
+
+    The fill state recurses on its own previous value (not a closed-form
+    window), so the Spark side is a bucketed ``applyInPandas`` kernel —
+    shuffle key ``hash(shard) % num_buckets`` exactly like
+    functions/ewm.ewm_apply, so Python-call overhead is
+    shard-count-independent; inside the kernel the per-shard loop is
+    O(docs) over two scalars of state. The oracle replays the same
+    machine as a recursive CTE.
+    """
+    from pyspark.sql import types as T
+
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    b = int(budget_tokens)
+
+    t = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+
+    out_schema = T.StructType([
+        T.StructField("shard", t.schema["shard"].dataType),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("seq_offset", T.LongType()),
+        T.StructField("tok_len", T.LongType()),
+        T.StructField("truncated", T.IntegerType()),
+    ])
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["shard", "doc_id"], kind="mergesort")
+        n_tok = pdf["n_tok"].to_numpy()
+        eff = np.minimum(n_tok, b)
+        seq = np.empty(len(pdf), dtype=np.int64)
+        off = np.empty(len(pdf), dtype=np.int64)
+        shards = pdf["shard"].to_numpy()
+        cur_shard, fill, sid = None, 0, 0
+        for i in range(len(pdf)):
+            if shards[i] != cur_shard:
+                cur_shard, fill, sid = shards[i], 0, 0
+            if fill + eff[i] <= b:
+                off[i] = fill
+                fill += eff[i]
+            else:
+                sid += 1
+                off[i] = 0
+                fill = eff[i]
+            seq[i] = sid
+        return pd.DataFrame({
+            "shard": pdf["shard"],
+            "doc_id": pdf["doc_id"],
+            "n_tok": n_tok,
+            "seq_id": seq,
+            "seq_offset": off,
+            "tok_len": eff,
+            "truncated": (n_tok > b).astype(np.int32),
+        })
+
+    nb = num_buckets or max(
+        int(t.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        t.sparkSession.sparkContext.defaultParallelism,
+    )
+    bucketed = t.withColumn("__pk_bucket", F.pmod(F.xxhash64("shard"), F.lit(nb)))
+    return bucketed.groupBy("__pk_bucket").applyInPandas(kernel, schema=out_schema)

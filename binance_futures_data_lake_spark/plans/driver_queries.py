@@ -3114,6 +3114,53 @@ def q_media_audio_features(spark, sf_dir):
 
 
 @register(
+    "pack_sequences_nextfit",
+    # The fill state recurses on its own previous value, so the oracle is
+    # a recursive CTE advancing each shard one document per iteration —
+    # the same replay pattern as the backtest kernels.
+    sql="""
+    WITH RECURSIVE t AS (
+      SELECT source AS shard, doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT shard, doc_id, n_tok, least(n_tok, 64) AS eff,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+      FROM t WHERE n_tok > 0
+    ), s AS (
+      SELECT shard, doc_id, n_tok, eff, rk,
+             CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+             eff AS fill
+      FROM r WHERE rk = 1
+      UNION ALL
+      SELECT r.shard, r.doc_id, r.n_tok, r.eff, r.rk,
+             CASE WHEN s.fill + r.eff <= 64 THEN s.seq_id ELSE s.seq_id + 1 END,
+             CASE WHEN s.fill + r.eff <= 64 THEN s.fill ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN s.fill + r.eff <= 64 THEN s.fill + r.eff ELSE r.eff END
+      FROM s JOIN r ON r.shard = s.shard AND r.rk = s.rk + 1
+    )
+    SELECT shard, doc_id, n_tok, seq_id, seq_offset, eff AS tok_len,
+           CASE WHEN n_tok > 64 THEN 1 ELSE 0 END AS truncated
+    FROM s
+    """,
+)
+def q_pack_sequences_nextfit(spark, sf_dir):
+    """Whole-document next-fit packing (budget 64 — small enough that this
+    corpus exercises both the new-sequence break and the truncation
+    path): the no-split discipline, docs joining the current sequence iff
+    they fit, over-budget docs alone+truncated. Bucketed applyInPandas
+    kernel (shard-count-independent Python overhead); recursive-CTE
+    oracle replays the fill machine. See curation.pack_sequences_nextfit."""
+    from binance_futures_data_lake_spark.operators.curation import (
+        pack_sequences_nextfit,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences_nextfit(docs, 64)
+
+
+@register(
     "scrub_cross_doc_spans",
     # keep-one-copy exact-substring scrubbing, replayed end-to-end: the
     # oracle rebuilds the cleaned TEXT itself, so ownership choice,

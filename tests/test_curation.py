@@ -224,3 +224,58 @@ def test_pack_sequences_skips_empty_docs_and_splits_long(spark):
     # doc3 starts at stream pos 5 -> spans seqs 1..3
     assert [segs[(3, s)].tok_len for s in (1, 2, 3)] == [3, 4, 4]
     assert segs[(3, 1)].seq_offset == 1 and segs[(3, 2)].seq_offset == 0
+
+
+def test_pack_nextfit_matches_python_reference(spark, docs):
+    from binance_futures_data_lake_spark.operators.curation import (
+        pack_sequences_nextfit,
+    )
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    B = 64
+    got = {r.doc_id: r for r in pack_sequences_nextfit(docs, B).collect()}
+
+    toks = (
+        docs.select("source", "doc_id", F.size(words(F.col("text"))).alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    by_shard = {}
+    for r in sorted(toks, key=lambda r: (r.source, r.doc_id)):
+        by_shard.setdefault(r.source, []).append(r)
+    want = {}
+    for shard, rows in by_shard.items():
+        fill, sid = 0, 0
+        for r in rows:
+            eff = min(r.n, B)
+            if fill + eff <= B:
+                off = fill
+                fill += eff
+            else:
+                sid += 1
+                off = 0
+                fill = eff
+            want[r.doc_id] = (shard, r.n, sid, off, eff, int(r.n > B))
+    assert len(got) == len(want)
+    for d, (shard, n, sid, off, eff, trunc) in want.items():
+        g = got[d]
+        assert (g.shard, g.n_tok, g.seq_id, g.seq_offset, g.tok_len, g.truncated) == (
+            shard, n, sid, off, eff, trunc
+        )
+    # whole-doc integrity: exactly one row per doc, never split
+    assert sorted(got) == sorted(want)
+    # per-sequence budget honored
+    per_seq = {}
+    for g in got.values():
+        per_seq.setdefault((g.shard, g.seq_id), 0)
+        per_seq[(g.shard, g.seq_id)] += g.tok_len
+    assert all(v <= B for v in per_seq.values())
+    # bucketed kernel is partitioning-independent
+    got2 = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences_nextfit(docs.repartition(7), B).collect()
+    }
+    assert got2 == {d: (g.seq_id, g.seq_offset) for d, g in got.items()}
+
+    with pytest.raises(ValueError):
+        pack_sequences_nextfit(docs, -1)
