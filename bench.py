@@ -71,6 +71,10 @@ LLM_PIPELINE = [
     "dedup_clusters",
     "benchmark_decontam",
     "domain_caps",
+    "pack_sequences",
+    "pack_sequences_nextfit",
+    "scrub_cross_doc_spans",
+    "media_audio_features",
 ]
 
 

@@ -98,3 +98,80 @@ def test_cascade_equals_direct(spark, ticks):
             assert getattr(a[k], col) == getattr(b[k], col), (k, col)
         # integer-valued doubles: sums are exact, so volume must match exactly
         assert a[k].volume == b[k].volume
+
+
+@st.composite
+def corpus_case(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee"]  # tiny vocab forces shared spans
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=15)
+        )
+        shard = draw(st.sampled_from(["s0", "s1"]))
+        docs.append((i, " ".join(toks), shard))
+    return docs
+
+
+@SETTINGS
+@given(docs=corpus_case(), budget=st.sampled_from([3, 5, 8]))
+def test_pack_sequences_equals_bruteforce(spark, docs, budget):
+    from binance_futures_data_lake_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {
+        (r.shard, r.doc_id, r.seq_id): (r.seq_offset, r.tok_start, r.tok_len)
+        for r in pack_sequences(df, budget).collect()
+    }
+    # brute force: walk each shard's concatenated token stream position by
+    # position, assigning every token to (seq, offset) and re-deriving the
+    # per-(doc, seq) segments
+    want = {}
+    for shard in sorted({s for _, _, s in docs}):
+        stream = 0
+        for did, text, s in sorted(docs):
+            if s != shard:
+                continue
+            toks = [t for t in text.split() if t]
+            for j in range(len(toks)):
+                seq, off = divmod(stream + j, budget)
+                key = (shard, did, seq)
+                if key not in want:
+                    want[key] = (off, j, 0)
+                want[key] = (want[key][0], want[key][1], want[key][2] + 1)
+            stream += len(toks)
+    assert got == want
+
+
+@SETTINGS
+@given(docs=corpus_case(), k=st.sampled_from([2, 3]))
+def test_scrub_spans_equals_bruteforce(spark, docs, k):
+    from binance_futures_data_lake_spark.operators.textquality import (
+        scrub_cross_doc_spans,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in scrub_cross_doc_spans(df, span_tokens=k, min_docs=2).collect()
+    }
+    toks = {d: [t for t in text.split() if t] for d, text, _ in docs}
+    span_docs = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            span_docs.setdefault(tuple(ts[i : i + k]), set()).add(d)
+    shared = {sp: min(ds) for sp, ds in span_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue  # 0-token docs emit no rows (no positions exist)
+        covered = [False] * len(ts)
+        for i in range(len(ts) - k + 1):
+            sp = tuple(ts[i : i + k])
+            if sp in shared and shared[sp] != d:
+                for j in range(i, i + k):
+                    covered[j] = True
+        kept = [t for t, c in zip(ts, covered) if not c]
+        want[d] = (len(ts), sum(covered), " ".join(kept))
+    assert got == want
