@@ -348,3 +348,101 @@ def net_confidence_grid(
         *by, "candidate_keep_frac", "keep_frac", "n_trades", "avg_r", "sum_r",
         "pf", "winrate", "conf_threshold", "eligible", "is_best",
     )
+
+
+def quality_features(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document quality features as a fixed 6-dim vector (bias,
+    scaled token count, scaled mean token length, stopword fraction,
+    distinct-token ratio, scaled char count) plus the deterministic
+    label ``y = 1 iff distinct_ratio ≥ 0.46`` (the corpus median — a
+    stand-in for human quality labels that any SQL engine can replay).
+    Every feature is 6-dp rounded so both engines feed the trainer
+    bit-identical inputs. Zero-token documents are excluded (no
+    denominator exists for the ratio features)."""
+    from binance_futures_data_lake_spark.functions.scalars import round6
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("double").alias("n_chars"),
+        words(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size("__toks").cast("double").alias("n_tok"),
+        F.aggregate(
+            F.transform("__toks", lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("len_sum"),
+        F.size(
+            F.filter(
+                "__toks",
+                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on"),
+            )
+        ).cast("double").alias("n_stop"),
+        F.size(F.array_distinct("__toks")).cast("double").alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0)
+    dr = round6(F.col("n_uniq") / F.col("n_tok"))
+    return base.select(
+        "doc_id",
+        F.array(
+            F.lit(1.0),
+            round6(F.col("n_tok") / 100.0),
+            round6(F.col("len_sum") / F.col("n_tok") / 10.0),
+            round6(F.col("n_stop") / F.col("n_tok")),
+            dr,
+            round6(F.col("n_chars") / 500.0),
+        ).alias("features"),
+        F.when(dr >= 0.46, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+
+
+def quality_classifier_train_score(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iters: int = 3,
+    lr: float = 0.1,
+) -> "DataFrame":
+    """Train-your-filter-inside-the-engine: derive quality features and
+    labels (:func:`quality_features`), train logistic regression by
+    explicit full-batch GD (:func:`lr_gd_weights` — the same
+    SQL-replayable recursion as ``ml_lr_gd_weights``), then score EVERY
+    document with the trained weights and emit the keep decision — the
+    end-to-end shape of a fastText/DSIR-style quality-filter stage, with
+    the model never leaving the cluster (per iteration: one 6-row weight
+    broadcast + two aggregations; scoring: one more broadcast join).
+
+    Output: ``doc_id, label, p (6-dp), keep``.
+    """
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    # the GD recursion + final scoring walk this frame 7 times; feature
+    # derivation is narrow/cheap so recomputation beats pinning executor
+    # memory (measured: persist() buys nothing here — the wall is the
+    # iteration count's sequential stage floors, inherent to GD)
+    feat = quality_features(docs, id_col, text_col)
+    w = lr_gd_weights(
+        feat, id_col="doc_id", vec_col="features", label_col="label",
+        iters=iters, lr=lr,
+    )
+    xs = feat.select(
+        "doc_id", "label", F.posexplode("features")
+    ).select("doc_id", "label", "pos", F.col("col").alias("x"))
+    z = (
+        xs.join(F.broadcast(w), "pos")
+        .groupBy("doc_id", "label")
+        .agg(round6(F.sum(F.col("x") * F.col("weight"))).alias("z"))
+    )
+    p = round6(1.0 / (1.0 + F.exp(-F.col("z"))))
+    return z.select(
+        "doc_id",
+        "label",
+        p.alias("p"),
+        F.when(p >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )

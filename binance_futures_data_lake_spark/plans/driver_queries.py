@@ -3114,6 +3114,104 @@ def q_media_audio_features(spark, sf_dir):
 
 
 @register(
+    "quality_classifier_train_score",
+    # Feature derivation + 3 GD iterations + scoring, all replayed: the
+    # same w0->w3 recursion as ml_lr_gd_weights, but x is COMPUTED from
+    # the text (6-dp rounded features) instead of read from parquet, and
+    # the trained weights score every document at the end. Every float
+    # reduction rounds to 6 dp in both engines (see lr_gd_weights).
+    sql="""
+    WITH t AS (
+      SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               AS len_sum,
+             CAST(len(list_filter(toks, x -> x IN
+               ('the','a','of','and','to','in','is','on'))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+             n_chars
+      FROM t WHERE len(toks) > 0
+    ), fv AS (
+      SELECT doc_id,
+             CASE WHEN round(n_uniq / n_tok, 6) >= 0.46 THEN 1 ELSE 0 END AS label,
+             [1.0,
+              round(n_tok / 100.0, 6),
+              round(len_sum / n_tok / 10.0, 6),
+              round(n_stop / n_tok, 6),
+              round(n_uniq / n_tok, 6),
+              round(n_chars / 500.0, 6)] AS features
+      FROM f
+    ), x AS (
+      SELECT doc_id AS id, CAST(label AS DOUBLE) AS y,
+             unnest(range(len(features))) AS pos,
+             unnest(features) AS x
+      FROM fv
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM fv
+    ), w0 AS (
+      SELECT DISTINCT pos, 0.0 AS wt FROM x
+    ), d1 AS (
+      SELECT id, y, round(sum(x.x * w.wt), 6) AS z FROM x JOIN w0 w USING (pos) GROUP BY 1, 2
+    ), e1 AS (
+      SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d1
+    ), g1 AS (
+      SELECT pos, round(sum(x.x * e.err), 6) AS g FROM x JOIN e1 e USING (id) GROUP BY 1
+    ), w1 AS (
+      SELECT w0.pos, round(w0.wt - 0.1 * g1.g / nn.n, 6) AS wt
+      FROM w0 JOIN g1 USING (pos) CROSS JOIN nn
+    ), d2 AS (
+      SELECT id, y, round(sum(x.x * w.wt), 6) AS z FROM x JOIN w1 w USING (pos) GROUP BY 1, 2
+    ), e2 AS (
+      SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d2
+    ), g2 AS (
+      SELECT pos, round(sum(x.x * e.err), 6) AS g FROM x JOIN e2 e USING (id) GROUP BY 1
+    ), w2 AS (
+      SELECT w1.pos, round(w1.wt - 0.1 * g2.g / nn.n, 6) AS wt
+      FROM w1 JOIN g2 USING (pos) CROSS JOIN nn
+    ), d3 AS (
+      SELECT id, y, round(sum(x.x * w.wt), 6) AS z FROM x JOIN w2 w USING (pos) GROUP BY 1, 2
+    ), e3 AS (
+      SELECT id, 1.0 / (1.0 + exp(-z)) - y AS err FROM d3
+    ), g3 AS (
+      SELECT pos, round(sum(x.x * e.err), 6) AS g FROM x JOIN e3 e USING (id) GROUP BY 1
+    ), w3 AS (
+      SELECT w2.pos, round(w2.wt - 0.1 * g3.g / nn.n, 6) AS wt
+      FROM w2 JOIN g3 USING (pos) CROSS JOIN nn
+    ), sc AS (
+      SELECT x.id AS doc_id, CAST(x.y AS INT) AS label,
+             round(sum(x.x * w.wt), 6) AS z
+      FROM x JOIN w3 w USING (pos) GROUP BY 1, 2
+    )
+    SELECT doc_id, label,
+           round(1.0 / (1.0 + exp(-z)), 6) AS p,
+           CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM sc
+    """,
+)
+def q_quality_classifier_train_score(spark, sf_dir):
+    """Train-your-quality-filter inside the engine, end to end: derive
+    6-dim features + deterministic labels from the text, train LR by
+    explicit full-batch GD (the ml_lr_gd_weights recursion), then score
+    every document with the trained weights and emit keep decisions —
+    the fastText/DSIR-style filter stage with the model never leaving
+    the cluster. The oracle replays feature derivation, all three GD
+    iterations AND the scoring pass, so a drift anywhere in the chain
+    fails the per-document hash (operators/ml.py:
+    quality_classifier_train_score)."""
+    from binance_futures_data_lake_spark.operators.ml import (
+        quality_classifier_train_score,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_classifier_train_score(docs)
+
+
+@register(
     "pack_sequences_nextfit",
     # The fill state recurses on its own previous value, so the oracle is
     # a recursive CTE advancing each shard one document per iteration —

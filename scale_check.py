@@ -220,6 +220,56 @@ def main() -> None:
     media.count()
     stage("image_features_vectorized", lambda: force(image_features(media)))
 
+    # audio kernel probe (r4): same media-row count through the WAV
+    # encode -> decode -> reduceat clip-stats path
+    from binance_futures_data_lake_spark.operators.multimodal import audio_features
+
+    amedia = synthetic_media(docs, kind="audio").cache()
+    amedia.count()
+    stage("audio_features_vectorized", lambda: force(audio_features(amedia)))
+    amedia.unpersist()
+    media.unpersist()
+
+    # text-curation probe (r4): packing + exact-substring scrubbing on a
+    # corpus of n_media docs x ~20 tokens. A third of the docs share an
+    # 8-token boilerplate prefix, so the scrubber's shared-span machinery
+    # (span agg -> owner -> coverage window -> rebuild) does real work
+    # rather than passing unique text through.
+    from binance_futures_data_lake_spark.operators.curation import (
+        pack_sequences,
+        pack_sequences_nextfit,
+    )
+    from binance_futures_data_lake_spark.operators.textquality import (
+        scrub_cross_doc_spans,
+    )
+
+    corpus = (
+        spark.range(n_media)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 50).cast("string").alias("source"),
+            F.concat(
+                F.when(
+                    F.col("id") % 3 == 0,
+                    F.lit("shared header boilerplate repeated across many docs here "),
+                ).otherwise(F.lit("")),
+                F.concat_ws(
+                    " ",
+                    *[F.md5((F.col("id") * 31 + i).cast("string")) for i in range(12)],
+                ),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    corpus.count()
+    stage("pack_sequences_chunk", lambda: force(pack_sequences(corpus, 2048)))
+    stage("pack_sequences_nextfit", lambda: force(pack_sequences_nextfit(corpus, 2048)))
+    stage(
+        "scrub_cross_doc_spans",
+        lambda: force(scrub_cross_doc_spans(corpus, span_tokens=8, min_docs=2)),
+    )
+    corpus.unpersist()
+
     # backtest kernel probe (r4): the full research pipeline -> 4-config
     # sweep over every symbol. Exercises bars x cfg cross, vectorized
     # signals, and the per-(symbol, cfg) applyInPandas position loop —

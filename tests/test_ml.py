@@ -99,3 +99,29 @@ def test_net_confidence_eval_cost_arithmetic(spark):
     assert m["winrate"] == pytest.approx(round(1 / 3, 6))
     assert m["pf"] == pytest.approx(round(0.009 / 0.027, 6))
     assert m["keep_frac"] == 1.0
+
+
+def test_quality_classifier_learns_label_signal(spark):
+    from binance_futures_data_lake_spark.operators.ml import (
+        quality_classifier_train_score,
+        quality_features,
+    )
+    from binance_futures_data_lake_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    feat = quality_features(docs)
+    rows = feat.collect()
+    assert rows and all(len(r.features) == 6 for r in rows)
+    assert all(r.features[0] == 1.0 for r in rows)          # bias term
+    assert {r.label for r in rows} == {0, 1}                # rule splits corpus
+
+    out = quality_classifier_train_score(docs).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert 0.0 < r.p < 1.0
+        assert r.keep == (1 if r.p >= 0.5 else 0)
+    # 3 GD steps on a feature that IS the label rule must separate the
+    # classes on average (full-batch descent moves toward the signal)
+    p1 = [r.p for r in out if r.label == 1]
+    p0 = [r.p for r in out if r.label == 0]
+    assert sum(p1) / len(p1) > sum(p0) / len(p0)
