@@ -350,7 +350,7 @@ def net_confidence_grid(
     )
 
 
-def quality_features(
+def quality_feature_vectors(
     docs: "DataFrame",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -410,7 +410,7 @@ def quality_classifier_train_score(
     lr: float = 0.1,
 ) -> "DataFrame":
     """Train-your-filter-inside-the-engine: derive quality features and
-    labels (:func:`quality_features`), train logistic regression by
+    labels (:func:`quality_feature_vectors`), train logistic regression by
     explicit full-batch GD (:func:`lr_gd_weights` — the same
     SQL-replayable recursion as ``ml_lr_gd_weights``), then score EVERY
     document with the trained weights and emit the keep decision — the
@@ -426,7 +426,7 @@ def quality_classifier_train_score(
     # derivation is narrow/cheap so recomputation beats pinning executor
     # memory (measured: persist() buys nothing here — the wall is the
     # iteration count's sequential stage floors, inherent to GD)
-    feat = quality_features(docs, id_col, text_col)
+    feat = quality_feature_vectors(docs, id_col, text_col)
     w = lr_gd_weights(
         feat, id_col="doc_id", vec_col="features", label_col="label",
         iters=iters, lr=lr,

@@ -3114,6 +3114,49 @@ def q_media_audio_features(spark, sf_dir):
 
 
 @register(
+    "bpe_token_stats",
+    # Both engines run the SAME regex language (no lookarounds, no
+    # unicode classes — constructs where java.util.regex and RE2 agree,
+    # incl. leftmost-first alternation), so the token array and all class
+    # counts hash-match exactly.
+    sql="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+')
+        AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_bpe,
+      CAST(len(list_filter(toks, x -> regexp_full_match(x, ' ?[A-Za-z]+')))
+        AS BIGINT) AS n_word,
+      CAST(len(list_filter(toks, x -> regexp_full_match(x, ' ?[0-9]+')))
+        AS BIGINT) AS n_num,
+      CAST(len(list_filter(toks, x -> regexp_full_match(x,
+        ' ?[^A-Za-z0-9\\s'']+'))) AS BIGINT) AS n_punct,
+      CAST(len(list_filter(toks, x -> regexp_full_match(x, '\\s+')))
+        AS BIGINT) AS n_ws,
+      CAST(len(list_filter(toks, x -> regexp_full_match(x,
+        '''(?:s|t|re|ve|m|ll|d)'))) AS BIGINT) AS n_contr,
+      round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6)
+        AS avg_bpe_chars
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def q_bpe_token_stats(spark, sf_dir):
+    """Token accounting under the GPT-2-shaped BPE pre-tokenizer — the
+    unit context budgets and packing targets are denominated in (the
+    richer sibling of text.token_count_bpe_ish: contraction suffixes,
+    space-prefixed pieces, punctuation runs, class breakdown). Columnar
+    regexp_extract_all + array filters, no explode, no shuffle
+    (operators/text.py:bpe_token_stats)."""
+    from binance_futures_data_lake_spark.operators.text import bpe_token_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_token_stats(docs)
+
+
+@register(
     "quality_classifier_train_score",
     # Feature derivation + 3 GD iterations + scoring, all replayed: the
     # same w0->w3 recursion as ml_lr_gd_weights, but x is COMPUTED from

@@ -104,12 +104,12 @@ def test_net_confidence_eval_cost_arithmetic(spark):
 def test_quality_classifier_learns_label_signal(spark):
     from binance_futures_data_lake_spark.operators.ml import (
         quality_classifier_train_score,
-        quality_features,
+        quality_feature_vectors,
     )
     from binance_futures_data_lake_spark.sources.testdata import load_table
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.001")
-    feat = quality_features(docs)
+    feat = quality_feature_vectors(docs)
     rows = feat.collect()
     assert rows and all(len(r.features) == 6 for r in rows)
     assert all(r.features[0] == 1.0 for r in rows)          # bias term

@@ -284,3 +284,29 @@ def test_token_stats_arrow_edge_docs(spark):
     assert (out[3].n_tokens, out[3].avg_token_len) == (0, None)
     assert (out[4].n_tokens, out[4].n_stopwords) == (3, 0)
     assert out[5].n_tokens is None and out[5].avg_token_len is None
+
+
+def test_bpe_token_stats_classes_partition(spark):
+    from binance_futures_data_lake_spark.operators.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world  it's 42,7% done\nnew-line"),
+            (2, "only words here"),
+            (3, "12345"),
+            (4, "'x isn't counted as contraction-prefix alone"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    for r in rows.values():
+        # the five classes are disjoint and exhaustive over the pattern
+        assert r.n_word + r.n_num + r.n_punct + r.n_ws + r.n_contr == r.n_bpe
+        assert r.avg_bpe_chars > 0
+    # hand-tokenized: hello| world|(2sp)|it|'s| 42|,|7|%| done|\n|new|-|line
+    r1 = rows[1]
+    assert (r1.n_bpe, r1.n_word, r1.n_num, r1.n_punct, r1.n_ws, r1.n_contr) == (
+        14, 6, 2, 3, 2, 1
+    )
+    assert rows[2].n_bpe == 3 and rows[2].n_word == 3
+    assert rows[3].n_bpe == 1 and rows[3].n_num == 1
