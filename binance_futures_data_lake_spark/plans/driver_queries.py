@@ -3114,6 +3114,102 @@ def q_media_audio_features(spark, sf_dir):
 
 
 @register(
+    "streaming_doc_quality",
+    cache_plan=False,  # runs a stream + temp dir per call
+    # Stream/batch parity IS the oracle (same contract as
+    # streaming_ohlcv_bars): dedup-within-watermark ≙ DISTINCT, append
+    # mode emits exactly the windows the final watermark closed, and the
+    # keep rule is deterministic column algebra both engines share.
+    sql="""
+    WITH d AS (
+      SELECT DISTINCT doc_id, text, lang,
+             make_timestamp(1704067200000000 + doc_id * 60000000) AS ts
+      FROM documents
+    ), t AS (
+      SELECT doc_id, lang, ts,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM d
+    ), f AS (
+      SELECT lang, ts, CAST(len(toks) AS BIGINT) AS n_tok,
+             CASE WHEN len(toks) BETWEEN 10 AND 200
+                   AND len(list_filter(toks, x -> x IN
+                     ('the','a','of','and','to','in','is','on'))) * 1.0
+                     / len(toks) >= 0.02
+                  THEN 1 ELSE 0 END AS keep
+      FROM t
+    ), b AS (
+      SELECT lang,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS bucket_ts,
+             count(*) AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_keep,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tok
+      FROM f GROUP BY 1, 2
+    ), wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM d)
+    SELECT lang, bucket_ts, n_docs, n_keep, sum_tok
+    FROM b, wm WHERE bucket_ts + INTERVAL 1 HOUR <= w
+    """,
+)
+def q_streaming_doc_quality(spark, sf_dir):
+    """LLM-side §2.10: document file stream → dedup-within-watermark →
+    deterministic keep rule → watermarked per-(lang, hour) telemetry →
+    foreachBatch keyed upsert, availableNow. Chunks are time-ordered
+    document drops with every 10th doc RE-DELIVERED in its chunk, so the
+    hash fails unless the streaming dedup actually collapses duplicates
+    (the oracle reads each document once via DISTINCT). Event time is
+    synthesized as one doc per minute from 2024-01-01 UTC — instant
+    arithmetic (timestamp_micros), independent of session timezone."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        run_doc_quality_ingest,
+    )
+
+    work = tempfile.mkdtemp(prefix="bfdl_docstream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.timestamp_micros(
+            F.lit(1704067200000000) + F.col("doc_id") * F.lit(60_000_000)
+        ).alias("ts"),
+        "text", "lang", "source",
+    )
+    n_docs = docs.count()
+    cuts = [int(n_docs * 0.4), int(n_docs * 0.8)]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = docs
+        if lo is not None:
+            chunk = chunk.filter(F.col("doc_id") >= F.lit(lo))
+        if hi is not None:
+            chunk = chunk.filter(F.col("doc_id") < F.lit(hi))
+        # re-deliver every 10th doc inside its own chunk: the streaming
+        # dedup state must collapse it or n_docs inflates and hash fails
+        chunk = chunk.unionByName(chunk.filter(F.col("doc_id") % 10 == 0))
+        stage = os.path.join(work, f"stage-{i}")
+        chunk.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"chunk-{i}.parquet"))
+    sink = os.path.join(work, "lake")
+    q = run_doc_quality_ingest(
+        spark, src, sink, os.path.join(work, "ckpt"), watermark="30 minutes"
+    )
+    q.awaitTermination(600)
+    out = spark.read.parquet(sink).select(
+        "lang", "bucket_ts", "n_docs", "n_keep", "sum_tok"
+    )
+    out = out.cache()
+    out.count()  # materialize before the temp dir is reclaimed
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "bpe_token_stats",
     # Both engines run the SAME regex language (no lookarounds, no
     # unicode classes — constructs where java.util.regex and RE2 agree,

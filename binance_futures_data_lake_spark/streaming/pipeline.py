@@ -284,3 +284,88 @@ def sticky_counter_stream(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_docs(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over document parquet drops (each new file ≙ one
+    crawl/ingest batch) — the LLM-corpus twin of :func:`stream_events`."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def doc_quality_stream(
+    docs: DataFrame,
+    watermark: str = "30 minutes",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus-quality monitor: dedup-within-watermark on doc_id
+    (re-delivered crawl batches collapse exactly once), a columnar keep
+    rule (token-count bounds + stopword floor — the Gopher-shape gate,
+    deterministic so a batch oracle replays it), then a watermarked
+    tumbling window per language: docs seen, docs kept, token volume.
+    Append mode emits a window only when the watermark closes it — the
+    same emit-on-close contract as the OHLCV stream, applied to corpus
+    telemetry. State scale: keyed on (lang, window) + the dedup state
+    keyed on doc_id, both bounded by the watermark."""
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    toks = words(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on"))
+    )
+    keep = (
+        (n_tok >= 10) & (n_tok <= 200)
+        & (n_stop.cast("double") / n_tok >= 0.02)
+    ).cast("int")
+    d = (
+        docs.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .select("ts", "lang", n_tok.cast("long").alias("n_tok"), keep.alias("keep"))
+    )
+    agg = d.groupBy(F.window("ts", window_len), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    return agg.select(
+        "lang", F.col("window.start").alias("bucket_ts"),
+        "n_docs", "n_keep", "sum_tok",
+    )
+
+
+def run_doc_quality_ingest(
+    spark: SparkSession,
+    source_path: str,
+    sink_root: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+):
+    """End-to-end incremental corpus monitor: document file stream →
+    dedup-within-watermark → keep rule → per-(lang, hour) telemetry →
+    foreachBatch keyed upsert, availableNow trigger (process pending,
+    stop) — identical shape to :func:`run_ohlcv_ingest`."""
+    bars = doc_quality_stream(stream_docs(spark, source_path), watermark)
+    q = (
+        bars.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(foreach_batch_upsert(sink_root, keys=["lang", "bucket_ts"]))
+        .start()
+    )
+    return q

@@ -45,6 +45,11 @@ def main() -> None:
     total_rows = int(sys.argv[sys.argv.index("--rows") + 1]) if "--rows" in sys.argv else 10_000_000
     n_symbols = 100
     n_minutes = max(1440, total_rows // n_symbols)
+    # the 10M-row run caches several full-width frames while window sorts
+    # run; the repo-wide 8g default driver heap can exhaust the unified
+    # pool mid-probe (observed r4: UNABLE_TO_ACQUIRE_MEMORY in the sweep's
+    # window sort). The probe sizes its own heap like any scale job would.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("bfdl-scale")
 
     stages: dict[str, dict] = {}
@@ -281,13 +286,24 @@ def main() -> None:
     frame = joined_research_frame(m1c, vol_params=VolRegimeParams(lookback=48)).cache()
     frame.count()
     all_hours = ",".join(str(h) for h in range(24))
+    # MR thresholds sized to the SYNTHETIC price path so entries actually
+    # fire (the production defaults need range_rel >= 1.2; the generator's
+    # p99 is ~0.73, which left the r4 probe's kernel walking bars with
+    # zero positions — machinery exercised, trade path not). With these,
+    # ~12k trades/M rows/cfg drive the full 11-state entry/TP1/BE/TP2
+    # machine; the router never enters TREND mode on this data, so the
+    # trend_enabled variant only proves the gate evaluates.
+    loose = dict(
+        session_hours=all_hours, minute_guard=0, mr_rr=0.3, mr_d=0.1,
+        mr_cp_low=0.45, mr_cp_high=0.55, mr_mean_dist=0.0,
+        mr_atr_pctl_max=1.0, vol_filter_high=False,
+    )
     cfgs = [
-        Cfg(name="base", session_hours=all_hours, minute_guard=0),
-        Cfg(name="tight", session_hours=all_hours, minute_guard=0, mr_sl_atr=1.2),
-        Cfg(name="cooldown", session_hours=all_hours, minute_guard=0,
-            cooldown_after_loss=5, cost_r_per_trade=0.02),
-        Cfg(name="no_trend", session_hours=all_hours, minute_guard=0,
-            trend_enabled=False),
+        Cfg(name="base", **loose),
+        Cfg(name="tight", **{**loose, "mr_sl_atr": 1.2}),
+        Cfg(name="cooldown", **{**loose, "cooldown_after_loss": 5,
+                                "cost_r_per_trade": 0.02}),
+        Cfg(name="no_trend", **{**loose, "trend_enabled": False}),
     ]
     stage(
         "config_sweep_4cfg",

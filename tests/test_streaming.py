@@ -6,6 +6,7 @@ over the same events; dedup-within-watermark must drop replayed keys; the
 stateful streak operator must match a pandas reference computation.
 """
 
+import glob
 import os
 import shutil
 import time
@@ -210,4 +211,62 @@ def test_funnel_join_stream_matches_batch(spark, source_dir, tmp_path):
         ).collect()
     }
     assert len(want) > 0
+    assert got == want
+
+
+def test_doc_quality_stream_dedups_and_matches_batch(spark, tmp_path):
+    """The corpus-telemetry stream must (a) collapse re-delivered docs via
+    dropDuplicatesWithinWatermark and (b) emit exactly the batch
+    aggregate for every closed window."""
+    from binance_futures_data_lake_spark.sources.testdata import load_table
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        run_doc_quality_ingest,
+    )
+
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.timestamp_micros(
+            F.lit(1704067200000000) + F.col("doc_id") * F.lit(60_000_000)
+        ).alias("ts"),
+        "text", "lang", "source",
+    )
+    src = str(tmp_path / "src"); os.makedirs(src)
+    dup = docs.unionByName(docs.filter(F.col("doc_id") % 7 == 0))  # re-delivery
+    dup.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src, "chunk-0.parquet"))
+
+    sink = str(tmp_path / "lake")
+    q = run_doc_quality_ingest(spark, src, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(600)
+    got = {
+        (r.lang, r.bucket_ts): (r.n_docs, r.n_keep, r.sum_tok)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got, "stream emitted no closed windows"
+
+    # batch reference over UNIQUE docs (duplicates must not count)
+    from binance_futures_data_lake_spark.operators.textdedup import words
+
+    toks = words(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on")
+    ))
+    keep = ((n_tok >= 10) & (n_tok <= 200)
+            & (n_stop.cast("double") / n_tok >= 0.02)).cast("int")
+    wm = docs.agg(F.max("ts")).first()[0]
+    batch = (
+        docs.select("lang", F.date_trunc("hour", "ts").alias("bucket_ts"),
+                    n_tok.cast("long").alias("n_tok"), keep.alias("keep"))
+        .groupBy("lang", "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_keep"),
+             F.sum("n_tok").alias("sum_tok"))
+    )
+    import datetime as dt
+    want = {
+        (r.lang, r.bucket_ts): (r.n_docs, r.n_keep, r.sum_tok)
+        for r in batch.collect()
+        if r.bucket_ts + dt.timedelta(hours=1) <= wm - dt.timedelta(minutes=30)
+    }
     assert got == want
