@@ -114,13 +114,11 @@ def minhash_signatures(
     return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
-) -> DataFrame:
-    """Band the long-format signature and emit candidate (doc_a, doc_b)
-    pairs sharing at least one band. Jaccard s collides in a band with
-    probability s^r; P(candidate) = 1-(1-s^r)^b — the classic LSH S-curve."""
-    banded = (
+def band_hashes(sig: DataFrame, rows_per_band: int) -> DataFrame:
+    """Collapse a long-format signature to one hash per (doc, band) — the
+    unit of LSH collision. Shared by the in-corpus pair generator and the
+    incremental snapshot-vs-corpus join."""
+    return (
         sig.withColumn("band", F.floor(F.col("h") / rows_per_band))
         .groupBy("doc_id", "band")
         .agg(
@@ -129,6 +127,15 @@ def lsh_candidate_pairs(
             )
         )
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the long-format signature and emit candidate (doc_a, doc_b)
+    pairs sharing at least one band. Jaccard s collides in a band with
+    probability s^r; P(candidate) = 1-(1-s^r)^b — the classic LSH S-curve."""
+    banded = band_hashes(sig, rows_per_band)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (
@@ -411,4 +418,85 @@ def exact_jaccard_pairs(
         .join(F.broadcast(sb), "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", round6(jac).alias("jaccard"))
+    )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Snapshot-vs-corpus dedup — the daily-ingest pattern: classify every
+    NEW document against the EXISTING corpus without ever re-pairing the
+    corpus with itself. Two layers:
+
+    - **exact**: md5(text) join against the per-hash min existing id;
+    - **near**: MinHash band join of the new snapshot's signatures
+      against the existing side's (in production that side is a
+      persisted signature index — it only ever grows by upsert), then
+      exact shingle-Jaccard verification on the cross-set candidates.
+
+    Output: one row per new doc —
+    ``doc_id, status ('exact_dup'|'near_dup'|'kept'), match_id, jaccard``
+    with ``match_id`` the smallest matching existing id (exact wins over
+    near; ``jaccard`` only for near matches, of THAT match).
+
+    Scale: cost is O(|new|) signing + a band join whose existing side is
+    pre-computed — a daily snapshot dedups against a 100 TB corpus
+    without touching corpus text except for the verified candidates.
+    """
+    ids = (F.col(id_col).alias("doc_id"),)
+    exact_tbl = (
+        existing.select(F.md5(F.col(text_col)).alias("__th"), *ids)
+        .groupBy("__th")
+        .agg(F.min("doc_id").alias("exact_id"))
+    )
+    base = new.select(*ids, F.md5(F.col(text_col)).alias("__th")).join(
+        exact_tbl, "__th", "left"
+    ).select("doc_id", "exact_id")
+
+    rows_per_band = num_hashes // bands
+    band_e = band_hashes(
+        minhash_signatures(existing, text_col, id_col, num_hashes, shingle_n),
+        rows_per_band,
+    ).select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    band_n = band_hashes(
+        minhash_signatures(new, text_col, id_col, num_hashes, shingle_n),
+        rows_per_band,
+    ).select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    cand = (
+        band_n.join(band_e, ["band", "band_hash"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    union_docs = existing.select(*ids, F.col(text_col).alias("text")).unionByName(
+        new.select(*ids, F.col(text_col).alias("text"))
+    )
+    verified = jaccard_verify(
+        union_docs, cand, text_col="text", id_col="doc_id",
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    near_best = verified.groupBy("doc_a").agg(
+        F.min("doc_b").alias("near_id"),
+        F.min_by("jaccard", "doc_b").alias("near_jaccard"),
+    )
+    out = base.join(near_best, base.doc_id == near_best.doc_a, "left")
+    status = (
+        F.when(F.col("exact_id").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        base.doc_id,
+        status.alias("status"),
+        F.coalesce("exact_id", "near_id").alias("match_id"),
+        F.when(
+            F.col("exact_id").isNull() & F.col("near_id").isNotNull(),
+            F.col("near_jaccard"),
+        ).alias("jaccard"),
     )

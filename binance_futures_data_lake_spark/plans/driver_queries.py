@@ -3114,6 +3114,92 @@ def q_media_audio_features(spark, sf_dir):
 
 
 @register(
+    "incremental_corpus_dedup",
+    # The daily-ingest pattern replayed end to end: exact md5 layer, the
+    # cross-set band join (new signatures vs the existing side's index),
+    # candidate-only Jaccard verification, and the exact-beats-near
+    # classification — all in one hash.
+    sql=f"""
+    WITH e AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    n AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    ex AS (SELECT md5(text) AS th, min(doc_id) AS exact_id FROM e GROUP BY 1),
+    base AS (
+      SELECT nn.doc_id, ex.exact_id
+      FROM (SELECT doc_id, md5(text) AS th FROM n) nn LEFT JOIN ex USING (th)
+    ),
+    she AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM e),
+    shn AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM n),
+    hxe AS (
+      SELECT doc_id, j AS h,
+             ((2*j + 1) * ('0x' || substring(md5(s), 1, 8))::BIGINT
+              + 12345*j + 1) % 4294967311 AS hv
+      FROM she, generate_series(0, 15) g(j)
+    ),
+    hxn AS (
+      SELECT doc_id, j AS h,
+             ((2*j + 1) * ('0x' || substring(md5(s), 1, 8))::BIGINT
+              + 12345*j + 1) % 4294967311 AS hv
+      FROM shn, generate_series(0, 15) g(j)
+    ),
+    bke AS (
+      SELECT doc_id, h // 2 AS band,
+             string_agg(h || ':' || minhash, ',' ORDER BY h) AS key
+      FROM (SELECT doc_id, h, min(hv) AS minhash FROM hxe GROUP BY 1, 2)
+      GROUP BY 1, 2
+    ),
+    bkn AS (
+      SELECT doc_id, h // 2 AS band,
+             string_agg(h || ':' || minhash, ',' ORDER BY h) AS key
+      FROM (SELECT doc_id, h, min(hv) AS minhash FROM hxn GROUP BY 1, 2)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bkn a JOIN bke b ON a.band = b.band AND a.key = b.key
+    ),
+    sle AS (SELECT doc_id, {_SHINGLES} AS shl FROM e),
+    sln AS (SELECT doc_id, {_SHINGLES} AS shl FROM n),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shl, b.shl)) * 1.0
+               / len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+      FROM cand c JOIN sln a ON a.doc_id = c.doc_a
+                  JOIN sle b ON b.doc_id = c.doc_b
+    ),
+    nbest AS (
+      SELECT doc_a, min(doc_b) AS near_id,
+             round(arg_min(jac, doc_b), 6) AS near_jaccard
+      FROM verified WHERE jac >= 0.5 GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.exact_id IS NOT NULL THEN 'exact_dup'
+                WHEN nb.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           coalesce(b.exact_id, nb.near_id) AS match_id,
+           CASE WHEN b.exact_id IS NULL THEN nb.near_jaccard END AS jaccard
+    FROM base b LEFT JOIN nbest nb ON b.doc_id = nb.doc_a
+    """,
+)
+def q_incremental_corpus_dedup(spark, sf_dir):
+    """Incremental snapshot-vs-corpus dedup (the daily-ingest pattern):
+    docs with doc_id % 5 == 0 play the new crawl snapshot, the rest the
+    existing corpus. Every new doc is classified exact_dup (md5 text
+    match), near_dup (MinHash band collision against the existing side's
+    signature index, Jaccard-verified on candidates only), or kept —
+    without ever re-pairing the existing corpus with itself
+    (textdedup.incremental_dedup)."""
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_dedup(existing, new, threshold=0.5,
+                             num_hashes=16, bands=8, shingle_n=3)
+
+
+@register(
     "streaming_doc_quality",
     cache_plan=False,  # runs a stream + temp dir per call
     # Stream/batch parity IS the oracle (same contract as

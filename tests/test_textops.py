@@ -310,3 +310,33 @@ def test_bpe_token_stats_classes_partition(spark):
     )
     assert rows[2].n_bpe == 3 and rows[2].n_word == 3
     assert rows[3].n_bpe == 1 and rows[3].n_num == 1
+
+
+def test_incremental_dedup_classifies_planted_dups(spark):
+    from binance_futures_data_lake_spark.operators.textdedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    existing = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different text about spark shuffles and joins ok"),
+            (3, base),  # second copy: exact layer must pick the MIN id (1)
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                                   # exact copy
+            (11, base.replace("dog", "cat")),             # near copy
+            (12, "entirely novel content nothing shared with corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           incremental_dedup(existing, new, threshold=0.5).collect()}
+    assert out[10].status == "exact_dup" and out[10].match_id == 1
+    assert out[10].jaccard is None                        # exact wins over near
+    assert out[11].status == "near_dup" and out[11].match_id in (1, 3)
+    assert out[11].jaccard is not None and 0.5 <= out[11].jaccard < 1.0
+    assert out[12].status == "kept" and out[12].match_id is None
+    assert len(out) == 3                                  # one row per new doc
