@@ -3335,7 +3335,11 @@ def q_bpe_token_stats(spark, sf_dir):
     from binance_futures_data_lake_spark.operators.text import bpe_token_stats
 
     docs = load_table(spark, "documents", sf_dir)
-    return bpe_token_stats(docs)
+    out = bpe_token_stats(docs)
+    return out.select(
+        "doc_id", "n_bpe", "n_word", "n_num", "n_punct", "n_ws", "n_contr",
+        r6(F.col("avg_bpe_chars")).alias("avg_bpe_chars"),
+    )
 
 
 @register(

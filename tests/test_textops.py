@@ -340,3 +340,52 @@ def test_incremental_dedup_classifies_planted_dups(spark):
     assert out[11].jaccard is not None and 0.5 <= out[11].jaccard < 1.0
     assert out[12].status == "kept" and out[12].match_id is None
     assert len(out) == 3                                  # one row per new doc
+
+
+def test_bpe_counts_equal_findall_on_adversarial_strings(spark):
+    """The regexp_count reformulation (no token array) must equal a real
+    leftmost-first findall of BPE_PATTERN on scanner edge cases:
+    apostrophes that do/don't start contractions, absorbed single
+    spaces, tab runs, boundary positions."""
+    import re
+
+    from binance_futures_data_lake_spark.operators.text import (
+        BPE_PATTERN,
+        bpe_token_stats,
+    )
+
+    cases = [
+        "it's we're don't y'all 'start mid'dle end'",
+        "''s double apostrophe '42 'Q ' x",
+        "a b  c\td \t e\nf  \n g",
+        " leading and trailing ",
+        "'s",
+        "'",
+        "tabs\tonly\there",
+        "num42bers 7x 8'9 '' ok",
+        "I'll we've he'd she's can't I'm you're",
+        "punct,,!! mix-ed: 50% (a'b) [c]",
+    ]
+    docs = spark.createDataFrame(list(enumerate(cases)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    pat = re.compile(BPE_PATTERN)
+    for i, s in enumerate(cases):
+        toks = pat.findall(s)
+        if not toks:
+            assert i not in got
+            continue
+        def full(p, t):
+            return re.fullmatch(p, t) is not None
+        want = (
+            len(toks),
+            sum(full(" ?[A-Za-z]+", t) for t in toks),
+            sum(full(" ?[0-9]+", t) for t in toks),
+            sum(full(" ?[^A-Za-z0-9\\s']+", t) for t in toks),
+            sum(full("\\s+", t) for t in toks),
+            sum(full("'(?:s|t|re|ve|m|ll|d)", t) for t in toks),
+        )
+        g = got[i]
+        assert (g.n_bpe, g.n_word, g.n_num, g.n_punct, g.n_ws, g.n_contr) == want, (
+            f"case {i!r}: {s!r} -> {toks}"
+        )
+        assert abs(g.avg_bpe_chars - sum(len(t) for t in toks) / len(toks)) < 1e-6
