@@ -364,6 +364,7 @@ def quality_feature_vectors(
     bit-identical inputs. Zero-token documents are excluded (no
     denominator exists for the ratio features)."""
     from binance_futures_data_lake_spark.functions.scalars import round6
+    from binance_futures_data_lake_spark.operators.text import CORE_STOPWORDS
     from binance_futures_data_lake_spark.operators.textdedup import words
 
     base = docs.select(
@@ -380,10 +381,7 @@ def quality_feature_vectors(
             lambda acc, x: acc + x,
         ).alias("len_sum"),
         F.size(
-            F.filter(
-                "__toks",
-                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on"),
-            )
+            F.filter("__toks", lambda t: t.isin(*CORE_STOPWORDS))
         ).cast("double").alias("n_stop"),
         F.size(F.array_distinct("__toks")).cast("double").alias("n_uniq"),
     ).filter(F.col("n_tok") > 0)

@@ -22,6 +22,12 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"),
 }
 
+# the 8-word english stopword list shared by doc_token_stats,
+# quality_feature_vectors and doc_quality_stream — their SQL oracles carry
+# the same list as literal IN-lists, so additions must touch both sides;
+# sharing the Python copies at least removes Python-side drift
+CORE_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
+
 # GPT-ish pre-tokenizer shape: word pieces | numbers | single punctuation
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -271,7 +277,7 @@ def bpe_token_stats(
     ``regexp_count`` reformulation with lookarounds = 7.0 s
     (java.util.regex scans at ~25 MB/s/core here); CPython's ``sre``
     scanner runs the ONE grouped-alternation pass at 1.5 s on a single
-    core, so the ``mapInArrow`` kernel — which parallelizes with the
+    core, so the ``mapInPandas`` kernel — which parallelizes with the
     scan and never shuffles — is both the fastest and the simplest
     correct form. Classification is free: ``m.lastindex`` names the
     alternation branch that matched, so tokens are counted per class in

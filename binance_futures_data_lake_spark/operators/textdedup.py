@@ -430,6 +430,7 @@ def incremental_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    existing_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Snapshot-vs-corpus dedup — the daily-ingest pattern: classify every
     NEW document against the EXISTING corpus without ever re-pairing the
@@ -437,18 +438,27 @@ def incremental_dedup(
 
     - **exact**: md5(text) join against the per-hash min existing id;
     - **near**: MinHash band join of the new snapshot's signatures
-      against the existing side's (in production that side is a
-      persisted signature index — it only ever grows by upsert), then
-      exact shingle-Jaccard verification on the cross-set candidates.
+      against the existing side's, then exact shingle-Jaccard
+      verification on the cross-set candidates.
 
     Output: one row per new doc —
     ``doc_id, status ('exact_dup'|'near_dup'|'kept'), match_id, jaccard``
     with ``match_id`` the smallest matching existing id (exact wins over
     near; ``jaccard`` only for near matches, of THAT match).
 
-    Scale: cost is O(|new|) signing + a band join whose existing side is
-    pre-computed — a daily snapshot dedups against a 100 TB corpus
-    without touching corpus text except for the verified candidates.
+    Scale, stated precisely: per call, the new snapshot is signed
+    (O(|new|)); the existing side's signatures come from
+    ``existing_sig`` when provided — the persisted, upsert-grown index a
+    production lake maintains (``minhash_signatures`` output schema) —
+    and are recomputed from text when not (fine for tests/small runs,
+    a full-corpus scan otherwise). The md5 layer and the candidate
+    Jaccard verification each scan the existing TEXT once (hash/shingle
+    per doc, no pairing); only band-colliding candidates reach the
+    pairwise verify.
+
+    Verification joins each side against its OWN shingle frame (never a
+    union), so an id colliding across sides — a re-delivered doc_id —
+    still verifies new-text-vs-existing-text, not against itself.
     """
     ids = (F.col(id_col).alias("doc_id"),)
     exact_tbl = (
@@ -461,10 +471,13 @@ def incremental_dedup(
     ).select("doc_id", "exact_id")
 
     rows_per_band = num_hashes // bands
-    band_e = band_hashes(
-        minhash_signatures(existing, text_col, id_col, num_hashes, shingle_n),
-        rows_per_band,
-    ).select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    if existing_sig is None:
+        existing_sig = minhash_signatures(
+            existing, text_col, id_col, num_hashes, shingle_n
+        )
+    band_e = band_hashes(existing_sig, rows_per_band).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_hash"
+    )
     band_n = band_hashes(
         minhash_signatures(new, text_col, id_col, num_hashes, shingle_n),
         rows_per_band,
@@ -474,12 +487,23 @@ def incremental_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    union_docs = existing.select(*ids, F.col(text_col).alias("text")).unionByName(
-        new.select(*ids, F.col(text_col).alias("text"))
+
+    def _shingle_frame(side: DataFrame, alias: str):
+        return side.select(
+            F.col(id_col).alias(alias),
+            shingles_of_tokens(words(F.col(text_col)), shingle_n).alias(f"sh_{alias}"),
+        )
+
+    joined = cand.join(_shingle_frame(new, "doc_a"), "doc_a").join(
+        _shingle_frame(existing, "doc_b"), "doc_b"
     )
-    verified = jaccard_verify(
-        union_docs, cand, text_col="text", id_col="doc_id",
-        shingle_n=shingle_n, threshold=threshold,
+    inter = F.size(F.array_intersect("sh_doc_a", "sh_doc_b"))
+    union_sz = F.size(F.array_union("sh_doc_a", "sh_doc_b"))
+    jac = inter.cast("double") / union_sz.cast("double")
+    verified = (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", round6(F.col("jaccard")).alias("jaccard"))
     )
     near_best = verified.groupBy("doc_a").agg(
         F.min("doc_b").alias("near_id"),

@@ -2963,7 +2963,9 @@ def q_streaming_ohlcv_bars(spark, sf_dir):
         spark, src, sink, os.path.join(work, "ckpt"),
         minutes=60, key_cols=("event_type",), watermark="30 minutes",
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming ingest did not finish within 600 s")
     out = spark.read.parquet(sink).select(
         "event_type", "bucket_ts", "open", "high", "low", "close",
         r6(F.col("volume")).alias("volume"), "n_ticks",
@@ -3285,7 +3287,9 @@ def q_streaming_doc_quality(spark, sf_dir):
     q = run_doc_quality_ingest(
         spark, src, sink, os.path.join(work, "ckpt"), watermark="30 minutes"
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming ingest did not finish within 600 s")
     out = spark.read.parquet(sink).select(
         "lang", "bucket_ts", "n_docs", "n_keep", "sum_tok"
     )
@@ -3329,9 +3333,10 @@ def q_bpe_token_stats(spark, sf_dir):
     """Token accounting under the GPT-2-shaped BPE pre-tokenizer — the
     unit context budgets and packing targets are denominated in (the
     richer sibling of text.token_count_bpe_ish: contraction suffixes,
-    space-prefixed pieces, punctuation runs, class breakdown). Columnar
-    regexp_extract_all + array filters, no explode, no shuffle
-    (operators/text.py:bpe_token_stats)."""
+    space-prefixed pieces, punctuation runs, class breakdown). One
+    grouped-alternation scan in a mapInPandas Arrow kernel — measured
+    faster than every JVM-expression formulation AND DuckDB's RE2 at
+    the 10x replica — no shuffle (operators/text.py:bpe_token_stats)."""
     from binance_futures_data_lake_spark.operators.text import bpe_token_stats
 
     docs = load_table(spark, "documents", sf_dir)

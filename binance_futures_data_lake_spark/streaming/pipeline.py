@@ -322,13 +322,12 @@ def doc_quality_stream(
     same emit-on-close contract as the OHLCV stream, applied to corpus
     telemetry. State scale: keyed on (lang, window) + the dedup state
     keyed on doc_id, both bounded by the watermark."""
+    from binance_futures_data_lake_spark.operators.text import CORE_STOPWORDS
     from binance_futures_data_lake_spark.operators.textdedup import words
 
     toks = words(F.col("text"))
     n_tok = F.size(toks)
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on"))
-    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*CORE_STOPWORDS)))
     keep = (
         (n_tok >= 10) & (n_tok <= 200)
         & (n_stop.cast("double") / n_tok >= 0.02)

@@ -389,3 +389,39 @@ def test_bpe_counts_equal_findall_on_adversarial_strings(spark):
             f"case {i!r}: {s!r} -> {toks}"
         )
         assert abs(g.avg_bpe_chars - sum(len(t) for t in toks) / len(toks)) < 1e-6
+
+
+def test_incremental_dedup_id_collision_across_sides(spark):
+    """A re-delivered doc_id (same id, UPDATED text, in both sides) must
+    verify new-text-vs-existing-text — never against its own side."""
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        incremental_dedup,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "some other corpus document entirely unrelated ok")],
+        ["doc_id", "text"],
+    )
+    # id 1 re-delivered with a near-identical update; id 3 is novel
+    new = spark.createDataFrame(
+        [(1, base.replace("dog", "cat")), (3, "fresh novel content here")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           incremental_dedup(existing, new, threshold=0.5).collect()}
+    # the updated text is a NEAR dup of its own previous version (id 1 in
+    # existing): must verify against the OLD text, so jaccard < 1.0
+    assert out[1].status == "near_dup" and out[1].match_id == 1
+    assert out[1].jaccard is not None and out[1].jaccard < 1.0
+    assert out[3].status == "kept"
+
+    # precomputed signature index path gives the identical answer
+    sig = minhash_signatures(existing)
+    out2 = {r.doc_id: r for r in
+            incremental_dedup(existing, new, threshold=0.5,
+                              existing_sig=sig).collect()}
+    assert {k: (v.status, v.match_id, v.jaccard) for k, v in out.items()} == {
+        k: (v.status, v.match_id, v.jaccard) for k, v in out2.items()
+    }
