@@ -3446,6 +3446,73 @@ def q_quality_classifier_train_score(spark, sf_dir):
 
 
 @register(
+    "pack_manifest",
+    # The loader-side contract of packing: per shard, how many sequences
+    # exist, how full the stream is, and how many documents straddle
+    # boundaries. Wraps the pack_sequences segment table in one more
+    # two-level aggregate, so the manifest hash also re-attests the
+    # packing itself under composition.
+    sql="""
+    WITH t AS (
+      SELECT source AS shard, doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM t WHERE n_tok > 0
+    ), e AS (
+      SELECT shard, doc_id, n_tok, cb,
+             unnest(range(cb // 256, (cb + n_tok - 1) // 256 + 1)) AS seq_id
+      FROM c
+    ), seg AS (
+      SELECT shard, doc_id, seq_id,
+             least((seq_id + 1) * 256 - cb, n_tok)
+               - greatest(seq_id * 256 - cb, 0) AS tok_len
+      FROM e
+    ), per_doc AS (
+      SELECT shard, doc_id, count(*) AS n_seg, CAST(sum(tok_len) AS BIGINT) AS toks
+      FROM seg GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_seg) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN n_seg > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST((sum(toks) + 255) // 256 AS BIGINT) AS n_seqs,
+           CAST(sum(toks) % 256 AS BIGINT) AS last_fill
+    FROM per_doc GROUP BY 1
+    """,
+)
+def q_pack_manifest(spark, sf_dir):
+    """Per-shard packing manifest — the numbers a training-data loader
+    needs before claiming a shard: sequence count, boundary-straddling
+    docs, total tokens, tail fill (0 = the stream ends exactly on a
+    boundary). Composed ON TOP of pack_sequences' segment table (one
+    extra two-level aggregate riding the same shard grain), so the
+    manifest oracle re-attests the packing under composition."""
+    from binance_futures_data_lake_spark.operators.curation import pack_sequences
+
+    seg = pack_sequences(load_table(spark, "documents", sf_dir), 256)
+    per_doc = seg.groupBy("shard", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.sum("tok_len").alias("toks")
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_seg").alias("n_segments"),
+        F.sum((F.col("n_seg") > 1).cast("long")).alias("n_split_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.expr("CAST((sum(toks) + 255) div 256 AS LONG)").alias("n_seqs"),
+        F.expr("CAST(sum(toks) % 256 AS LONG)").alias("last_fill"),
+    )
+
+
+@register(
     "pack_sequences_nextfit",
     # The fill state recurses on its own previous value, so the oracle is
     # a recursive CTE advancing each shard one document per iteration —
