@@ -75,6 +75,8 @@ LLM_PIPELINE = [
     "pack_sequences_nextfit",
     "scrub_cross_doc_spans",
     "media_audio_features",
+    "bpe_token_stats",
+    "incremental_corpus_dedup",
 ]
 
 
