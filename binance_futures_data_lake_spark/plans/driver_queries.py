@@ -2284,72 +2284,18 @@ def _backtest_event_sql() -> str:
     RANGE 0.8·ATR/1.2R/30 bars/BE@0.6R offset 0), flip-before-time
     precedence, 5-bar cooldown after a gross loss. Float op order
     replicates the kernel exactly (sl = close − mult·atr; risk =
-    close − sl; tp = close + tp_r·risk; unreal = (close−entry)/risk)."""
-    unreal = (
-        "CASE WHEN w.st = 1 THEN (nb.close - w.entry) / w.risk"
-        " ELSE (w.entry - nb.close) / w.risk END"
-    )
-    be_fires = (
-        f"(w.st <> 0 AND w.eng = 2 AND NOT w.be AND ({unreal}) >= 0.6)"
-    )
-    sl_eff = (
-        f"CASE WHEN {be_fires} THEN CASE WHEN w.st = 1"
-        f" THEN w.entry + w.risk * 0.0 ELSE w.entry - w.risk * 0.0 END"
-        f" ELSE w.sl END"
-    )
-    be1 = f"(w.be OR {be_fires})"
-    sl_hit = (
-        f"((w.st = 1 AND nb.low <= ({sl_eff}))"
-        f" OR (w.st = -1 AND nb.high >= ({sl_eff})))"
-    )
-    tp_hit = (
-        "((w.st = 1 AND nb.high >= w.tp) OR (w.st = -1 AND nb.low <= w.tp))"
-    )
-    flip = (
-        "nb.router <> CASE w.eng WHEN 1 THEN 'TREND' ELSE 'RANGE' END"
-    )
-    time_exit = "nb.i - w.entry_i >= CASE w.eng WHEN 1 THEN 60 ELSE 30 END"
-    exit_reason = f"""CASE WHEN w.st = 0 THEN NULL
-      WHEN {sl_hit} AND {tp_hit} THEN 'SL_and_TP_same_bar'
-      WHEN {sl_hit} THEN 'SL'
-      WHEN {tp_hit} THEN 'TP'
-      WHEN {flip} THEN 'FLIP_ROUTER'
-      WHEN {time_exit} THEN 'TIME_STOP' END"""
-    x_price = f"""CASE ({exit_reason})
-      WHEN 'SL_and_TP_same_bar' THEN ({sl_eff}) WHEN 'SL' THEN ({sl_eff})
-      WHEN 'TP' THEN w.tp ELSE nb.close END"""
-    x_r = (
-        f"CASE WHEN w.st = 1 THEN (({x_price}) - w.entry) / w.risk"
-        f" ELSE (w.entry - ({x_price})) / w.risk END"
-    )
-    exited = f"({exit_reason}) IS NOT NULL"
-    loss = f"({exited} AND CASE WHEN w.st = 1 THEN ({x_price}) < w.entry ELSE ({x_price}) > w.entry END)"
-    cool1 = f"CASE WHEN {loss} THEN nb.i + 5 ELSE w.cool END"
-    st0 = f"CASE WHEN w.st <> 0 AND NOT {exited} THEN w.st ELSE 0 END"
-    atr_ok = "(nb.atr IS NOT NULL AND nb.atr > 0)"
-    # chosen signal claims the bar (trend pair first, long before short);
-    # invalid atr then skips the bar entirely (:393-397)
-    pick = """CASE WHEN nb.tl THEN 11 WHEN nb.tsg THEN 12
-              WHEN nb.ml THEN 21 WHEN nb.ms THEN 22 ELSE 0 END"""
-    entered = f"(({st0}) = 0 AND nb.i > ({cool1}) AND ({pick}) <> 0 AND {atr_ok})"
-    eng_new = f"CASE WHEN {entered} THEN ({pick}) // 10 ELSE 0 END"
-    side_new = f"CASE WHEN {entered} THEN CASE ({pick}) % 10 WHEN 1 THEN 1 ELSE -1 END ELSE 0 END"
-    sl_dist = f"CASE ({pick}) // 10 WHEN 1 THEN 1.0 * nb.atr ELSE 0.8 * nb.atr END"
-    tp_r = f"CASE ({pick}) // 10 WHEN 1 THEN 2.0 ELSE 1.2 END"
-    sl_new = (
-        f"CASE WHEN ({side_new}) = 1 THEN nb.close - ({sl_dist})"
-        f" WHEN ({side_new}) = -1 THEN nb.close + ({sl_dist}) END"
-    )
-    risk_new = (
-        f"CASE WHEN ({side_new}) = 1 THEN nb.close - (nb.close - ({sl_dist}))"
-        f" WHEN ({side_new}) = -1 THEN (nb.close + ({sl_dist})) - nb.close END"
-    )
-    tp_new = (
-        f"CASE WHEN ({side_new}) = 1 THEN nb.close + ({tp_r}) * ({risk_new})"
-        f" WHEN ({side_new}) = -1 THEN nb.close - ({tp_r}) * ({risk_new}) END"
-    )
-    keep = f"({st0}) <> 0"
-    return _HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + f"""
+    close − sl; tp = close + tp_r·risk; unreal = (close−entry)/risk).
+
+    The recursive member computes each shared state expression ONCE in a
+    layered derived-table chain. The first version interpolated the
+    formulas textually into every consuming column (x_price inside x_r,
+    exit_reason inside both, sl_eff inside all three …), compounding to
+    a ~190 KB expression tree that DuckDB re-evaluated at every one of
+    ~3400 iterations — 156 s at sf0.01; layered, the same machine runs
+    in a few seconds. Layer order mirrors the kernel: unreal → BE-arm →
+    effective SL → hit tests → exit reason → fill price → realized R /
+    loss → cooldown → entry gate → new-position levels."""
+    return _HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + """
     , fbt AS (
       SELECT event_type, bucket_ts, open, high, low, close,
              greatest(high - low, abs(high - lag(close) OVER wk),
@@ -2414,28 +2360,97 @@ def _backtest_event_sql() -> str:
              CAST(NULL AS DOUBLE) AS x_sl, CAST(NULL AS DOUBLE) AS x_tp
       FROM (SELECT DISTINCT event_type FROM nbt)
       UNION ALL
-      SELECT nb.event_type, nb.i, nb.bucket_ts,
-        CASE WHEN {keep} THEN w.st ELSE ({side_new}) END AS st,
-        CASE WHEN {keep} THEN w.eng ELSE ({eng_new}) END AS eng,
-        CASE WHEN {keep} THEN w.entry WHEN {entered} THEN nb.close END AS entry,
-        CASE WHEN {keep} THEN ({sl_eff}) WHEN {entered} THEN ({sl_new}) END AS sl,
-        CASE WHEN {keep} THEN w.tp WHEN {entered} THEN ({tp_new}) END AS tp,
-        CASE WHEN {keep} THEN w.risk WHEN {entered} THEN ({risk_new}) END AS risk,
-        CASE WHEN {keep} THEN ({be1}) ELSE false END AS be,
-        CASE WHEN {keep} THEN w.entry_i WHEN {entered} THEN nb.i END AS entry_i,
-        CASE WHEN {keep} THEN w.entry_ts WHEN {entered} THEN nb.bucket_ts END AS entry_ts,
-        ({cool1}) AS cool,
-        ({exit_reason}) AS x_reason,
-        ({x_price}) AS x_price_o,
-        ({x_r}) AS x_r,
-        CASE WHEN {exited} THEN w.entry END AS x_entry,
-        CASE WHEN {exited} THEN w.entry_ts END AS x_entry_ts,
-        CASE WHEN {exited} THEN w.entry_i END AS x_entry_i,
-        CASE WHEN {exited} THEN w.st END AS x_side,
-        CASE WHEN {exited} THEN w.eng END AS x_eng,
-        CASE WHEN {exited} THEN ({sl_eff}) END AS x_sl,
-        CASE WHEN {exited} THEN w.tp END AS x_tp
+      SELECT event_type, i, bucket_ts,
+        CASE WHEN keep THEN st ELSE side_new END AS st,
+        CASE WHEN keep THEN eng ELSE eng_new END AS eng,
+        CASE WHEN keep THEN entry WHEN entered THEN close END AS entry,
+        CASE WHEN keep THEN sl_eff WHEN entered THEN sl_new END AS sl,
+        CASE WHEN keep THEN tp_prev WHEN entered THEN tp_new END AS tp,
+        CASE WHEN keep THEN risk WHEN entered THEN risk_new END AS risk,
+        CASE WHEN keep THEN be1 ELSE false END AS be,
+        CASE WHEN keep THEN entry_i WHEN entered THEN i END AS entry_i,
+        CASE WHEN keep THEN entry_ts WHEN entered THEN bucket_ts END AS entry_ts,
+        cool1 AS cool,
+        x_reason, x_price_o, x_r,
+        CASE WHEN exited THEN entry END AS x_entry,
+        CASE WHEN exited THEN entry_ts END AS x_entry_ts,
+        CASE WHEN exited THEN entry_i END AS x_entry_i,
+        CASE WHEN exited THEN st END AS x_side,
+        CASE WHEN exited THEN eng END AS x_eng,
+        CASE WHEN exited THEN sl_eff END AS x_sl,
+        CASE WHEN exited THEN tp_prev END AS x_tp
+      FROM (
+      SELECT *,
+        CASE WHEN side_new = 1 THEN close + tp_r * risk_new
+             WHEN side_new = -1 THEN close - tp_r * risk_new END AS tp_new
+      FROM (
+      SELECT *,
+        CASE WHEN side_new = 1 THEN close - sl_dist
+             WHEN side_new = -1 THEN close + sl_dist END AS sl_new,
+        CASE WHEN side_new = 1 THEN close - (close - sl_dist)
+             WHEN side_new = -1 THEN (close + sl_dist) - close END AS risk_new
+      FROM (
+      SELECT *,
+        CASE WHEN entered THEN pick // 10 ELSE 0 END AS eng_new,
+        CASE WHEN entered THEN CASE pick % 10 WHEN 1 THEN 1 ELSE -1 END
+             ELSE 0 END AS side_new
+      FROM (
+      SELECT *,
+        (st0 = 0 AND i > cool1 AND pick <> 0 AND atr_ok) AS entered,
+        (st0 <> 0) AS keep
+      FROM (
+      SELECT *,
+        CASE WHEN loss THEN i + 5 ELSE cool END AS cool1,
+        CASE pick // 10 WHEN 1 THEN 1.0 * atr ELSE 0.8 * atr END AS sl_dist,
+        CASE pick // 10 WHEN 1 THEN 2.0 ELSE 1.2 END AS tp_r
+      FROM (
+      SELECT *,
+        CASE WHEN st = 1 THEN (x_price_o - entry) / risk
+             ELSE (entry - x_price_o) / risk END AS x_r,
+        (exited AND CASE WHEN st = 1 THEN x_price_o < entry
+                         ELSE x_price_o > entry END) AS loss
+      FROM (
+      SELECT *,
+        CASE x_reason
+          WHEN 'SL_and_TP_same_bar' THEN sl_eff WHEN 'SL' THEN sl_eff
+          WHEN 'TP' THEN tp_prev ELSE close END AS x_price_o,
+        (x_reason IS NOT NULL) AS exited,
+        CASE WHEN st <> 0 AND x_reason IS NULL THEN st ELSE 0 END AS st0
+      FROM (
+      SELECT *,
+        CASE WHEN st = 0 THEN NULL
+          WHEN sl_hit AND tp_hit THEN 'SL_and_TP_same_bar'
+          WHEN sl_hit THEN 'SL'
+          WHEN tp_hit THEN 'TP'
+          WHEN flip_x THEN 'FLIP_ROUTER'
+          WHEN time_x THEN 'TIME_STOP' END AS x_reason
+      FROM (
+      SELECT *,
+        ((st = 1 AND low <= sl_eff) OR (st = -1 AND high >= sl_eff)) AS sl_hit,
+        ((st = 1 AND high >= tp_prev) OR (st = -1 AND low <= tp_prev)) AS tp_hit,
+        (router <> CASE eng WHEN 1 THEN 'TREND' ELSE 'RANGE' END) AS flip_x,
+        (i - entry_i >= CASE eng WHEN 1 THEN 60 ELSE 30 END) AS time_x
+      FROM (
+      SELECT *,
+        CASE WHEN be_fires THEN CASE WHEN st = 1
+             THEN entry + risk * 0.0 ELSE entry - risk * 0.0 END
+             ELSE sl_prev END AS sl_eff,
+        (be_prev OR be_fires) AS be1
+      FROM (
+      SELECT *,
+        (st <> 0 AND eng = 2 AND NOT be_prev AND unreal >= 0.6) AS be_fires
+      FROM (
+      SELECT nb.event_type, nb.i, nb.bucket_ts, nb.high, nb.low, nb.close,
+             nb.atr, nb.router,
+             w.st, w.eng, w.entry, w.sl AS sl_prev, w.tp AS tp_prev,
+             w.risk, w.be AS be_prev, w.entry_i, w.entry_ts, w.cool,
+             CASE WHEN w.st = 1 THEN (nb.close - w.entry) / w.risk
+                  ELSE (w.entry - nb.close) / w.risk END AS unreal,
+             CASE WHEN nb.tl THEN 11 WHEN nb.tsg THEN 12
+                  WHEN nb.ml THEN 21 WHEN nb.ms THEN 22 ELSE 0 END AS pick,
+             (nb.atr IS NOT NULL AND nb.atr > 0) AS atr_ok
       FROM walk w JOIN nbt nb ON nb.event_type = w.event_type AND nb.i = w.i + 1
+      ))))))))))))
     )
     SELECT event_type,
            CASE x_eng WHEN 1 THEN 'TREND' ELSE 'RANGE' END AS engine,
@@ -5241,4 +5256,53 @@ def _reorder_registry() -> None:
     QUERIES.update({n: snapshot[n] for n in ordered})
 
 
+def _materialize_recursive_oracle_preps() -> None:
+    """Rewrite every recursive-CTE oracle so its non-recursive prep CTEs
+    are ``AS MATERIALIZED``.
+
+    DuckDB inlines plain CTEs; when a recursive member's iteration chain
+    transitively references them, the whole prep pipeline (bars build,
+    ATR windows, signal derivation) is RE-EVALUATED per iteration — the
+    backtest_trend_kernel oracle measured 556 s at sf0.01 and drops to
+    16 s with the prep pinned. MATERIALIZED is purely an optimization
+    fence (identical results; asserted for every rewritten oracle in
+    tests/test_oracle_parity.py::test_materialized_oracles_unchanged).
+
+    Mechanics: CTE heads are located positionally; a head is skipped if
+    (a) its own body references its name (that is the recursive member —
+    hinting it is a syntax error), or (b) the name is never read via
+    FROM/JOIN (then it is a WINDOW clause name like ``w20``, which the
+    head regex cannot distinguish — a window list also ends ``), name
+    AS (``).
+    """
+    import re
+
+    # the head pattern must also match CTEs ALREADY hinted by hand —
+    # otherwise a hand-materialized head is invisible and the PRECEDING
+    # CTE's body extends over it, false-positive-ing the self-reference
+    # test (exactly what left `sig` unmaterialized on the first pass)
+    head_re = re.compile(
+        r"(?:WITH RECURSIVE\s+|\)\s*,\s*)(\w+) AS (?:MATERIALIZED )?\("
+    )
+    for qname in list(ORACLE):
+        sql = ORACLE[qname]
+        if "WITH RECURSIVE" not in sql:
+            continue
+        heads = list(head_re.finditer(sql))
+        out = sql
+        for i, h in enumerate(heads):
+            name = h.group(1)
+            if "MATERIALIZED" in h.group(0):
+                continue  # already hinted
+            body_end = heads[i + 1].start() if i + 1 < len(heads) else len(sql)
+            body = sql[h.end():body_end]
+            if re.search(rf"\b{name}\b", body):
+                continue  # recursive member
+            if not re.search(rf"\b(?:FROM|JOIN)\s+{name}\b", sql):
+                continue  # WINDOW-clause name, not a CTE
+            out = out.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+        ORACLE[qname] = out
+
+
+_materialize_recursive_oracle_preps()
 _reorder_registry()
