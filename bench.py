@@ -237,22 +237,44 @@ def main() -> None:
     except Exception as ex:  # keep the one-JSON-line contract no matter what
         serial_10x = {"error": f"{type(ex).__name__}: {ex}"[:300]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_steady_state",
-                "value": warm_total,
-                "unit": "sec",
-                "queries": warm,
-                "cold_total_incl_plan_jit": cold_total,
-                "queries_cold": cold,
-                "llm_queries": llm,
-                "suite_wall_concurrent": suite_wall,
-                "serial_10x": serial_10x,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_suite_wall_steady_state",
+        "value": warm_total,
+        "unit": "sec",
+        "queries": warm,
+        "cold_total_incl_plan_jit": cold_total,
+        "queries_cold": cold,
+        "llm_queries": llm,
+        "suite_wall_concurrent": suite_wall,
+        "serial_10x": serial_10x,
+        "sf": sf_val,
+    }
+    # Full multi-section detail goes to a FILE and to early stdout. The
+    # verification driver keeps only a bounded TAIL of stdout and parses the
+    # last line as the round's headline — r4's single giant line outgrew the
+    # capture and the round recorded "parsed": null (VERDICT r4 next-steps
+    # #1). The LAST line is therefore a compact summary guaranteed to fit.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
+    compact = {
+        "metric": "headline_suite_wall_steady_state",
+        "value": warm_total,
+        "unit": "sec",
+        "queries": warm,
+        "suite_wall_concurrent": suite_wall,
+        "sf": sf_val,
+    }
+    if isinstance(serial_10x, dict) and "ratio_vs_duckdb" in serial_10x:
+        compact["serial_10x_ratio_vs_duckdb"] = serial_10x["ratio_vs_duckdb"]
+        compact["serial_10x_spark_total"] = serial_10x["spark_serial_total"]
+        compact["serial_10x_duckdb_total"] = serial_10x["duckdb_serial_total"]
+    compact["detail"] = "BENCH_FULL.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

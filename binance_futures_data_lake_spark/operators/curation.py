@@ -354,7 +354,10 @@ def pack_sequences_nextfit(
 
     out_schema = T.StructType([
         T.StructField("shard", t.schema["shard"].dataType),
-        T.StructField("doc_id", T.LongType()),
+        # like shard, the id type follows the input (id_col invites
+        # string/int ids) — hardcoding LongType would silently Arrow-cast
+        # or fail for non-long callers, unlike pack_sequences
+        T.StructField("doc_id", t.schema["doc_id"].dataType),
         T.StructField("n_tok", T.LongType()),
         T.StructField("seq_id", T.LongType()),
         T.StructField("seq_offset", T.LongType()),

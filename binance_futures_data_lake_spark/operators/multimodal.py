@@ -212,6 +212,11 @@ def wav_decode_pcm16(data: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + ln > len(data):
+            raise ValueError(
+                f"truncated WAV: chunk {tag!r} declares {ln} bytes but only "
+                f"{len(data) - pos - 8} remain"
+            )
         chunk = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
@@ -266,8 +271,11 @@ def synthetic_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     identical (text, dims) ⇒ byte-identical PNG, and the pixel values are
     an arithmetic function of the text a SQL oracle can recompute without
     a decoder. ``kind="audio"``: payload is a REAL PCM16 mono WAV whose
-    samples are ``(byte − 96) · 180`` over the text bytes tiled to
-    ``doc_id % 800 + 400`` samples — ASCII text straddles 96 ('`'), so
+    samples are ``(codepoint % 192 − 96) · 180`` over the text's unicode
+    CODEPOINTS tiled to ``doc_id % 800 + 400`` samples — character-based
+    (not byte-based) so the SQL oracle's ``ascii(substr(text, i, 1))``
+    derivation agrees for arbitrary text, not only ASCII (for ASCII the
+    two coincide: cp < 128 < 192). ASCII text straddles 96 ('`'), so
     clips genuinely cross zero and zero-crossing stats are non-trivial;
     again pure arithmetic a SQL oracle replays. Other kinds keep opaque
     utf-8 payloads (a video decoder is out of scope)."""
@@ -283,9 +291,10 @@ def synthetic_media(docs: DataFrame, kind: str = "image") -> DataFrame:
                 for did, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
                     did = int(did)
                     n = did % 800 + 400
-                    tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                    # codepoints, vectorized (utf-32-le = one u4 per char)
+                    tb = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
                     v = (
-                        (np.resize(tb, n).astype(np.int32) - 96) * 180
+                        ((np.resize(tb, n) % 192).astype(np.int32) - 96) * 180
                     ).astype("<i2")
                     rows.append(
                         (
@@ -486,22 +495,45 @@ def audio_features(media: DataFrame) -> DataFrame:
             n = np.array([len(d[2]) // 2 for d in decoded], dtype=np.int64)
             off = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum(n[:-1], out=off[1:])
-            sums = np.add.reduceat(v.astype(np.float64), off)
-            sumsq = np.add.reduceat((v * v).astype(np.float64), off)
-            peaks = np.maximum.reduceat(np.abs(v), off)
-            prod = v[:-1] * v[1:]
-            neg = prod < 0
-            neg[off[1:] - 1] = False  # mask cross-clip products
-            zcr = np.add.reduceat(neg.astype(np.int64), off)
+            # a WAV with an EMPTY data chunk is valid (0 samples) but
+            # breaks reduceat (zero-length segments repeat the next
+            # clip's value; a trailing empty clip indexes past v) and
+            # divides by zero — compute over the NONZERO clips' compacted
+            # offsets and scatter back, emitting null stats for n == 0
+            nz = n > 0
+            k = len(pdf)
+            sums = np.full(k, np.nan)
+            sumsq = np.full(k, np.nan)
+            peaks = np.zeros(k, dtype=np.int64)
+            zcr = np.zeros(k, dtype=np.int64)
+            if nz.any():
+                off_nz = off[nz]
+                sums[nz] = np.add.reduceat(v.astype(np.float64), off_nz)
+                sumsq[nz] = np.add.reduceat((v * v).astype(np.float64), off_nz)
+                peaks[nz] = np.maximum.reduceat(np.abs(v), off_nz)
+                if len(v) > 1:
+                    prod = v[:-1] * v[1:]
+                    neg = prod < 0
+                    neg[off_nz[1:] - 1] = False  # mask cross-clip products
+                    # a final 1-sample clip starts AT len(neg) — no pairs,
+                    # zcr stays 0; cross-clip masking means dropping its
+                    # offset can't leak counts into the preceding segment
+                    in_rng = off_nz < len(neg)
+                    nz_rng = nz.copy()
+                    nz_rng[nz] = in_rng
+                    zcr[nz_rng] = np.add.reduceat(
+                        neg.astype(np.int64), off_nz[in_rng]
+                    )
+            n_safe = np.where(nz, n, 1)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].astype(np.int64),
                 "n_bytes": np.array([len(p) for p in payloads], dtype=np.int64),
                 "sample_rate": rates,
                 "n_samples": n,
                 "duration_ms": n * 1000 // rates,
-                "mean_amplitude": sums / n,
-                "rms": np.sqrt(sumsq / n),
-                "peak_abs": peaks.astype(np.int64),
+                "mean_amplitude": sums / n_safe,
+                "rms": np.sqrt(sumsq / n_safe),
+                "peak_abs": peaks,
                 "zero_crossings": zcr,
             })
 

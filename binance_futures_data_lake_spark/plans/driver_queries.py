@@ -3074,8 +3074,11 @@ def q_media_image_features(spark, sf_dir):
 @register(
     "media_audio_features",
     # Audio twin of media_image_features: samples are deterministic
-    # arithmetic over the text — (byte − 96)·180 int16, tiled to
-    # doc_id % 800 + 400 samples. Spark ENCODES them into real PCM16 WAV
+    # arithmetic over the text — (codepoint % 192 − 96)·180 int16, tiled
+    # to doc_id % 800 + 400 samples. CHARACTER-based on both sides
+    # (Spark tiles utf-32 codepoints; ascii(substr(..)) is the codepoint
+    # of the i-th CHARACTER), so the parity contract holds for arbitrary
+    # text, not just ASCII. Spark ENCODES the samples into real PCM16 WAV
     # containers and DECODES them back (stdlib RIFF codec); DuckDB
     # recomputes the clip stats straight from the text. n_bytes attests
     # the container layout itself (44-byte canonical header + 2·n data).
@@ -3088,8 +3091,8 @@ def q_media_image_features(spark, sf_dir):
       SELECT media_id, n, L, text, unnest(range(n)) AS i FROM d
     ), sv AS (
       SELECT media_id, n, i,
-             CAST((ascii(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 180
-                  AS BIGINT) AS v
+             CAST((ascii(substr(text, CAST(i % L AS INT) + 1, 1)) % 192 - 96)
+                  * 180 AS BIGINT) AS v
       FROM px
     ), zc AS (
       SELECT media_id, n, v,
@@ -3298,20 +3301,25 @@ def q_streaming_doc_quality(spark, sf_dir):
         chunk.coalesce(1).write.parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         shutil.move(part, os.path.join(src, f"chunk-{i}.parquet"))
-    sink = os.path.join(work, "lake")
-    q = run_doc_quality_ingest(
-        spark, src, sink, os.path.join(work, "ckpt"), watermark="30 minutes"
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("streaming ingest did not finish within 600 s")
-    out = spark.read.parquet(sink).select(
-        "lang", "bucket_ts", "n_docs", "n_keep", "sum_tok"
-    )
-    out = out.cache()
-    out.count()  # materialize before the temp dir is reclaimed
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+    # try/finally so a timeout or stream failure doesn't leak the staged
+    # parquet + checkpoint dir; the result is LOCALIZED (collect +
+    # createDataFrame) rather than cached, because cached blocks can be
+    # evicted and would then recompute from the deleted temp files
+    try:
+        sink = os.path.join(work, "lake")
+        q = run_doc_quality_ingest(
+            spark, src, sink, os.path.join(work, "ckpt"), watermark="30 minutes"
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming ingest did not finish within 600 s")
+        out = spark.read.parquet(sink).select(
+            "lang", "bucket_ts", "n_docs", "n_keep", "sum_tok"
+        )
+        rows = out.collect()  # bounded: |langs| × |hour buckets|
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
@@ -5289,7 +5297,11 @@ def _materialize_recursive_oracle_preps() -> None:
         if "WITH RECURSIVE" not in sql:
             continue
         heads = list(head_re.finditer(sql))
-        out = sql
+        # insert at the MATCHED head's own span (reverse order keeps earlier
+        # offsets valid) — an unanchored str.replace would land the hint on
+        # the first occurrence of "<name> AS (", which is the WRONG CTE when
+        # one name is a suffix of another (e.g. "b" inside "nb")
+        inserts: list[int] = []
         for i, h in enumerate(heads):
             name = h.group(1)
             if "MATERIALIZED" in h.group(0):
@@ -5300,7 +5312,11 @@ def _materialize_recursive_oracle_preps() -> None:
                 continue  # recursive member
             if not re.search(rf"\b(?:FROM|JOIN)\s+{name}\b", sql):
                 continue  # WINDOW-clause name, not a CTE
-            out = out.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+            # position of "(" at the end of this head: h.end() - 1
+            inserts.append(h.end() - 1)
+        out = sql
+        for pos in sorted(inserts, reverse=True):
+            out = out[:pos] + "MATERIALIZED " + out[pos:]
         ORACLE[qname] = out
 
 
