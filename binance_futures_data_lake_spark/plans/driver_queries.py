@@ -4063,6 +4063,454 @@ def q_research_sweep_stats(spark, sf_dir):
     )
 
 
+def _sweep_pipeline_sql() -> str:
+    """Recursive-CTE oracle for the FULL research-sweep composition
+    (VERDICT r4 next-steps #2): regime-case walk → router gate →
+    per-config vectorized signals (the literal with_signals algebra,
+    cfg constants from a 2-row VALUES grid) → the two-engine position
+    machine (TREND price-SL/TP + RANGE partial-TP1/BE/TP2 in ONE walk,
+    candidate priority ladder, gate-allow + size-mult entries, cooldown
+    after gross loss, per-roundtrip cost) → sweep_stats aggregation.
+    Two recursions in one WITH RECURSIVE: ``gwalk`` (the attested
+    regime_cases machine, renamed) feeds the gate; ``pwalk`` replays
+    ``backtest._position_loop`` exactly — every float op in kernel
+    order (sl = close − mult·atr; risk = close − sl; r = Δ/risk scaled
+    by qty AFTER the division; BE stop = entry ± risk·off). The
+    recursive member uses the layered derived-table chain of
+    _backtest_event_sql so each state expression is computed once per
+    iteration."""
+    case_prev = _regime_case_sql("w.kase")
+    range_exit = """CASE
+          WHEN sl_hit THEN 'SL'
+          WHEN closed_tp THEN 'TP_CP'
+          WHEN tp2_raw THEN 'TP2_CP'
+          WHEN flip_x THEN 'FLIP_ROUTER'
+          WHEN volk THEN 'VOL_HIGH_KILL'
+          WHEN time_x THEN 'TIME_STOP' END"""
+    trend_exit = """CASE
+          WHEN sl_hit AND t_tp_hit THEN 'SL_and_TP_same_bar'
+          WHEN sl_hit THEN 'SL'
+          WHEN t_tp_hit THEN 'TP_TREND'
+          WHEN flip_x THEN 'FLIP_ROUTER'
+          WHEN time_x THEN 'TIME_STOP' END"""
+    return _HOURLY_BARS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1) + f"""
+    , gd AS (
+      SELECT event_type, bucket_ts,
+        CAST(CASE WHEN lag(close, 168) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 168) OVER wo) END AS INT) AS dir_w,
+        CAST(CASE WHEN lag(close, 24) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 24) OVER wo) END AS INT) AS dir_d,
+        CAST(CASE WHEN lag(close, 4) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 4) OVER wo) END AS INT) AS dir_h4,
+        CAST(CASE WHEN lag(close, 1) OVER wo IS NULL THEN NULL
+                  ELSE sign(close - lag(close, 1) OVER wo) END AS INT) AS dir_h1
+      FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), gidx AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS INT) AS i
+      FROM gd
+    ), gwalk AS (
+      SELECT event_type, 0 AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+             CAST(NULL AS INT) AS dir_w, CAST(NULL AS INT) AS dir_d,
+             CAST(NULL AS INT) AS dir_h4, CAST(NULL AS INT) AS dir_h1,
+             'WARMUP_UNDEFINED' AS kase
+      FROM (SELECT DISTINCT event_type FROM gd)
+      UNION ALL
+      SELECT n.event_type, n.i, n.bucket_ts, n.dir_w, n.dir_d, n.dir_h4, n.dir_h1,
+             {case_prev} AS kase
+      FROM gwalk w JOIN gidx n ON n.event_type = w.event_type AND n.i = w.i + 1
+    ), gate AS (
+      SELECT event_type, bucket_ts, allow_long, allow_short,
+             CASE WHEN allow_long = 1 THEN smb ELSE 0.0 END AS size_mult_long,
+             CASE WHEN allow_short = 1 THEN smb ELSE 0.0 END AS size_mult_short
+      FROM (
+        SELECT event_type, bucket_ts,
+          CASE WHEN coalesce(dir_w = 1 AND dir_d = 1 AND dir_h1 = 1
+                             AND (dir_h4 IS NULL OR dir_h4 <> -1), false)
+               THEN 1 ELSE 0 END AS allow_long,
+          CASE WHEN coalesce(dir_w = -1 AND dir_d = -1 AND dir_h1 = -1
+                             AND (dir_h4 IS NULL OR dir_h4 <> 1), false)
+               THEN 1 ELSE 0 END AS allow_short,
+          CASE WHEN kase IN ('WARMUP_UNDEFINED', 'DATA_GAP_OR_INVALID', 'CHAOS_CONFLICT_TF')
+                 THEN 0.0
+               WHEN abs(3 * dir_w + 3 * dir_d + 2 * dir_h4 + 2 * dir_h1) >= 10 THEN 1.0
+               WHEN abs(3 * dir_w + 3 * dir_d + 2 * dir_h4 + 2 * dir_h1) >= 7 THEN 0.75
+               WHEN abs(3 * dir_w + 3 * dir_d + 2 * dir_h4 + 2 * dir_h1) >= 4 THEN 0.5
+               ELSE 0.25 END AS smb
+        FROM gwalk WHERE i > 0
+      )
+    ), fbt AS (
+      SELECT event_type, bucket_ts, open, high, low, close,
+             greatest(high - low, abs(high - lag(close) OVER wk),
+                      abs(low - lag(close) OVER wk)) AS tr,
+             lag(close, 24) OVER wk AS lag24
+      FROM bars WINDOW wk AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), abt AS (
+      SELECT event_type, bucket_ts, open, high, low, close, lag24,
+        CASE WHEN count(tr) OVER w14 = 14 THEN round(avg(tr) OVER w14, 6) END AS atr
+      FROM fbt
+      WINDOW w14 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), pct AS (
+      SELECT *, round(percent_rank() OVER (PARTITION BY event_type
+                      ORDER BY coalesce(atr, -1.0)) * 100.0, 6) AS pctl
+      FROM abt
+    ), ctx AS (
+      SELECT event_type, bucket_ts, high, low, close, atr, pctl,
+        CAST(row_number() OVER woc AS INT) AS i,
+        CASE WHEN high > low THEN (close - low) / (high - low) ELSE 0.5 END AS cp,
+        CASE WHEN atr IS NOT NULL AND atr > 0 THEN (close - open) / atr END AS dn,
+        CASE WHEN atr IS NOT NULL AND atr > 0 THEN (high - low) / atr END AS rrel,
+        CASE WHEN lag24 IS NULL THEN 'NA'
+             WHEN close > lag24 THEN 'BULL' ELSE 'BEAR' END AS dir,
+        lag24 IS NOT NULL AS dir_ready,
+        CAST(extract(hour FROM bucket_ts) AS INT) AS hr
+      -- window name must be unique across the whole statement: under
+      -- WITH RECURSIVE, DuckDB scopes named windows statement-wide
+      FROM pct WINDOW woc AS (PARTITION BY event_type ORDER BY bucket_ts)
+    ), rv AS (
+      SELECT *,
+        -- 90-bar router blocks + rare HIGH vol: long enough stretches that
+        -- TIME_STOP can fire before a router flip, HIGH sparse enough that
+        -- vol-kill doesn't dominate the RANGE exits (tuned at sf0.01 so
+        -- every machine path is hot: TP_TREND/SL/FLIP/TIME on TREND,
+        -- SL(+BE)/TP_CP/TP2_CP/VOL_KILL on RANGE)
+        CASE WHEN ((i - 1) // 90) % 2 = 0 THEN 'TREND' ELSE 'RANGE' END AS router,
+        CASE WHEN i % 89 < 2 THEN 'NA' WHEN i % 23 < 2 THEN 'HIGH'
+             WHEN i % 2 = 0 THEN 'MID' ELSE 'LOW' END AS vol
+      FROM ctx
+    ), cfg AS (
+      SELECT * FROM (VALUES
+        ('grid_a', 1.8, 20, 0.55, 0.75, 0.5, 0.05, 0.05, 0.3, 0.45, 0.55, 0.02,
+         0.9, 0.2, 0.65, 0.8, true, 'TREND_FIRST', 0, 23, 5, 0.02),
+        ('grid_b', 1.2, 10, 0.6, 0.8, 1.0, 0.0, 0.05, 0.3, 0.45, 0.55, 0.02,
+         0.8, 0.15, 0.6, 0.7, false, 'MR_FIRST', 6, 17, 0, 0.0)
+      ) AS c(name, mr_sl_atr, mr_time_stop, mr_tp1_cp, tp_cp, tp1_frac,
+             mr_be_off, mr_d, mr_rr, mr_cp_low, mr_cp_high, mr_mean_dist,
+             mr_atr_pctl_max, trend_d, trend_p, trend_rr, vol_filter_high,
+             priority, sess_lo, sess_hi, cool_bars, cost_r)
+    ), sx1 AS (
+      SELECT f.*, c.*, (f.dir_ready AND f.vol <> 'NA') AS bg,
+             max(f.pctl) OVER (PARTITION BY c.name) AS scale_max
+      FROM rv f CROSS JOIN cfg c
+    ), sx2 AS (
+      SELECT *,
+        (bg AND router = 'TREND' AND vol IN ('MID', 'HIGH')) AS is_trend,
+        (bg AND router = 'RANGE' AND hr BETWEEN sess_lo AND sess_hi
+            AND (NOT vol_filter_high OR vol IN ('LOW', 'MID'))) AS is_range,
+        (pctl IS NULL OR pctl <= CASE WHEN scale_max > 1.5
+             THEN mr_atr_pctl_max * 100.0 ELSE mr_atr_pctl_max END) AS pctl_ok
+      FROM sx1
+    ), sx3 AS (
+      SELECT *,
+        coalesce(is_trend AND dir = 'BULL' AND dn > trend_d AND cp > trend_p
+                 AND rrel > trend_rr, false) AS tl,
+        coalesce(is_trend AND dir = 'BEAR' AND dn < -trend_d
+                 AND cp < (1.0 - trend_p) AND rrel > trend_rr, false) AS tsg,
+        (is_range AND abs(cp - 0.5) >= mr_mean_dist AND pctl_ok
+         AND cp <= mr_cp_low AND dn <= -mr_d AND rrel >= mr_rr
+         AND dir = 'BULL') AS mls,
+        (is_range AND abs(cp - 0.5) >= mr_mean_dist AND pctl_ok
+         AND cp >= mr_cp_high AND dn >= mr_d AND rrel >= mr_rr
+         AND dir = 'BEAR') AS mss
+      FROM sx2
+    ), sx4 AS (
+      SELECT *,
+        coalesce(lag(mls, 1, false) OVER wsn AND is_range
+                 AND (dn > 0 OR cp > 0.5), false) AS ml,
+        coalesce(lag(mss, 1, false) OVER wsn AND is_range
+                 AND (dn < 0 OR cp < 0.5), false) AS ms
+      FROM sx3
+      WINDOW wsn AS (PARTITION BY event_type, name ORDER BY bucket_ts)
+    ), nbx AS MATERIALIZED (
+      -- materialized: the position recursion must not re-inline the
+      -- gate walk + 9-layer signal pipeline at every iteration
+      SELECT s.event_type, s.name, s.i, s.bucket_ts, s.high, s.low, s.close,
+             s.atr, s.cp, s.router, s.vol, s.tl, s.tsg, s.ml, s.ms,
+             (g.allow_long = 1) AS gal, (g.allow_short = 1) AS gas,
+             g.size_mult_long AS gml, g.size_mult_short AS gms,
+             s.mr_sl_atr, s.mr_time_stop, s.mr_tp1_cp, s.tp_cp, s.tp1_frac,
+             s.mr_be_off, s.vol_filter_high, s.priority, s.cool_bars, s.cost_r
+      FROM sx4 s JOIN gate g
+        ON g.event_type = s.event_type AND g.bucket_ts = s.bucket_ts
+    ), pwalk AS (
+      SELECT event_type, name, 0 AS i, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+             0 AS st, 0 AS eng, CAST(NULL AS DOUBLE) AS entry,
+             CAST(NULL AS DOUBLE) AS sl, CAST(NULL AS DOUBLE) AS tp,
+             CAST(NULL AS DOUBLE) AS risk, CAST(0.0 AS DOUBLE) AS qty,
+             CAST(0.0 AS DOUBLE) AS racc, false AS tp1,
+             CAST(NULL AS INT) AS entry_i, CAST(NULL AS TIMESTAMP) AS entry_ts,
+             -1 AS cool,
+             CAST(NULL AS VARCHAR) AS x_reason, CAST(NULL AS DOUBLE) AS x_rr,
+             CAST(NULL AS DOUBLE) AS x_pnl, CAST(NULL AS INT) AS x_eng
+      FROM (SELECT DISTINCT event_type FROM gd) CROSS JOIN (SELECT name FROM cfg)
+      UNION ALL
+      SELECT event_type, name, i, bucket_ts,
+        CASE WHEN keep THEN st WHEN entered THEN side_new ELSE 0 END AS st,
+        CASE WHEN keep THEN eng WHEN entered THEN pick // 10 ELSE 0 END AS eng,
+        CASE WHEN keep THEN entry WHEN entered THEN close END AS entry,
+        CASE WHEN keep THEN sl1 WHEN entered THEN sl_new END AS sl,
+        CASE WHEN keep THEN tp_prev WHEN entered THEN tp_new END AS tp,
+        CASE WHEN keep THEN risk WHEN entered THEN risk_new END AS risk,
+        CASE WHEN keep THEN qty1 WHEN entered THEN szm ELSE 0.0 END AS qty,
+        CASE WHEN keep THEN racc1 ELSE 0.0 END AS racc,
+        CASE WHEN keep THEN tp1_1 ELSE false END AS tp1,
+        CASE WHEN keep THEN entry_i WHEN entered THEN i END AS entry_i,
+        CASE WHEN keep THEN entry_ts WHEN entered THEN bucket_ts END AS entry_ts,
+        cool1 AS cool,
+        x_reason, x_rr,
+        CASE WHEN exited THEN x_rr - cost_r END AS x_pnl,
+        CASE WHEN exited THEN eng END AS x_eng
+      FROM (
+      SELECT *,
+        coalesce(st0 = 0 AND i > cool1 AND pick <> 0 AND atr_ok
+                 AND szm > 0 AND risk_new > 0, false) AS entered,
+        (st0 <> 0) AS keep,
+        CASE WHEN side_new = 1 THEN close + tp_rx * risk_new
+             ELSE close - tp_rx * risk_new END AS tp_new
+      FROM (
+      SELECT *,
+        CASE WHEN pick % 10 = 1 THEN 1 ELSE -1 END AS side_new,
+        CASE WHEN pick % 10 = 1 THEN close - sl_dist ELSE close + sl_dist END AS sl_new,
+        CASE WHEN pick % 10 = 1 THEN close - (close - sl_dist)
+             ELSE (close + sl_dist) - close END AS risk_new
+      FROM (
+      SELECT *,
+        CASE WHEN pick % 10 = 1 THEN gml ELSE gms END AS szm,
+        CASE WHEN pick // 10 = 1 THEN 1.6 * atr ELSE mr_sl_atr * atr END AS sl_dist,
+        CASE WHEN pick // 10 = 1 THEN 1.8 ELSE 0.0 END AS tp_rx,
+        (atr IS NOT NULL AND atr > 0) AS atr_ok
+      FROM (
+      SELECT *,
+        CASE WHEN priority = 'MR_FIRST'
+          THEN CASE WHEN ml AND gal THEN 21 WHEN ms AND gas THEN 22
+                    WHEN tl AND gal THEN 11 WHEN tsg AND gas THEN 12 ELSE 0 END
+          ELSE CASE WHEN tl AND gal THEN 11 WHEN tsg AND gas THEN 12
+                    WHEN ml AND gal THEN 21 WHEN ms AND gas THEN 22 ELSE 0 END
+        END AS pick
+      FROM (
+      SELECT *,
+        CASE WHEN exited AND cool_bars > 0 AND x_rr < 0
+             THEN i + cool_bars ELSE cool END AS cool1
+      FROM (
+      SELECT *,
+        CASE WHEN x_reason IS NULL THEN NULL
+          WHEN eng = 2 THEN CASE x_reason
+             WHEN 'SL' THEN racc_prev + qty_prev * rsl
+             WHEN 'TP_CP' THEN racc1
+             ELSE racc1 + qty1 * rclose END
+          ELSE CASE x_reason
+             WHEN 'SL_and_TP_same_bar' THEN rsl
+             WHEN 'SL' THEN rsl
+             WHEN 'TP_TREND' THEN rtp
+             ELSE rclose END END AS x_rr,
+        (x_reason IS NOT NULL) AS exited,
+        CASE WHEN st <> 0 AND x_reason IS NULL THEN st ELSE 0 END AS st0
+      FROM (
+      SELECT *,
+        CASE WHEN st = 0 THEN NULL
+             WHEN eng = 2 THEN {range_exit}
+             ELSE {trend_exit} END AS x_reason
+      FROM (
+      SELECT *, (tp1_fires AND qty1 <= 1e-12) AS closed_tp
+      FROM (
+      SELECT *,
+        racc_prev + CASE WHEN tp1_fires THEN qx * rclose ELSE 0.0 END AS racc1,
+        qty_prev - CASE WHEN tp1_fires THEN qx ELSE 0.0 END AS qty1,
+        (tp1_prev OR tp1_fires) AS tp1_1,
+        CASE WHEN tp1_fires THEN CASE WHEN st = 1 THEN entry + risk * mr_be_off
+                                      ELSE entry - risk * mr_be_off END
+             ELSE sl_prev END AS sl1
+      FROM (
+      SELECT *,
+        (eng = 2 AND NOT sl_hit AND NOT tp1_prev AND tp1_raw) AS tp1_fires,
+        least(tp1_frac, qty_prev) AS qx
+      FROM (
+      SELECT *,
+        (st <> 0 AND ((st = 1 AND low <= sl_prev) OR (st = -1 AND high >= sl_prev))) AS sl_hit,
+        (st <> 0 AND eng = 1 AND ((st = 1 AND high >= tp_prev)
+                                  OR (st = -1 AND low <= tp_prev))) AS t_tp_hit,
+        (st <> 0 AND ((st = 1 AND cp >= mr_tp1_cp)
+                      OR (st = -1 AND cp <= (1.0 - mr_tp1_cp)))) AS tp1_raw,
+        (st <> 0 AND ((st = 1 AND cp >= tp_cp)
+                      OR (st = -1 AND cp <= (1.0 - tp_cp)))) AS tp2_raw,
+        (st <> 0 AND router <> CASE eng WHEN 1 THEN 'TREND' ELSE 'RANGE' END) AS flip_x,
+        (st <> 0 AND eng = 2 AND vol_filter_high AND vol = 'HIGH') AS volk,
+        (st <> 0 AND i - entry_i >= CASE eng WHEN 1 THEN 60 ELSE mr_time_stop END) AS time_x,
+        CASE WHEN st = 1 THEN (close - entry) / risk
+             WHEN st = -1 THEN (entry - close) / risk END AS rclose,
+        CASE WHEN st = 1 THEN (sl_prev - entry) / risk
+             WHEN st = -1 THEN (entry - sl_prev) / risk END AS rsl,
+        CASE WHEN st = 1 THEN (tp_prev - entry) / risk
+             WHEN st = -1 THEN (entry - tp_prev) / risk END AS rtp
+      FROM (
+      SELECT nb.*, w.st, w.eng, w.entry, w.sl AS sl_prev, w.tp AS tp_prev,
+             w.risk, w.qty AS qty_prev, w.racc AS racc_prev, w.tp1 AS tp1_prev,
+             w.entry_i, w.entry_ts, w.cool
+      FROM pwalk w JOIN nbx nb
+        ON nb.event_type = w.event_type AND nb.name = w.name AND nb.i = w.i + 1
+      ))))))))))))
+    ), trades AS (
+      SELECT event_type, name AS cfg,
+             CASE x_eng WHEN 1 THEN 'TREND' ELSE 'RANGE' END AS engine,
+             round(x_rr, 6) AS r_mult, round(x_pnl, 6) AS pnl_r, x_reason
+      FROM pwalk WHERE x_reason IS NOT NULL
+    )
+    SELECT event_type, cfg,
+      count(*) AS n_trades,
+      CAST(sum(CASE WHEN engine = 'TREND' THEN 1 ELSE 0 END) AS BIGINT) AS n_trend,
+      CAST(sum(CASE WHEN engine = 'RANGE' THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+      round(sum(CASE WHEN r_mult > 0 THEN 1 ELSE 0 END) / count(*), 6) AS winrate,
+      round(avg(r_mult), 6) AS avg_r,
+      round(sum(r_mult), 6) AS sum_r,
+      round(sum(pnl_r), 6) AS sum_pnl,
+      round(CASE WHEN -sum(CASE WHEN r_mult < 0 THEN r_mult ELSE 0.0 END) <= 0
+            THEN CASE WHEN sum(CASE WHEN r_mult > 0 THEN r_mult ELSE 0.0 END) > 0
+                 THEN CAST('inf' AS DOUBLE) ELSE 0.0 END
+            ELSE sum(CASE WHEN r_mult > 0 THEN r_mult ELSE 0.0 END)
+                 / (-sum(CASE WHEN r_mult < 0 THEN r_mult ELSE 0.0 END)) END, 6) AS pf,
+      round(quantile_cont(r_mult, 0.1), 6) AS r_p10,
+      round(quantile_cont(r_mult, 0.5), 6) AS r_p50,
+      round(quantile_cont(r_mult, 0.9), 6) AS r_p90,
+      round(sum(CASE WHEN x_reason IN ('SL', 'SL_and_TP_same_bar') THEN 1 ELSE 0 END)
+            / count(*), 6) AS SL_rate,
+      round(sum(CASE WHEN x_reason IN ('TP_CP', 'TP2_CP', 'TP_TREND') THEN 1 ELSE 0 END)
+            / count(*), 6) AS TP_rate,
+      round(sum(CASE WHEN x_reason IN ('FLIP_ROUTER', 'VOL_HIGH_KILL') THEN 1 ELSE 0 END)
+            / count(*), 6) AS FLIP_rate,
+      round(sum(CASE WHEN x_reason = 'TIME_STOP' THEN 1 ELSE 0 END)
+            / count(*), 6) AS TIME_rate
+    FROM trades GROUP BY 1, 2
+    """
+
+
+@register("sweep_pipeline", sql=_sweep_pipeline_sql())
+def q_sweep_pipeline(spark, sf_dir):
+    """SURVEY B1+B2+B3+A12 composed end-to-end under ONE oracle — the
+    trading-side `curation_pipeline` move (VERDICT r4 next-steps #2):
+    hourly bars → regime-case classifier (applyInPandas recursion) →
+    router gate (strict multi-TF alignment + confluence size ladder) →
+    as-of gate join → bars × 2-config grid cross → the REAL
+    ``with_signals`` column algebra (session windows, vol filters,
+    ATR-percentile cap with scale detection, 1-bar-confirmed MR setups)
+    → the REAL ``_position_loop`` kernel (both engines hot: TREND
+    price-SL/TP with same-bar SL priority; RANGE partial TP1 + BE move +
+    TP2/flip/vol-kill/time-stop; TREND_FIRST vs MR_FIRST priority,
+    gate-sized qty, 5-bar cooldown on gross loss, 0.02 R roundtrip cost)
+    → ``sweep_stats`` per (event_type, cfg). Retires the rows-only
+    status of the B3 composition: research_sweep_stats remains as the
+    unreduced synthetic-source twin. Per-trade r_mult/pnl_r are 6-dp
+    rounded BEFORE aggregation on both sides so the float sums are
+    order-stable at hash precision.
+
+    Reference: run_sweep_router_v2.py:246-736 (signals, run_bt, grid),
+    build_router_gate_from_audit_v1.py:31-115 (gate)."""
+    from pyspark.sql import Window
+
+    from binance_futures_data_lake_spark.operators.backtest import (
+        Cfg, run_sweep, sweep_stats, with_router_gate,
+    )
+    from binance_futures_data_lake_spark.operators.structure import (
+        assign_regime_cases, router_gate_from_cases,
+    )
+
+    bars = _hourly_bars(spark, sf_dir)
+    by = ["event_type"]
+    wk = Window.partitionBy(*by).orderBy("bucket_ts")
+    w14 = wk.rowsBetween(-13, 0)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(wk)),
+        F.abs(F.col("low") - F.lag("close").over(wk)),
+    )
+    feat = (
+        bars.withColumn("tr", tr)
+        .withColumn(
+            "atr14",
+            F.when(F.count("tr").over(w14) == 14, r6(F.avg("tr").over(w14))),
+        )
+        .withColumn("__lag24", F.lag("close", 24).over(wk))
+        .withColumn("__i", F.row_number().over(wk))
+        .withColumn(
+            "atr_pct_pctl_h1",
+            r6(
+                F.percent_rank().over(
+                    Window.partitionBy(*by).orderBy(
+                        F.coalesce(F.col("atr14"), F.lit(-1.0))
+                    )
+                )
+                * F.lit(100.0)
+            ),
+        )
+    )
+    atr_pos = F.col("atr14").isNotNull() & (F.col("atr14") > 0)
+    kin = feat.select(
+        "event_type",
+        F.col("bucket_ts").alias("ts"),
+        "high", "low", "close", "atr14", "atr_pct_pctl_h1",
+        F.when(F.col("high") > F.col("low"),
+               (F.col("close") - F.col("low")) / (F.col("high") - F.col("low")))
+        .otherwise(F.lit(0.5)).alias("close_pos"),
+        F.when(atr_pos, (F.col("close") - F.col("open")) / F.col("atr14"))
+        .alias("delta_norm"),
+        F.when(atr_pos, (F.col("high") - F.col("low")) / F.col("atr14"))
+        .alias("range_rel"),
+        F.when((F.col("__i") - 1).cast("long") % 180 < 90, "TREND")
+        .otherwise("RANGE").alias("router_mode_h1"),
+        F.when(F.col("__i") % 89 < 2, "NA")
+        .when(F.col("__i") % 23 < 2, "HIGH")
+        .when(F.col("__i") % 2 == 0, "MID").otherwise("LOW").alias("vol_state"),
+        F.when(F.col("__lag24").isNull(), "NA")
+        .when(F.col("close") > F.col("__lag24"), "BULL")
+        .otherwise("BEAR").alias("dir_state"),
+        F.col("__lag24").isNotNull().alias("dir_ready"),
+        F.lit(True).alias("tradable_final"),
+    )
+    # the REAL gate chain on the same grid: case walk -> gate -> as-of join
+    cases = assign_regime_cases(_dir_bars(spark, sf_dir), by, ["bucket_ts"])
+    gate = router_gate_from_cases(cases)
+    gated = with_router_gate(kin, gate, by=by, ts_col="ts", gate_ts_col="bucket_ts")
+    # grid_a: TREND_FIRST, partial TP1 (runner + BE move), vol-kill on,
+    # cooldown + cost hot. grid_b: MR_FIRST, tp1_fraction=1.0 (TP1 closes
+    # the whole position -> TP_CP path), restricted session, no vol filter.
+    cfgs = [
+        Cfg(name="grid_a", mr_sl_atr=1.8, mr_time_stop=20, mr_tp1_cp=0.55,
+            tp_cp=0.75, tp1_fraction=0.5, mr_be_offset_r=0.05, mr_d=0.05,
+            mr_rr=0.3, mr_cp_low=0.45, mr_cp_high=0.55, mr_mean_dist=0.02,
+            mr_atr_pctl_max=0.9, trend_d=0.2, trend_p=0.65, trend_rr=0.8,
+            vol_filter_high=True, priority="TREND_FIRST",
+            session_hours=",".join(str(h) for h in range(24)), minute_guard=0,
+            cooldown_after_loss=5, cost_r_per_trade=0.02),
+        Cfg(name="grid_b", mr_sl_atr=1.2, mr_time_stop=10, mr_tp1_cp=0.6,
+            tp_cp=0.8, tp1_fraction=1.0, mr_be_offset_r=0.0, mr_d=0.05,
+            mr_rr=0.3, mr_cp_low=0.45, mr_cp_high=0.55, mr_mean_dist=0.02,
+            mr_atr_pctl_max=0.8, trend_d=0.15, trend_p=0.6, trend_rr=0.7,
+            vol_filter_high=False, priority="MR_FIRST",
+            session_hours=",".join(str(h) for h in range(6, 18)),
+            minute_guard=0, cooldown_after_loss=0, cost_r_per_trade=0.0),
+    ]
+    trades = run_sweep(gated, cfgs, by=by, order=["ts"])
+    t6 = trades.withColumn("r_mult", r6(F.col("r_mult"))).withColumn(
+        "pnl_r", r6(F.col("pnl_r"))
+    )
+    stats = sweep_stats(t6, by=["event_type", "cfg"])
+    pnl = t6.groupBy("event_type", "cfg").agg(F.sum("pnl_r").alias("__sum_pnl"))
+    out = stats.join(pnl, ["event_type", "cfg"])
+    return out.select(
+        "event_type", "cfg", "n_trades", "n_trend", "n_range",
+        r6(F.col("winrate")).alias("winrate"),
+        r6(F.col("avg_r")).alias("avg_r"),
+        r6(F.col("sum_r")).alias("sum_r"),
+        r6(F.col("__sum_pnl")).alias("sum_pnl"),
+        r6(F.col("pf")).alias("pf"),
+        r6(F.col("r_p10")).alias("r_p10"),
+        r6(F.col("r_p50")).alias("r_p50"),
+        r6(F.col("r_p90")).alias("r_p90"),
+        r6(F.col("SL_rate")).alias("SL_rate"),
+        r6(F.col("TP_rate")).alias("TP_rate"),
+        r6(F.col("FLIP_rate")).alias("FLIP_rate"),
+        r6(F.col("TIME_rate")).alias("TIME_rate"),
+    )
+
+
 @register(
     "ml_confidence_keep",
     sql=_HOURLY_BARS_SQL + """
@@ -5209,12 +5657,37 @@ def q_ann_ivf_seeded_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-4 rotation. The driver re-checks the SAME 50-query prefix every
-    # round, so queries registered after round 2 never received a driver
-    # CORRECTNESS row (VERDICT r3 "What's missing" #1). Everything promoted
-    # here is oracle-backed and selfcheck-green but driver-unattested; every
-    # query demoted out of the prefix already has a green driver row in the
-    # r1/r2/r3 union (60 queries), so no driver evidence is lost by rotating.
+    # Round-5 rotation (VERDICT r4 next-steps #3): the driver checks the
+    # first-50 prefix; r4's prefix covered the 45 then-unattested promotions,
+    # so this round re-covers the 45 queries whose latest driver row is r3 —
+    # keeping the standing invariant that every oracle query has a green
+    # driver row within the last two rounds (r4 ∪ r5 = all 95) — plus the
+    # queries NEW or behavior-touched this round:
+    "sweep_pipeline",          # NEW: full MR+gates+grid composition
+    "media_audio_features",    # oracle re-derived (codepoint-based parity)
+    "streaming_doc_quality",   # result localization + cleanup rework
+    "pack_sequences_nextfit",  # output schema typing change
+    "backtest_event_kernel",   # hand-MATERIALIZED + span-anchored rewriter
+    # --- the 45 r3-era queries ---
+    "ohlcv_5m", "bucket_stats_daily", "ohlcv_1h_right_closed",
+    "lag_lead_returns", "rolling_stats", "cumsum_runmax", "vwap_daily",
+    "rolling_pctl_of_last", "true_range_atr", "asof_user_hourly",
+    "dedup_keep_last", "gap_ranges_hourly", "pricing_summary",
+    "revenue_by_nation", "top_orders", "sampled_revenue_by_nation",
+    "user_sessions", "events_pivot_daily", "funnel_click_purchase",
+    "kmv_distinct_users", "ohlcv_daily_cascade", "range_join_ship_windows",
+    "quantile_value_by_type", "doc_exact_dedup", "cosine_topk", "lang_stats",
+    "minhash_near_dup_pairs", "simhash_near_pairs", "embed_cosine_near_dup",
+    "embed_near_dup_lsh", "shingle_jaccard_pairs", "dedup_clusters",
+    "doc_quality", "doc_fingerprint", "lang_id", "ichimoku_hourly",
+    "zscore_er_slope", "k_consecutive_and_islands", "mae_mfe_hourly",
+    "ml_confidence_keep", "ann_lsh_topk", "regime_cases", "range_boxes",
+    "sticky_regime_hourly", "streaming_ohlcv_bars",
+]
+_ORACLE_TAIL = [
+    # Driver-green in r4 (CORRECTNESS_r04: rows+schema+hash, zero err) and
+    # unchanged since — demoted so the bounded prefix reaches the block
+    # above. SELFCHECK still covers these every round.
     "backtest_trend_kernel", "market_regime_pipeline", "curation_pipeline",
     "ml_lr_gd_weights", "benchmark_decontam", "domain_caps",
     "dup_spans_cross_doc", "doc_unigram_logprob", "pii_profile",
@@ -5222,32 +5695,11 @@ _FRONT = [
     "doc_repetition", "gopher_quality_flags", "cluster_split",
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
     "mixture_sample_sources", "ann_ivf_seeded_topk",
-    # r2-era oracle queries whose ONLY driver rows are r1/r2 (not re-run in
-    # r3): keep inside the prefix so the freshest code state stays attested.
     "doc_token_stats", "ema_per_user", "brand_volume", "word_jaccard_pairs",
     "simhash_values", "minhash_signatures", "rma_atr_hourly",
     "case_label_ladder", "ml_forward_labels", "top_shared_minhash_bands",
-]
-_ORACLE_TAIL = [
-    # Driver-green in r3 (CORRECTNESS_r03: rows+schema+hash, zero err) and
-    # unchanged since — demoted so the bounded prefix reaches the promoted
-    # block above. SELFCHECK still covers these every round.
     "scrub_ffill_gates", "point_lookup_neighbors", "calendar_weekly_ohlcv",
-    "structure_breaks_hourly", "ml_confidence_keep", "ann_lsh_topk",
-    "regime_cases", "range_boxes", "sticky_regime_hourly",
-    "streaming_ohlcv_bars", "ohlcv_5m", "bucket_stats_daily",
-    "ohlcv_1h_right_closed", "lag_lead_returns", "rolling_stats",
-    "cumsum_runmax", "vwap_daily", "rolling_pctl_of_last", "true_range_atr",
-    "asof_user_hourly", "dedup_keep_last", "gap_ranges_hourly",
-    "pricing_summary", "revenue_by_nation", "top_orders",
-    "sampled_revenue_by_nation", "user_sessions", "events_pivot_daily",
-    "funnel_click_purchase", "kmv_distinct_users", "ohlcv_daily_cascade",
-    "range_join_ship_windows", "quantile_value_by_type", "doc_exact_dedup",
-    "cosine_topk", "lang_stats", "minhash_near_dup_pairs",
-    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
-    "shingle_jaccard_pairs", "dedup_clusters", "doc_quality",
-    "doc_fingerprint", "lang_id", "ichimoku_hourly", "zscore_er_slope",
-    "k_consecutive_and_islands", "mae_mfe_hourly",
+    "structure_breaks_hourly",
 ]
 
 
