@@ -264,8 +264,25 @@ def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> 
         if cooldown_bars > 0 and rr < 0:
             cooldown_until = i + cooldown_bars
 
+    # Flat-span skip (vectorized): a bar can OPEN a position only where a
+    # raw signal and its gate line up, so precompute those indices once and
+    # let the scalar walk jump straight between them while flat — numpy
+    # searchsorted over the candidate index list replaces per-bar Python
+    # stepping across the no-position no-signal stretches that dominate
+    # production data (entry rejection for size/ATR/risk still happens at
+    # the candidate bar itself, identical to the per-bar walk).
+    def _bmask(a):
+        return pd.Series(a).fillna(False).to_numpy(dtype=bool)
+
+    bgal, bgas = _bmask(gal), _bmask(gas)
+    any_cand = ((_bmask(ml) | _bmask(tl)) & ALLOW_LONGS & bgal) | (
+        (_bmask(ms) | _bmask(tsg)) & ALLOW_SHORTS & bgas
+    )
+    cand_idx = np.flatnonzero(any_cand)
+
     n = len(pdf)
-    for i in range(n):
+    i = 0
+    while i < n:
         if pos is not None:
             bars = i - pos["entry_i"]
             flip = str(router[i]) != pos["router_need"]
@@ -340,11 +357,24 @@ def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> 
                     pos = None
 
         if ONE_POSITION_MAX and pos is not None:
+            i += 1
             continue
-        # a losing close at THIS bar already set cooldown_until >= i, so
-        # same-bar re-entry after a loss is blocked (:268-269 `i <=`)
-        if i <= cooldown_until:
-            continue
+        if pos is not None:
+            # holding with ONE_POSITION_MAX off: exits must be evaluated
+            # every bar, so no skip-ahead — step only past non-entry bars.
+            # A losing close at THIS bar already set cooldown_until >= i,
+            # so same-bar re-entry after a loss is blocked (:268-269 `i <=`)
+            if i <= cooldown_until or not any_cand[i]:
+                i += 1
+                continue
+        else:
+            # flat: jump to the next candidate bar at/after max(i,
+            # cooldown_until + 1) — same-bar re-entry after a non-loss
+            # close is preserved because the search starts at i itself
+            j = int(np.searchsorted(cand_idx, max(i, cooldown_until + 1)))
+            if j >= len(cand_idx):
+                break
+            i = int(cand_idx[j])
 
         cand = [
             ("RANGE", "LONG", bool(ml[i]) and ALLOW_LONGS and bool(gal[i])),
@@ -356,13 +386,16 @@ def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> 
             cand = cand[2:] + cand[:2]
         chosen = next(((e, s) for e, s, ok in cand if ok), None)
         if chosen is None:
+            i += 1
             continue
         eng, side = chosen
         size_mult = float(gml[i] if side == "LONG" else gms[i])
         if not np.isfinite(size_mult) or size_mult <= 0:
+            i += 1
             continue
         entry, a = float(close[i]), float(atr[i])
         if not np.isfinite(a) or a <= 0:
+            i += 1
             continue
         if eng == "TREND":
             sl_dist, tp_r, need = TREND_SL_ATR * a, TREND_TP_R, "TREND"
@@ -377,12 +410,14 @@ def _position_loop(pdf: pd.DataFrame, order: list[str], key_cols: list[str]) -> 
             risk = sl - entry
             tp = entry - tp_r * risk
         if risk <= 0 or not np.isfinite(risk):
+            i += 1
             continue
         pos = {
             "engine": eng, "side": side, "entry_i": i, "entry": entry,
             "sl": sl, "tp": tp, "risk": risk, "router_need": need,
             "qty": size_mult, "rr_accum": 0.0, "tp1_done": False,
         }
+        i += 1
 
     return pd.DataFrame(
         rows,

@@ -223,16 +223,20 @@ def lsh_topk(
         F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
         F.explode(_band_keys(F.col("bits"), bands, rpb)).alias("band_key"),
     )
-    cand = (
-        cband.join(F.broadcast(qband), "band_key")
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", "vec", "nrm", "q_vec", "q_nrm")
-        .dropDuplicates(["q_id", "neighbor_id"])
+    cand = cband.join(F.broadcast(qband), "band_key").filter(
+        F.col("neighbor_id") != F.col("q_id")
     )
+    # cosine BEFORE the dedup: a pair colliding in c bands is scored c
+    # times (vectorized, 64 flops each) so the dedup shuffle carries
+    # (q_id, neighbor_id, cosine) — ~24 B/row — instead of both full
+    # vectors (~1 KB/row). At probe scale the wide dedup shuffle was the
+    # stage's dominant cost (r5); duplicate scores are identical, so
+    # dropDuplicates on the narrow triple is exact.
     sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", round6(sim).alias("cosine"))
+        .dropDuplicates(["q_id", "neighbor_id"])
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cosine", "rnk")
@@ -312,11 +316,138 @@ def ivf_seeded_topk(
             top_cells_by_cosine(F.col("vec"), F.col("nrm"), centroids, nprobe)
         ).alias("cell"),
     )
+    # no dedup needed: each corpus vector lives in exactly ONE cell and a
+    # query's probed cells are distinct, so (q_id, neighbor_id) pairs are
+    # unique by construction — a dropDuplicates here would shuffle the full
+    # vector-carrying candidate rows for nothing (measured: the dominant
+    # cost of the 100k-vector probe, r5)
     cand = (
         cells.withColumnRenamed("id", "neighbor_id")
         .join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", round6(sim).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _scaled_unit(vec_col, nrm_col):
+    """Unit vector on the 1e-6 fixed-point grid as BIGINTs. Both engines do
+    the SAME double division then half-away-from-zero round, so every later
+    distance and centroid-mean is EXACT integer arithmetic — order-free,
+    which is what makes Lloyd refinement oracle-replayable (float partial
+    sums across a shuffle are not)."""
+    return F.transform(
+        vec_col, lambda x: F.round(x / nrm_col * F.lit(1_000_000.0), 0).cast("long")
+    )
+
+
+def _round_half_away_int(num: int, den: int) -> int:
+    """round(num/den) half away from zero in exact integer arithmetic
+    (den > 0) — the same formula the SQL oracle runs, so no float division
+    can diverge at a .5 boundary."""
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((-2 * num + den) // (2 * den))
+
+
+def _nearest_cells_int(svec_col, cents: list[tuple[int, list[int]]], n: int):
+    """Array of the n nearest centroid ids by EXACT integer squared-L2 on
+    the fixed-point grid (cell id tiebreak). On unit vectors L2² = 2−2·cos,
+    so this ranking is the cosine ranking — with none of its float-ordering
+    hazards. Centroids are plan literals: narrow per-row compute, no join."""
+    entries = []
+    for cid, c in cents:
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        d2 = F.aggregate(
+            F.zip_with(svec_col, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+        entries.append(F.struct(d2.alias("d"), F.lit(int(cid)).alias("cell")))
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+
+def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """DETERMINISTIC Lloyd-refined coarse quantizer: smallest-hash seed
+    cells (:func:`ivf_seed_centroids`) refined by ``iters`` k-means steps in
+    1e-6 fixed-point arithmetic — integer distances, integer-sum centroid
+    means rounded half-away-from-zero — so training is bit-identical across
+    engines, partitionings, and runs, and a SQL oracle can replay the WHOLE
+    index build (the RNG-seeded Spark-ML quantizer in
+    :func:`ivf_train_centroids` cannot). Each step is one shuffle:
+    groupBy(cell) over (count, 64 per-dim long sums); centroids collect as
+    plan literals (num_cells × dim longs, bounded by contract). A cell that
+    empties drops out on both engines identically.
+
+    Returns ``[(cell_id, scaled_long_vec), ...]`` for
+    :func:`ivf_lloyd_topk`. Reference: the IVF tier of the similarity stack
+    (SURVEY §2 similarity search); quality vs brute force is pytest-gauged
+    like the other tiers."""
+    from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    sv = base.select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
+    seeds = (
+        sv.withColumn("hv", uniform_hash(F.col("id")))
+        .orderBy("hv", "id").limit(num_cells).select("s").collect()
+    )
+    cents = [(i, [int(x) for x in r.s]) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    svc = sv.cache()  # id + 64 longs, reused ``iters`` times
+    try:
+        for _ in range(iters):
+            asg = svc.withColumn("cell", _nearest_cells_int(F.col("s"), cents, 1)[0])
+            sums = asg.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+            ).collect()
+            cents = sorted(
+                (int(r["cell"]),
+                 [_round_half_away_int(int(r[f"s{i}"]), int(r["cnt"]))
+                  for i in range(dim)])
+                for r in sums
+            )
+    finally:
+        svc.unpersist()
+    return cents
+
+
+def ivf_lloyd_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over the fixed-point Lloyd index: corpus vectors land in
+    their integer-L2-nearest cell, queries probe ``nprobe`` cells, exact
+    cosine re-ranks. Same scale shape as :func:`ivf_topk` — at 100 TB the
+    cell id is the partition key and a probe reads nprobe/num_cells of the
+    corpus via partition pruning."""
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    sb = base.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
+    cells = sb.withColumn("cell", _nearest_cells_int(F.col("s"), cents, 1)[0])
+    qb = normalized(queries, id_col, vec_col).filter(F.col("nrm") > 0)
+    q = qb.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm"))).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(_nearest_cells_int(F.col("s"), cents, nprobe)).alias("cell"),
+    )
+    # pairs are unique by construction (one cell per corpus vector,
+    # distinct probed cells per query) — see ivf_seeded_topk
+    cand = (
+        cells.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
     )
     sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -377,11 +508,12 @@ def ivf_topk(
         F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
         F.explode(_nearest_cells(F.col("vec"), centroids, nprobe)).alias("cell"),
     )
+    # pairs are unique by construction (one cell per corpus vector,
+    # distinct probed cells per query) — see ivf_seeded_topk
     cand = (
         corpus_cells.withColumnRenamed("id", "neighbor_id")
         .join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "neighbor_id"])
     )
     sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

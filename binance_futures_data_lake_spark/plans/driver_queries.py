@@ -2888,19 +2888,103 @@ def q_ann_lsh_topk(spark, sf_dir):
                     n_planes=16, bands=8)
 
 
-@register("ann_ivf_topk")  # rows-only: kmeans quantizer (RNG-seeded, not SQL-expressible)
+def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64) -> str:
+    """Oracle for the Lloyd-refined IVF index: replays seed selection and
+    every k-means step in the SAME 1e-6 fixed-point arithmetic the Spark
+    quantizer uses — integer squared-L2 assignment (cell-id tiebreak),
+    integer-sum centroid means rounded half-away-from-zero via the
+    (2·s+n)//(2·n) formula — then the final assignment, nprobe probe, and
+    exact-cosine re-rank. Exact integers make every step order-free, so the
+    index build is bit-identical across engines."""
+    d2 = "list_sum(list_transform(range(1, {d}), i -> (sv.s[i]-c.cs[i])*(sv.s[i]-c.cs[i])))".format(d=dim + 1)
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ), sv AS (
+      SELECT vec_id,
+             list_transform(vec, x -> CAST(round(x / nrm * 1000000.0, 0) AS BIGINT)) AS s
+      FROM n WHERE nrm > 0
+    ), hv AS (
+      SELECT vec_id,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               / power(2, 60) AS h
+      FROM sv
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, s AS cs
+      FROM hv JOIN sv USING (vec_id)
+      ORDER BY h, vec_id LIMIT {num_cells}
+    )"""
+    for t in range(1, iters + 1):
+        sql += f"""
+    , a{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT sv.vec_id, c.cell,
+          row_number() OVER (PARTITION BY sv.vec_id ORDER BY {d2}, c.cell) AS rk
+        FROM sv CROSS JOIN c{t - 1} c
+      ) WHERE rk = 1
+    ), m{t} AS (
+      SELECT cell, i,
+        CAST(CASE WHEN ssum >= 0 THEN (2*ssum + cnt) // (2*cnt)
+                  ELSE -((-2*ssum + cnt) // (2*cnt)) END AS BIGINT) AS cx
+      FROM (
+        SELECT a.cell, CAST(r.i AS INT) AS i,
+               SUM(sv.s[CAST(r.i AS INT)]) AS ssum, COUNT(*) AS cnt
+        FROM a{t} a JOIN sv USING (vec_id) CROSS JOIN range(1, {dim + 1}) r(i)
+        GROUP BY a.cell, r.i
+      )
+    ), c{t} AS (SELECT cell, list(cx ORDER BY i) AS cs FROM m{t} GROUP BY cell)"""
+    return sql + f"""
+    , af AS (
+      SELECT sv.vec_id, c.cell,
+        row_number() OVER (PARTITION BY sv.vec_id ORDER BY {d2}, c.cell) AS rk
+      FROM sv CROSS JOIN c{iters} c
+    ), cells AS (
+      SELECT vec_id, cell FROM af WHERE rk = 1
+    ), qprobe AS (
+      SELECT vec_id AS q_id, cell FROM af WHERE rk <= {nprobe} AND vec_id < 10
+    ), cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id AS neighbor_id
+      FROM qprobe q JOIN cells c USING (cell)
+      WHERE c.vec_id <> q.q_id
+    ), sc AS (
+      SELECT cd.q_id, cd.neighbor_id,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+      FROM cand cd
+      JOIN n a ON a.vec_id = cd.q_id
+      JOIN n b ON b.vec_id = cd.neighbor_id
+    ), rr AS (
+      SELECT q_id, neighbor_id, round(cos, 6) AS cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id) AS rnk
+      FROM sc
+    )
+    SELECT q_id, neighbor_id, cosine, rnk FROM rr WHERE rnk <= {k}
+    """
+
+
+@register("ann_ivf_topk", sql=_ivf_lloyd_sql())
 def q_ann_ivf_topk(spark, sf_dir):
-    """ANN via IVF coarse quantization: kmeans cells, nprobe-cell probe,
-    exact cosine re-rank. At scale the cell id is a partition key so a
-    probe is a partition-pruned read."""
+    """ANN via a Lloyd-REFINED IVF coarse quantizer (VERDICT r4 next-steps
+    #6 — this retires the registry's last avoidable rows-only entry):
+    smallest-hash seeds + 2 deterministic fixed-point k-means steps
+    (operators/similarity.py ivf_lloyd_centroids), integer-L2 cell
+    assignment, 3-cell probe, exact cosine re-rank. The oracle replays the
+    ENTIRE index build — seeds, both Lloyd steps, assignment, probe — in
+    SQL; recall vs brute force is pytest-gauged. The RNG-seeded Spark-ML
+    kmeans quantizer (ivf_train_centroids/ivf_assign/ivf_topk) remains the
+    library path when bit-replayability doesn't matter. At scale the cell
+    id is a partition key so a probe is a partition-pruned read."""
     from binance_futures_data_lake_spark.operators.similarity import (
-        ivf_assign, ivf_topk, ivf_train_centroids,
+        ivf_lloyd_centroids, ivf_lloyd_topk,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = ivf_train_centroids(emb, num_cells=8, seed=7)
-    cells = ivf_assign(emb, cents)
-    return ivf_topk(cells, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)
+    cents = ivf_lloyd_centroids(emb, num_cells=8, iters=2)
+    return ivf_lloyd_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                          k=5, nprobe=3)
 
 
 @register(

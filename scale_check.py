@@ -275,6 +275,103 @@ def main() -> None:
     )
     corpus.unpersist()
 
+    # ANN probe (r5, VERDICT next-steps #5): the similarity tier at probe
+    # scale — 1M x 64d clustered corpus, 100 queries, k=10. Brute force is
+    # the exact baseline AND the ground truth for the approximate tiers'
+    # recall; IVF additionally demonstrates the "cell id = partition key"
+    # claim with a wall-clock number: the corpus is written
+    # partitionBy(cell) once at index-build time and the probe reads ONLY
+    # the probed cells via partition pruning.
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+        lsh_topk,
+        _nearest_cells,
+    )
+
+    dim, n_latent, ann_k = 64, 32, 10
+    n_vecs = max(100_000, total_rows // 10)
+    block = n_vecs // n_latent
+
+    def _h01(*cols):
+        # deterministic [0,1): xxhash64 folded to a positive residue
+        return ((F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003) / 1_000_003.0
+
+    # contiguous-block cluster ids: the 100 queries (20 from each of the
+    # first 5 blocks) then probe a strict subset of the 32 cells, so the
+    # partition-pruned IVF read is visible in cells_read below
+    clus = F.floor(F.col("vec_id") / block).cast("int")
+    comps = [
+        (
+            (2.0 * _h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.35 * (2.0 * _h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    ann = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+        .cache()
+    )
+    stage("ann_synthetic_corpus", lambda: force(ann))
+    annq = ann.filter(
+        (F.col("vec_id") % block < 20) & (F.col("vec_id") < 5 * block)
+    )
+
+    bf = brute_force_topk(ann, annq, k=ann_k)
+    stage("ann_brute_topk_100q", lambda: force(bf))
+    truth = {(r.q_id, r.neighbor_id) for r in bf.collect()}
+
+    def _recall(df):
+        found = {(r.q_id, r.neighbor_id) for r in df.collect()}
+        return round(len(found & truth) / len(truth), 4)
+
+    # 64 planes / 8 bands = 8 bits per band (256 buckets): at probe scale
+    # the 2-bit bands the sf-scale demo uses flood every bucket with a
+    # quarter of the corpus — bucket capacity must grow with |corpus|
+    lsh = lsh_topk(ann, annq, dim=dim, k=ann_k, n_planes=64, bands=8)
+    stage("ann_lsh_topk_100q", lambda: force(lsh))
+    stages["ann_lsh_topk_100q"]["recall_at_10"] = _recall(lsh)
+    stages["ann_lsh_topk_100q"]["shuffle_exchanges"] = exchange_count(lsh)
+
+    aroot = tempfile.mkdtemp(prefix="bfdl_ann_ivf_")
+    try:
+        # index build: kmeans quantizer (the production path) + assign +
+        # ONE partitionBy(cell) write — the scale story's amortized cost
+        t0 = time.perf_counter()
+        cents = ivf_train_centroids(ann, num_cells=n_latent, seed=7)
+        ivf_assign(ann, cents).write.mode("overwrite").partitionBy("cell").parquet(aroot)
+        stages["ann_ivf_index_build_write"] = {
+            "sec": round(time.perf_counter() - t0, 2), "rows": n_vecs,
+        }
+
+        # probe: partition-pruned read of ONLY the probed cells
+        nprobe = 4
+        probed = sorted({
+            c
+            for r in annq.select(
+                F.explode(
+                    _nearest_cells(
+                        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                        cents, nprobe,
+                    )
+                ).alias("cell")
+            ).distinct().collect()
+            for c in [r.cell]
+        })
+        cells_df = spark.read.parquet(aroot).filter(F.col("cell").isin(probed))
+        ivf = ivf_topk(cells_df, annq, cents, k=ann_k, nprobe=nprobe)
+        stage("ann_ivf_topk_100q_pruned", lambda: force(ivf))
+        stages["ann_ivf_topk_100q_pruned"]["recall_at_10"] = _recall(ivf)
+        stages["ann_ivf_topk_100q_pruned"]["cells_read"] = f"{len(probed)}/{n_latent}"
+        stages["ann_ivf_topk_100q_pruned"]["shuffle_exchanges"] = exchange_count(ivf)
+    finally:
+        shutil.rmtree(aroot, ignore_errors=True)
+    ann.unpersist()
+
     # backtest kernel probe (r4): the full research pipeline -> 4-config
     # sweep over every symbol. Exercises bars x cfg cross, vectorized
     # signals, and the per-(symbol, cfg) applyInPandas position loop —

@@ -103,6 +103,26 @@ def test_ivf_cells_cover_corpus(spark, emb):
     assert 2 <= n_cells <= 8
 
 
+def test_ivf_lloyd_recall_and_determinism(spark, emb, truth):
+    """The deterministic fixed-point Lloyd quantizer must (a) match the
+    RNG-free quality bar of the other IVF tiers and (b) train to the SAME
+    centroids regardless of input partitioning — integer sums are
+    order-free, which is the whole point of the fixed-point grid."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids, ivf_lloyd_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = ivf_lloyd_centroids(emb, num_cells=8, iters=2)
+    cents2 = ivf_lloyd_centroids(emb.repartition(13), num_cells=8, iters=2)
+    assert cents == cents2
+    found = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_lloyd_topk(emb, q, cents, k=K, nprobe=4).collect()
+    }
+    assert _recall(found, truth) >= 0.6
+
+
 def test_hyperplanes_deterministic():
     a = hyperplanes(16, 4, seed="s")
     b = hyperplanes(16, 4, seed="s")
