@@ -220,6 +220,19 @@ TRADE_SCHEMA = T.StructType(
 )
 
 
+# every column _position_loop reads (data series + the cfg constants it
+# pulls off row 0); run_sweep prunes its shuffle/Arrow payload to these
+_KERNEL_COLS = [
+    "ts", "high", "low", "close", "atr14", "close_pos", "router_mode_h1",
+    "vol_state", "trend_long_signal", "trend_short_signal",
+    "mr_long_signal", "mr_short_signal", "gate_allow_long",
+    "gate_allow_short", "gate_size_mult_long", "gate_size_mult_short",
+    "name", "priority", "vol_filter_high", "mr_sl_atr", "mr_tp1_cp",
+    "mr_be_offset_r", "tp_cp", "tp1_fraction", "mr_time_stop",
+    "cooldown_after_loss", "cost_r_per_trade",
+]
+
+
 def _r_mult(side: str, entry: float, exit_p: float, risk: float) -> float:
     if risk <= 0 or not np.isfinite(risk):
         return 0.0
@@ -465,8 +478,15 @@ def run_sweep(
             trades.insert(i, c, key[i])
         return trades
 
+    # ship ONLY what the kernel reads through the (key, cfg) shuffle and
+    # the Arrow boundary: with_signals' intermediates (delta_norm,
+    # range_rel, dir_state, session_hours, ...) are consumed by the mask
+    # algebra and dead past this point — ~45 → ~28 columns of shuffle
+    # write + Arrow transfer on the bars×cfg frame
+    keep = list(dict.fromkeys([*by, *order, "name", *_KERNEL_COLS]))
     return (
-        sig.repartition(*by, "name")
+        sig.select(*keep)
+        .repartition(*by, "name")
         .groupBy(*by, "name")
         .applyInPandas(kernel, schema=out_schema)
     )

@@ -431,6 +431,7 @@ def incremental_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     existing_sig: DataFrame | None = None,
+    exact_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Snapshot-vs-corpus dedup — the daily-ingest pattern: classify every
     NEW document against the EXISTING corpus without ever re-pairing the
@@ -461,11 +462,18 @@ def incremental_dedup(
     still verifies new-text-vs-existing-text, not against itself.
     """
     ids = (F.col(id_col).alias("doc_id"),)
-    exact_tbl = (
-        existing.select(F.md5(F.col(text_col)).alias("__th"), *ids)
-        .groupBy("__th")
-        .agg(F.min("doc_id").alias("exact_id"))
-    )
+    if exact_tbl is not None:
+        # persisted index contract: (text_md5, exact_id), upsert-grown
+        # per ingest like existing_sig — no corpus re-hash per call
+        exact_tbl = exact_tbl.select(
+            F.col("text_md5").alias("__th"), "exact_id"
+        )
+    else:
+        exact_tbl = (
+            existing.select(F.md5(F.col(text_col)).alias("__th"), *ids)
+            .groupBy("__th")
+            .agg(F.min("doc_id").alias("exact_id"))
+        )
     base = new.select(*ids, F.md5(F.col(text_col)).alias("__th")).join(
         exact_tbl, "__th", "left"
     ).select("doc_id", "exact_id")
@@ -494,8 +502,14 @@ def incremental_dedup(
             shingles_of_tokens(words(F.col(text_col)), shingle_n).alias(f"sh_{alias}"),
         )
 
+    # shingle only the existing docs that actually collided: a semi-join
+    # prefilter keeps the verify pass O(candidates), not O(corpus) — the
+    # per-ingest contract when `existing` is the full corpus store
+    existing_cand = existing.join(
+        cand.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
     joined = cand.join(_shingle_frame(new, "doc_a"), "doc_a").join(
-        _shingle_frame(existing, "doc_b"), "doc_b"
+        _shingle_frame(existing_cand, "doc_b"), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_doc_a", "sh_doc_b"))
     union_sz = F.size(F.array_union("sh_doc_a", "sh_doc_b"))

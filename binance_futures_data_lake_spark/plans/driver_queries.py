@@ -3406,6 +3406,203 @@ def q_streaming_doc_quality(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _incr_dedup_layer_sql(c: int, e: str, n: str) -> str:
+    """One ingest layer of the streaming-incremental-dedup oracle: the
+    within-batch min-id-per-md5 representative rule, the exact md5 join
+    against the index of ``e`` (base ∪ kept-so-far — exactly the
+    persisted exact index's content), the MinHash band join, and the
+    candidate-only Jaccard verify — the same block as the
+    ``incremental_corpus_dedup`` oracle, suffixed per layer."""
+    return f"""
+    , ex{c} AS (SELECT md5(text) AS th, min(doc_id) AS exact_id FROM {e} GROUP BY 1)
+    , nr{c} AS (
+      SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM {n}
+    )
+    , reps{c} AS (SELECT doc_id, text FROM nr{c} WHERE doc_id = rep)
+    , base{c} AS (
+      SELECT r.doc_id, ex{c}.exact_id
+      FROM (SELECT doc_id, md5(text) AS th FROM reps{c}) r
+      LEFT JOIN ex{c} USING (th)
+    )
+    , she{c} AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM {e})
+    , shn{c} AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM reps{c})
+    , hxe{c} AS (
+      SELECT doc_id, j AS h,
+             ((2*j + 1) * ('0x' || substring(md5(s), 1, 8))::BIGINT
+              + 12345*j + 1) % 4294967311 AS hv
+      FROM she{c}, generate_series(0, 15) g(j)
+    )
+    , hxn{c} AS (
+      SELECT doc_id, j AS h,
+             ((2*j + 1) * ('0x' || substring(md5(s), 1, 8))::BIGINT
+              + 12345*j + 1) % 4294967311 AS hv
+      FROM shn{c}, generate_series(0, 15) g(j)
+    )
+    , bke{c} AS (
+      SELECT doc_id, h // 2 AS band,
+             string_agg(h || ':' || minhash, ',' ORDER BY h) AS key
+      FROM (SELECT doc_id, h, min(hv) AS minhash FROM hxe{c} GROUP BY 1, 2)
+      GROUP BY 1, 2
+    )
+    , bkn{c} AS (
+      SELECT doc_id, h // 2 AS band,
+             string_agg(h || ':' || minhash, ',' ORDER BY h) AS key
+      FROM (SELECT doc_id, h, min(hv) AS minhash FROM hxn{c} GROUP BY 1, 2)
+      GROUP BY 1, 2
+    )
+    , cand{c} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bkn{c} a JOIN bke{c} b ON a.band = b.band AND a.key = b.key
+    )
+    , sle{c} AS (SELECT doc_id, {_SHINGLES} AS shl FROM {e})
+    , sln{c} AS (SELECT doc_id, {_SHINGLES} AS shl FROM reps{c})
+    , verified{c} AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shl, b.shl)) * 1.0
+               / len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+      FROM cand{c} c JOIN sln{c} a ON a.doc_id = c.doc_a
+                     JOIN sle{c} b ON b.doc_id = c.doc_b
+    )
+    , nbest{c} AS (
+      SELECT doc_a, min(doc_b) AS near_id,
+             round(arg_min(jac, doc_b), 6) AS near_jaccard
+      FROM verified{c} WHERE jac >= 0.5 GROUP BY 1
+    )
+    , repdec{c} AS (
+      SELECT b.doc_id,
+             CASE WHEN b.exact_id IS NOT NULL THEN 'exact_dup'
+                  WHEN nb.near_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'kept' END AS status,
+             coalesce(b.exact_id, nb.near_id) AS match_id,
+             CASE WHEN b.exact_id IS NULL THEN nb.near_jaccard END AS jaccard
+      FROM base{c} b LEFT JOIN nbest{c} nb ON b.doc_id = nb.doc_a
+    )
+    , windec{c} AS (
+      SELECT nr.doc_id, 'exact_dup' AS status,
+             CASE WHEN rd.status = 'exact_dup' THEN rd.match_id
+                  ELSE nr.rep END AS match_id,
+             CAST(NULL AS DOUBLE) AS jaccard
+      FROM nr{c} nr JOIN repdec{c} rd ON rd.doc_id = nr.rep
+      WHERE nr.doc_id <> nr.rep
+    )
+    , dec{c} AS (
+      SELECT CAST({c} AS INT) AS batch, doc_id, status, match_id, jaccard
+      FROM repdec{c}
+      UNION ALL
+      SELECT CAST({c} AS INT), doc_id, status, match_id, jaccard
+      FROM windec{c}
+    )"""
+
+
+def _streaming_incr_dedup_sql() -> str:
+    """Batch replay of the 3-drop streaming ingest: layer c classifies
+    chunk c against e{{c}} = base ∪ kept reps of earlier layers — the
+    exact content of the persisted state the stream's batch c reads."""
+    sql = """
+    WITH e0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    n0 AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 = 0 AND (doc_id // 5) % 3 = 0),
+    n1 AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 = 0 AND (doc_id // 5) % 3 = 1),
+    n2 AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 = 0 AND (doc_id // 5) % 3 = 2
+           UNION ALL
+           SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 = 0 AND (doc_id // 5) % 6 = 0)"""
+    for c in range(3):
+        sql += _incr_dedup_layer_sql(c, f"e{c}", f"n{c}")
+        if c < 2:
+            sql += f"""
+    , e{c + 1} AS (
+      SELECT doc_id, text FROM e{c}
+      UNION ALL
+      SELECT r.doc_id, r.text
+      FROM reps{c} r JOIN repdec{c} d ON d.doc_id = r.doc_id
+      WHERE d.status = 'kept'
+    )"""
+    return sql + """
+    SELECT batch, doc_id, status, match_id, jaccard FROM dec0
+    UNION ALL SELECT batch, doc_id, status, match_id, jaccard FROM dec1
+    UNION ALL SELECT batch, doc_id, status, match_id, jaccard FROM dec2
+    """
+
+
+@register(
+    "streaming_incremental_dedup",
+    cache_plan=False,  # runs a stream + temp state dirs per call
+    sql=_streaming_incr_dedup_sql(),
+)
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """Streaming incremental dedup — §2.10 composed with the LLM-dedup
+    family's daily-ingest classifier against PERSISTED, GROWING state:
+    three staged crawl drops stream through ``maxFilesPerTrigger=1``
+    micro-batches; each batch is classified (exact md5 / MinHash-band
+    near-dup / kept) against the on-disk text store + signature index +
+    exact index, and its kept docs are upserted into all three BEFORE
+    the next batch runs. Drop 2 re-delivers half of drop 0's docs, so
+    the hash fails unless batch-0 state actually reached batch 2 (a
+    kept doc re-classifies as exact_dup OF ITSELF). The oracle replays
+    the three layers against base ∪ kept-so-far — the exact state
+    content (streaming/pipeline.py run_incremental_dedup_stream)."""
+    import os
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        init_dedup_state,
+        run_incremental_dedup_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bfdl_incrdedup_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("doc_id") * F.lit(60_000_000)
+            ).alias("ts"),
+            "text", "lang", "source",
+        )
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        chunk_of = F.expr("(doc_id div 5) % 3")
+        redeliver = F.expr("(doc_id div 5) % 6") == 0
+        import glob
+
+        for i in range(3):
+            chunk = new.filter(chunk_of == i)
+            if i == 2:  # re-deliver half of drop 0 against the GROWN index
+                chunk = chunk.unionByName(new.filter(redeliver))
+            stage = os.path.join(work, f"stage-{i}")
+            chunk.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"chunk-{i}.parquet")
+            shutil.move(part, dst)
+            # file-source batches follow modification time; pin the order
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        state = os.path.join(work, "state")
+        init_dedup_state(docs.filter(F.col("doc_id") % 5 != 0), state)
+        out_root = os.path.join(work, "out")
+        q = run_incremental_dedup_stream(
+            spark, src, state, out_root, os.path.join(work, "ckpt"),
+            threshold=0.5, num_hashes=16, bands=8, shingle_n=3,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("incremental dedup stream did not finish in 600 s")
+        out = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_root)
+            .select("batch", "doc_id", "status", "match_id", "jaccard")
+        )
+        rows = out.collect()  # bounded: one row per delivered doc instance
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "bpe_token_stats",
     # Both engines run the SAME regex language (no lookarounds, no

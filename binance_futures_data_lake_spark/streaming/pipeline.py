@@ -368,3 +368,186 @@ def run_doc_quality_ingest(
         .start()
     )
     return q
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup: a document stream classified against a
+# PERSISTED, GROWING dedup state — the production daily-crawl-ingest
+# pattern (each micro-batch ≙ one crawl drop), composing §2.10 streaming
+# with the LLM-dedup family's incremental snapshot classifier.
+# ---------------------------------------------------------------------------
+
+
+def _read_state(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.option("recursiveFileLookup", "true").parquet(root)
+
+
+def init_dedup_state(
+    corpus: DataFrame,
+    state_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Seed the persistent dedup state from the existing corpus: the text
+    store (kept docs — near-dup verification reads only band-collided
+    ids from it via a semi-join), the long-format MinHash signature
+    index, and the exact md5 index. Each lives under
+    ``state_root/{corpus,sig,exact}/b-base``; ingest batches add
+    batch-addressed siblings, so state reads are a recursive parquet
+    scan and every write is an idempotent fixed-path overwrite."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        minhash_signatures,
+    )
+
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    base.write.mode("overwrite").parquet(os.path.join(state_root, "corpus", "b-base"))
+    minhash_signatures(base, "text", "doc_id", num_hashes, shingle_n).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_root, "sig", "b-base"))
+    base.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("exact_id")
+    ).write.mode("overwrite").parquet(os.path.join(state_root, "exact", "b-base"))
+
+
+def incremental_dedup_sink(
+    state_root: str,
+    out_root: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """foreachBatch sink for :func:`run_incremental_dedup_stream`.
+
+    Per micro-batch (processed serially by the stream engine, so state
+    written by batch N is visible to batch N+1):
+
+    1. collapse at-least-once redelivery within the batch
+       (``dropDuplicates(doc_id)``);
+    2. within-batch EXACT rule: the min-id doc per md5(text) is the
+       batch representative; the others are ``exact_dup`` matching the
+       rep's own match when the rep is an exact dup, else the rep id.
+       (Within-batch NEAR resolution is deliberately deferred to the
+       periodic in-corpus pair run — the daily-snapshot discipline:
+       classify-new-vs-corpus per ingest, full pair generation at
+       compaction.)
+    3. classify the representatives against the persisted state with
+       :func:`~...textdedup.incremental_dedup` — md5 join against the
+       exact index, MinHash band join against the signature index,
+       Jaccard verify against band-collided corpus-store docs only;
+    4. append the ``kept`` reps to all three state stores and write the
+       batch's decision rows — every write an overwrite of a
+       batch-addressed path, so a replayed micro-batch (restart before
+       checkpoint commit) re-writes identical files: exactly-once
+       downstream from an at-least-once trigger.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        incremental_dedup,
+        minhash_signatures,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        b = batch_df.dropDuplicates(["doc_id"]).select("doc_id", "text")
+        w = Window.partitionBy(F.md5("text"))
+        b = b.withColumn("__rep", F.min("doc_id").over(w)).cache()
+        reps = b.filter(F.col("doc_id") == F.col("__rep")).select("doc_id", "text")
+
+        corpus = _read_state(spark, os.path.join(state_root, "corpus"))
+        sig = _read_state(spark, os.path.join(state_root, "sig"))
+        exact = _read_state(spark, os.path.join(state_root, "exact"))
+
+        dec = incremental_dedup(
+            corpus, reps, threshold=threshold, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n, existing_sig=sig,
+            exact_tbl=exact,
+        ).cache()
+
+        rep_match = dec.select(
+            F.col("doc_id").alias("__rep"),
+            F.col("status").alias("__rep_status"),
+            F.col("match_id").alias("__rep_match"),
+        )
+        within = (
+            b.filter(F.col("doc_id") != F.col("__rep"))
+            .join(rep_match, "__rep")
+            .select(
+                "doc_id",
+                F.lit("exact_dup").alias("status"),
+                F.when(
+                    F.col("__rep_status") == "exact_dup", F.col("__rep_match")
+                ).otherwise(F.col("__rep")).alias("match_id"),
+                F.lit(None).cast("double").alias("jaccard"),
+            )
+        )
+        decisions = (
+            dec.select("doc_id", "status", "match_id", "jaccard")
+            .unionByName(within)
+            .withColumn("batch", F.lit(int(batch_id)))
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"b-{batch_id:05d}")
+        )
+
+        kept = reps.join(
+            dec.filter(F.col("status") == "kept").select("doc_id"), "doc_id",
+            "left_semi",
+        )
+        tag = f"b-{batch_id:05d}"
+        kept.write.mode("overwrite").parquet(
+            os.path.join(state_root, "corpus", tag)
+        )
+        minhash_signatures(kept, "text", "doc_id", num_hashes, shingle_n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_root, "sig", tag))
+        kept.select(
+            F.md5("text").alias("text_md5"), F.col("doc_id").alias("exact_id")
+        ).write.mode("overwrite").parquet(os.path.join(state_root, "exact", tag))
+        dec.unpersist()
+        b.unpersist()
+
+    return _sink
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    state_root: str,
+    out_root: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_files_per_trigger: int | None = 1,
+):
+    """Document file stream → per-batch incremental dedup against the
+    persisted index (see :func:`incremental_dedup_sink`), availableNow
+    trigger. ``maxFilesPerTrigger=1`` makes each staged crawl drop its
+    own micro-batch, so cross-drop redelivery exercises the GROWN index
+    — the state written by batch N decides batch N+1."""
+    docs = stream_docs(spark, source_path, max_files_per_trigger)
+    q = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(
+            incremental_dedup_sink(
+                state_root, out_root, threshold, num_hashes, bands, shingle_n
+            )
+        )
+        .start()
+    )
+    return q

@@ -270,3 +270,71 @@ def test_doc_quality_stream_dedups_and_matches_batch(spark, tmp_path):
         if r.bucket_ts + dt.timedelta(hours=1) <= wm - dt.timedelta(minutes=30)
     }
     assert got == want
+
+
+def test_incremental_dedup_stream_state_and_restart(spark, tmp_path):
+    """Cross-batch state growth + restart idempotency for the streaming
+    incremental dedup: a doc KEPT in drop 0 and re-delivered in drop 1
+    must classify exact_dup OF ITSELF (only possible if drop 0's index
+    upsert reached drop 1), and re-running the finished stream against
+    the same checkpoint must not duplicate or change decisions."""
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        init_dedup_state,
+        run_incremental_dedup_stream,
+    )
+
+    base_ts = pd.Timestamp("2024-01-01").tz_localize("UTC")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six seven",
+            ],
+        })
+    )
+    state = str(tmp_path / "state")
+    init_dedup_state(corpus, state)
+
+    def drop(i, rows):
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        df["ts"] = base_ts
+        df["lang"], df["source"] = "en", "t"
+        p = tmp_path / f"chunk-{i}.parquet"
+        df[["doc_id", "ts", "text", "lang", "source"]].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    src = tmp_path
+    drop(0, [
+        (10, "totally novel content with many fresh words here"),   # kept
+        (11, "alpha beta gamma delta epsilon zeta"),                # exact of base 1
+        (12, "one two three four five six EIGHT"),                  # near of base 2
+        (13, "totally novel content with many fresh words here"),   # within-batch exact of 10
+    ])
+    drop(1, [
+        (10, "totally novel content with many fresh words here"),   # redelivered: exact of ITSELF
+        (20, "entirely different payload nothing shared at all"),   # kept
+    ])
+
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second run = restart against committed checkpoint
+        q = run_incremental_dedup_stream(
+            spark, str(src), state, out_root, ckpt, threshold=0.5,
+        )
+        assert q.awaitTermination(300)
+    got = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_root)
+        .toPandas().set_index(["batch", "doc_id"]).sort_index()
+    )
+    assert len(got) == 6  # no duplication across the restart
+    assert got.loc[(0, 10), "status"] == "kept"
+    assert got.loc[(0, 11), "status"] == "exact_dup"
+    assert got.loc[(0, 11), "match_id"] == 1
+    assert got.loc[(0, 12), "status"] == "near_dup"
+    assert got.loc[(0, 12), "match_id"] == 2
+    assert got.loc[(0, 13), "status"] == "exact_dup"
+    assert got.loc[(0, 13), "match_id"] == 10  # within-batch rep
+    assert got.loc[(1, 10), "status"] == "exact_dup"
+    assert got.loc[(1, 10), "match_id"] == 10  # the GROWN index: itself
+    assert got.loc[(1, 20), "status"] == "kept"
