@@ -251,6 +251,37 @@ def pattern_profile(
     )
 
 
+def pii_redact(
+    docs: DataFrame,
+    patterns: dict[str, str] | None = None,
+    text_col: str = "text",
+    out_col: str = "redacted_text",
+) -> DataFrame:
+    """Actionable PII scrubbing — the redaction half of the compliance
+    story (:func:`pattern_profile` is the audit half): every match of
+    each named pattern is replaced with its ``[NAME]`` placeholder,
+    patterns applied SEQUENTIALLY in dict order, with the per-stage
+    match count recorded as ``n_<name>`` (counted on the text as it
+    stands at that stage, which is exactly what the sequential replace
+    removes — so counts and rebuilt text are one consistent story).
+
+    Pure columnar ``regexp_extract_all`` + ``regexp_replace`` — JVM-side
+    codegen, no shuffle, map-only at any scale. The RE2-safe pattern
+    subset (:data:`PII_PATTERNS`) and the bracketed uppercase
+    placeholders (which no pattern can re-match) make the rebuilt text
+    byte-identical across engines, so the whole transform is
+    oracle-checkable."""
+    pats = patterns or PII_PATTERNS
+    out = docs
+    cur = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        )
+        cur = F.regexp_replace(cur, pat, f"[{name.upper()}]")
+    return out.withColumn(out_col, cur)
+
+
 # GPT-2-shaped pre-tokenizer pattern, restricted to constructs with
 # IDENTICAL semantics in java.util.regex (Spark) and RE2 (DuckDB): no
 # lookarounds (RE2 has none — the original GPT-2 pattern's `(?!\S)` is

@@ -5240,6 +5240,84 @@ def q_pii_profile(spark, sf_dir):
     return pattern_profile(docs, pats, by=("lang", "source"))
 
 
+@register(
+    "pii_redact_docs",
+    # The same planted-PII augmentation on both sides, then the same
+    # sequential redaction: counts AND the rebuilt text hash-match, so
+    # any divergence in regex semantics or replace order fails loudly.
+    sql=r"""
+    WITH aug AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+                THEN ' ref 99' || doc_id || '0012345 on file' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' see https://data.example.org/d/' || doc_id ELSE '' END
+        AS text
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_email,
+        len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%?=&-]+')) AS n_url,
+        regexp_replace(text, 'https?://[A-Za-z0-9./_%?=&-]+', '[URL]', 'g') AS text
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_email, n_url,
+        len(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_digits,
+        regexp_replace(text, '[0-9]{7,}', '[LONG_DIGITS]', 'g') AS text
+      FROM s2
+    )
+    SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_url AS INT) AS n_url,
+           CAST(n_long_digits AS INT) AS n_long_digits, text AS redacted_text
+    FROM s3
+    """,
+)
+def q_pii_redact_docs(spark, sf_dir):
+    """Actionable PII redaction (the scrubbing half of the compliance
+    story — `pii_profile` audits, this REWRITES): the corpus is
+    deterministically augmented with planted email/account-number/url
+    PII (the synthetic corpus is clean, which would make an unplanted
+    redaction hash trivially pass), then every match is replaced with
+    its [NAME] placeholder via sequential columnar regexp_replace with
+    per-stage counts (operators/text.py pii_redact). Map-only at any
+    scale; the oracle rebuilds the redacted text itself."""
+    from binance_futures_data_lake_spark.operators.text import pii_redact
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" ref 99"), F.col("doc_id").cast("string"),
+                         F.lit("0012345 on file")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" see https://data.example.org/d/"),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(aug).select(
+        "doc_id", "n_email", "n_url", "n_long_digits", "redacted_text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filter/featurize stage (operators/textquality.py): repetition metrics,
 # Gopher-rule flags, TF-IDF salience, chunking, leakage-free splits

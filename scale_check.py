@@ -368,6 +368,19 @@ def main() -> None:
         stages["ann_ivf_topk_100q_pruned"]["recall_at_10"] = _recall(ivf)
         stages["ann_ivf_topk_100q_pruned"]["cells_read"] = f"{len(probed)}/{n_latent}"
         stages["ann_ivf_topk_100q_pruned"]["shuffle_exchanges"] = exchange_count(ivf)
+
+        # composition: partition-pruned READ + brute GEMM rerank over the
+        # union of probed cells — I/O bounded by nprobe/cells like the
+        # join-based probe, CPU at BLAS speed like the brute tier (recall
+        # can only exceed the per-query probe: every query scores against
+        # the probed-cell union)
+        gemm = brute_force_topk(
+            cells_df.select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding")),
+            annq, k=ann_k,
+        )
+        stage("ann_ivf_pruned_gemm_100q", lambda: force(gemm))
+        stages["ann_ivf_pruned_gemm_100q"]["recall_at_10"] = _recall(gemm)
+        stages["ann_ivf_pruned_gemm_100q"]["cells_read"] = f"{len(probed)}/{n_latent}"
     finally:
         shutil.rmtree(aroot, ignore_errors=True)
     ann.unpersist()

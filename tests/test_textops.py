@@ -425,3 +425,32 @@ def test_incremental_dedup_id_collision_across_sides(spark):
     assert {k: (v.status, v.match_id, v.jaccard) for k, v in out.items()} == {
         k: (v.status, v.match_id, v.jaccard) for k, v in out2.items()
     }
+
+
+def test_pii_redact_planted(spark):
+    """Redaction removes every planted PII shape, leaves clean text
+    byte-identical, and the per-stage counts agree with the audit."""
+    from binance_futures_data_lake_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or bob@ex.io today"),
+            (2, "see https://example.com/a/b?q=1 for info; ref 12345678901"),
+            (3, "a clean short doc with no sensitive content at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["n_email"] == 2
+    assert out[1]["redacted_text"] == "contact [EMAIL] or [EMAIL] today"
+    assert out[2]["n_url"] == 1 and out[2]["n_long_digits"] == 1
+    assert out[2]["redacted_text"] == "see [URL] for info; ref [LONG_DIGITS]"
+    assert out[3]["redacted_text"] == out[3]["text"]
+    # redaction is idempotent: placeholders never re-match any pattern
+    again = pii_redact(
+        spark.createDataFrame(
+            [(1, out[1]["redacted_text"])], "doc_id int, text string"
+        )
+    ).collect()[0]
+    assert again["redacted_text"] == out[1]["redacted_text"]
+    assert again["n_email"] == again["n_url"] == again["n_long_digits"] == 0
