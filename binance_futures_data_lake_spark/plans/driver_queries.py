@@ -2888,7 +2888,11 @@ def q_ann_lsh_topk(spark, sf_dir):
                     n_planes=16, bands=8)
 
 
-def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64) -> str:
+def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64,
+                   pre="",
+                   src=("SELECT vec_id, list_transform(embedding, "
+                        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings"),
+                   q_pred="vec_id < 10") -> str:
     """Oracle for the Lloyd-refined IVF index: replays seed selection and
     every k-means step in the SAME 1e-6 fixed-point arithmetic the Spark
     quantizer uses — integer squared-L2 assignment (cell-id tiebreak),
@@ -2898,9 +2902,8 @@ def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64) -> str:
     index build is bit-identical across engines."""
     d2 = "list_sum(list_transform(range(1, {d}), i -> (sv.s[i]-c.cs[i])*(sv.s[i]-c.cs[i])))".format(d=dim + 1)
     sql = f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      FROM embeddings
+    WITH {pre}v AS (
+      {src}
     ), n AS (
       SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
     ), sv AS (
@@ -2944,7 +2947,7 @@ def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64) -> str:
     ), cells AS (
       SELECT vec_id, cell FROM af WHERE rk = 1
     ), qprobe AS (
-      SELECT vec_id AS q_id, cell FROM af WHERE rk <= {nprobe} AND vec_id < 10
+      SELECT vec_id AS q_id, cell FROM af WHERE rk <= {nprobe} AND ({q_pred})
     ), cand AS (
       SELECT DISTINCT q.q_id, c.vec_id AS neighbor_id
       FROM qprobe q JOIN cells c USING (cell)
@@ -2985,6 +2988,104 @@ def q_ann_ivf_topk(spark, sf_dir):
     cents = ivf_lloyd_centroids(emb, num_cells=8, iters=2)
     return ivf_lloyd_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
                           k=5, nprobe=3)
+
+
+_RETRIEVAL_PRE = r"""chd AS (
+      SELECT doc_id, text, length(text) AS doc_chars
+      FROM documents WHERE length(text) > 0
+    ), chs AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               (CASE WHEN doc_chars <= 200 THEN 1
+                     ELSE CAST(ceil((doc_chars - 200) / 150.0) AS INT) + 1 END - 1) * 150,
+               150)) AS start
+      FROM chd
+    ), chk AS (
+      SELECT doc_id * 1000 + (start // 150) AS vec_id,
+             substring(text, start + 1, 200) AS chunk_text
+      FROM chs
+    ), tk AS (
+      SELECT vec_id,
+             list_transform(
+               list_filter(string_split_regex(lower(chunk_text), '\s+'),
+                           x -> x <> ''),
+               t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS ht
+      FROM chk
+    ), """
+
+_RETRIEVAL_SRC = """SELECT vec_id,
+             list_transform(generate_series(0, 15), j ->
+               CAST(list_sum(list_transform(ht,
+                 h -> (h * (2*j + 1) + j) % 1001 - 500)) AS DOUBLE) / len(ht))
+               AS vec
+      FROM tk WHERE len(ht) > 0"""
+
+
+@register(
+    "retrieval_pipeline",
+    # chunk → embed → train quantizer → assign → probe → re-rank, ONE
+    # hash: the oracle replays the chunking, the integer-accumulated
+    # embedding, BOTH fixed-point Lloyd steps, the final assignment, the
+    # probe, and the exact-cosine top-k.
+    sql=_ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=16,
+                       pre=_RETRIEVAL_PRE, src=_RETRIEVAL_SRC,
+                       q_pred="vec_id % 1000 = 0 AND vec_id < 5000"),
+)
+def q_retrieval_pipeline(spark, sf_dir):
+    """End-to-end retrieval (RAG-shape) pipeline under ONE oracle — the
+    LLM-side composition capstone, the `curation_pipeline` move applied
+    to similarity search: overlapping 200/150 char chunking (the
+    attested `doc_chunks` op) → deterministic 16-d chunk embeddings
+    (per-token md5 hashes, integer-accumulated per dimension so the sum
+    is order-free, ONE double division at the end) → fixed-point Lloyd
+    IVF index build (`ivf_lloyd_centroids`, bit-identical across
+    engines) → each doc's first chunk for docs 0-4 queries the index
+    (3-cell probe, exact-cosine re-rank). Every stage is the production
+    operator; nothing is re-derived for the oracle's benefit. Map-only
+    until the (tiny) centroid aggs; the probe shape is the
+    partition-pruned IVF read at scale (PLANS.md ANN table)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids, ivf_lloyd_topk,
+    )
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        token_hash, words,
+    )
+    from binance_futures_data_lake_spark.operators.textquality import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    ch = chunk_documents(docs, chunk_chars=200, stride=150)
+    base = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("vec_id"),
+        F.transform(words(F.col("chunk_text")), token_hash).alias("ht"),
+    ).filter(F.size("ht") > 0)
+    def _dim_term(j):
+        # single-arg lambda on purpose: a 2-arg transform lambda would
+        # receive (element, array_index) and shadow j
+        return lambda h: (h * (2 * j + 1) + j) % 1001 - 500
+
+    comps = [
+        F.aggregate(
+            F.transform(F.col("ht"), _dim_term(j)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ) / F.size("ht")
+        for j in range(16)
+    ]
+    # materialize the embedding stage: Catalyst collapses projections, so
+    # without a barrier every downstream reference (8 per-cell distance
+    # entries in _nearest_cells_int, the scaled-unit transform, the exact
+    # re-rank) re-inlines the 16-aggregate-over-md5 expression tree —
+    # measured 143 s vs 9 s at sf0.01. A real pipeline persists the
+    # embedding table anyway; localCheckpoint is the in-session stand-in
+    # (distributed, no driver collect).
+    emb = base.select("vec_id", F.array(*comps).alias("embedding")).localCheckpoint()
+    cents = ivf_lloyd_centroids(emb, num_cells=8, iters=2,
+                                id_col="vec_id", vec_col="embedding")
+    q = emb.filter((F.col("vec_id") % 1000 == 0) & (F.col("vec_id") < 5000))
+    return ivf_lloyd_topk(emb, q, cents, k=5, nprobe=3,
+                          id_col="vec_id", vec_col="embedding")
 
 
 @register(
