@@ -77,6 +77,7 @@ LLM_PIPELINE = [
     "media_audio_features",
     "bpe_token_stats",
     "incremental_corpus_dedup",
+    "pii_redact_docs",
 ]
 
 

@@ -28,6 +28,20 @@ def load_module(path: str, name: str):
     return mod
 
 
+def ensure_old_kernel(path: str) -> str:
+    """Extract the committed kernel from git HEAD if the caller didn't."""
+    if not os.path.exists(path):
+        import subprocess
+
+        src = subprocess.check_output(
+            ["git", "-C", REPO, "show",
+             "HEAD:binance_futures_data_lake_spark/operators/backtest.py"],
+        )
+        with open(path, "wb") as fh:
+            fh.write(src)
+    return path
+
+
 def main() -> int:
     import pandas as pd
     from pyspark.sql import functions as F
@@ -45,7 +59,7 @@ def main() -> int:
     from binance_futures_data_lake_spark.session import get_spark
     from binance_futures_data_lake_spark.sources.synthetic import synthetic_klines_m1
 
-    OLD = load_module(old_path, "bfdl_old_backtest")
+    OLD = load_module(ensure_old_kernel(old_path), "bfdl_old_backtest")
 
     n_symbols = 20
     # the 4M-row signal frame collects to the driver by design (the kernels
