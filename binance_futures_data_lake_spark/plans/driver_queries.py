@@ -6122,7 +6122,11 @@ _FRONT = [
     # so this round re-covers the 45 queries whose latest driver row is r3 —
     # keeping the standing invariant that every oracle query has a green
     # driver row within the last two rounds (r4 ∪ r5 = all 95) — plus the
-    # queries NEW or behavior-touched this round:
+    # queries NEW or behavior-touched this round.
+    # r6 NOTE: rotate again — the r5-NEW oracle queries (ann_ivf_topk,
+    # streaming_incremental_dedup, pii_redact_docs, retrieval_pipeline)
+    # sit in the mid block this round (SELFCHECK-green only) and should
+    # lead r6's prefix together with the then-stale r4 block.
     "sweep_pipeline",          # NEW: full MR+gates+grid composition
     "media_audio_features",    # oracle re-derived (codepoint-based parity)
     "streaming_doc_quality",   # result localization + cleanup rework
