@@ -76,3 +76,51 @@ def kmv_distinct(
             )
         ).alias("kmv_estimate"),
     )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    by: Sequence[str] = (),
+    k: int = 256,
+    qs: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Deterministic sampled quantiles — the scale path for exact
+    per-group percentiles (A11), built on the same KMV idea as
+    :func:`kmv_distinct`: the k rows with the smallest md5-derived hash
+    of their UNIQUE KEY form a uniform without-replacement sample that is
+    a pure function of the data (no RNG), so the estimate is
+    cross-engine oracle-checkable to the bit. Exact when a group has
+    ≤ k rows (the sample is the group). Standard error of a sampled
+    q-quantile is O(√(q(1−q)/k)).
+
+    Hashing the KEY (not the value) keeps duplicate values at their true
+    frequency — hashing values would dedup the distribution. Output:
+    by-cols + ``n`` (true row count) + ``p<q>`` per requested quantile
+    (6-dp, linear interpolation — Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``).
+
+    Scale note: like :func:`kmv_distinct`, this DataFrame formulation
+    shuffles the rows once to rank hashes per group; the bounded-memory
+    form keeps k (hash, value) pairs per partition and merges (min-k
+    sets are trivially mergeable) — a TypedImperativeAggregate away, the
+    same trade approx_percentile already makes with its GK sketch, which
+    (like HLL) is not oracle-checkable across engines.
+    """
+    s = (
+        df.select(*by, F.col(value_col).alias("__v"), F.col(key_col).alias("__key"))
+        .withColumn("__h", uniform_hash(F.col("__key")))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*by)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy(*by).orderBy("__h", "__key")),
+        )
+        .filter(F.col("__rn") <= k)
+    )
+    aggs = [F.max("__n").alias("n")]
+    for q in qs:
+        aggs.append(
+            round6(F.expr(f"percentile(__v, {q})")).alias(f"p{int(round(q * 100))}")
+        )
+    return s.groupBy(*by).agg(*aggs)

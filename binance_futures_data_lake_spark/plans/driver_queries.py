@@ -1014,6 +1014,44 @@ def q_quantile_value_by_type(spark, sf_dir):
     )
 
 
+@register(
+    "kmv_quantile_value_by_type",
+    # The sample is a pure function of the data (k smallest md5 hashes of
+    # the unique event id), so both engines compute the SAME sample and
+    # the same interpolated quantiles — the sketch semantics are under
+    # the hash, not a tolerance band (same contract as kmv_distinct).
+    sql="""
+    WITH h AS (
+      SELECT event_type, value, event_id,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               / power(2, 60) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM r WHERE rn <= 256 GROUP BY 1
+    """,
+)
+def q_kmv_quantile_value_by_type(spark, sf_dir):
+    """A11's scale companion: deterministic KMV-sampled quantiles — the
+    k=256 smallest-hash rows per event_type form a uniform sample whose
+    interpolated percentiles estimate the population's (exact when the
+    group has ≤ k rows). Unlike approx_percentile's GK sketch, the
+    estimate is a pure function of the data, so the oracle checks the
+    SKETCH SEMANTICS exactly (operators/sketch.py kmv_quantiles)."""
+    from binance_futures_data_lake_spark.operators.sketch import kmv_quantiles
+
+    ev = load_events(spark, sf_dir)
+    return kmv_quantiles(ev, "value", "event_id", by=("event_type",),
+                         k=256, qs=(0.5, 0.95))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------

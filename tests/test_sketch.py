@@ -42,3 +42,42 @@ def test_duplicates_do_not_shift_estimate(spark, ids):
     a = {r.g: (r.n_exact, r.kmv_estimate) for r in kmv_distinct(ids, "v", by=["g"]).collect()}
     b = {r.g: (r.n_exact, r.kmv_estimate) for r in kmv_distinct(dup, "v", by=["g"]).collect()}
     assert a == b
+
+
+def test_kmv_quantiles_exact_for_small_groups_and_close_for_large(spark):
+    from binance_futures_data_lake_spark.operators.sketch import kmv_quantiles
+
+    # large group: 50k rows, value = uniform-ish deterministic ramp;
+    # small group: 100 rows (<= k, so the sample IS the group → exact)
+    df = spark.range(50_100).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 50_000, F.lit("big")).otherwise(F.lit("small")).alias("g"),
+        F.when(F.col("id") < 50_000, (F.col("id") % 10_000).cast("double"))
+         .otherwise((F.col("id") % 100).cast("double")).alias("v"),
+    )
+    got = {r.g: r for r in kmv_quantiles(df, "v", "key", by=("g",), k=256).collect()}
+    exact = {
+        r.g: r for r in df.groupBy("g").agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+        ).collect()
+    }
+    assert got["small"].n == 100
+    assert abs(got["small"].p50 - exact["small"].p50) < 1e-9   # <= k → exact
+    assert abs(got["small"].p95 - exact["small"].p95) < 1e-9
+    assert got["big"].n == 50_000
+    # sampled estimate: within ~3 standard errors of a 256-row sample
+    # (se(q) = sqrt(q(1-q)/k) quantile-units on a 0..9999 uniform ramp)
+    assert abs(got["big"].p50 - exact["big"].p50) < 3 * (0.5 * 0.25 / 256) ** 0.5 * 4 * 10_000
+    assert abs(got["big"].p95 - exact["big"].p95) < 3 * (0.05 * 0.95 / 256) ** 0.5 * 4 * 10_000
+
+
+def test_kmv_quantiles_stable_across_partitioning(spark):
+    from binance_futures_data_lake_spark.operators.sketch import kmv_quantiles
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("key"), (F.col("id") % 777).cast("double").alias("v")
+    )
+    a = kmv_quantiles(df, "v", "key", k=128).collect()[0]
+    b = kmv_quantiles(df.repartition(13), "v", "key", k=128).collect()[0]
+    assert (a.n, a.p50, a.p95) == (b.n, b.p50, b.p95)
