@@ -403,3 +403,117 @@ def pack_sequences_nextfit(
     )
     bucketed = t.withColumn("__pk_bucket", F.pmod(F.xxhash64("shard"), F.lit(nb)))
     return bucketed.groupBy("__pk_bucket").applyInPandas(kernel, schema=out_schema)
+
+
+def token_budget_plan(
+    df: DataFrame,
+    budget_frac_pct: int = 40,
+    max_epochs_pct: int = 200,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    weights: dict[str, int] | None = None,
+    default_weight: int = 1,
+) -> DataFrame:
+    """Epoch planner: allocate a total training-token budget across
+    sources under per-source epoch caps (the LLaMA/DoReMi-style "how many
+    epochs of each source" computation that turns a mixture recipe into a
+    concrete sampling plan).
+
+    Source ``s`` with integer weight ``w_s`` (default uniform) receives
+    ``a_s = min(cap_s, lambda * w_s)`` tokens, where
+    ``cap_s = max_epochs * tokens_s`` and the water level ``lambda`` is
+    chosen so that ``sum(a_s) = min(budget, sum(cap_s))`` — capped
+    proportional water-filling. The greedy solution is relational: sort
+    the |S| sources ascending by ``cap_s / w_s``; a source saturates iff
+    ``cap_s * (W - cumw_prev) <= w_s * (T - cumcap_prev)`` over exclusive
+    prefix sums in that order (saturation is a prefix property — proven
+    monotone, see tests/test_curation.py property check vs a sequential
+    reference), and the final water level comes from one conditional
+    aggregate broadcast back.
+
+    Exactness contract: budget and caps are integers in 1/100-token units
+    (``budget_frac_pct``/``max_epochs_pct`` are percents), the saturation
+    comparison runs in DECIMAL(20,0) products (exact to ~1e18-token
+    sources — beyond any real corpus; int64 alone would overflow near
+    1e14), and doubles appear only in the final allocation division,
+    rounded 6 dp. A SQL oracle replays every step bit-for-bit.
+
+    Scale shape: ONE map-side-combinable corpus aggregate reduces to |S|
+    rows; the sort window, prefix sums, and water-level aggregate all run
+    on |S| rows with the 1-row totals broadcast — nothing after the first
+    groupBy touches corpus-sized data, so the plan is identical at 100 TB.
+
+    Output: ``source, tokens, weight, saturated, alloc_tokens, epochs``.
+    """
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    if budget_frac_pct <= 0 or max_epochs_pct <= 0:
+        raise ValueError("budget_frac_pct and max_epochs_pct must be positive")
+    t = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(size_col).cast("long").alias("tokens")
+    )
+    if int(default_weight) <= 0:
+        raise ValueError(f"default_weight must be positive, got {default_weight}")
+    if weights is None:
+        w_expr = F.lit(int(default_weight)).cast("long")
+    else:
+        bad = {k: v for k, v in weights.items() if int(v) <= 0}
+        if bad:
+            raise ValueError(f"non-positive weights: {bad}")
+        w_expr = F.lit(int(default_weight)).cast("long")
+        for name, wv in sorted(weights.items(), reverse=True):
+            w_expr = F.when(F.col("source") == name, F.lit(int(wv))).otherwise(w_expr)
+    t = t.select(
+        "source",
+        "tokens",
+        w_expr.alias("w"),
+        (F.col("tokens") * F.lit(int(max_epochs_pct))).alias("cap_num"),
+    )
+    tot = t.select(
+        F.sum("w").cast("long").alias("w_total"),
+        (F.sum("tokens").cast("long") * F.lit(int(budget_frac_pct))).alias("t_num"),
+    )
+    order = [(F.col("cap_num") / F.col("w")).asc(), F.col("source").asc()]
+    prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        t.join(F.broadcast(tot))
+        .withColumn(
+            "cum_cap_prev", F.coalesce(F.sum("cap_num").over(prev), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "cum_w_prev", F.coalesce(F.sum("w").over(prev), F.lit(0)).cast("long")
+        )
+    )
+
+    def _d(c):
+        return c.cast("decimal(20,0)")
+
+    staged = staged.withColumn(
+        "saturated",
+        (
+            _d(F.col("cap_num")) * _d(F.col("w_total") - F.col("cum_w_prev"))
+            <= _d(F.col("w")) * _d(F.col("t_num") - F.col("cum_cap_prev"))
+        ).cast("int"),
+    )
+    level = staged.select(
+        F.sum(F.when(F.col("saturated") == 1, F.col("cap_num")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sat_cap"),
+        F.sum(F.when(F.col("saturated") == 1, F.col("w")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sat_w"),
+    )
+    alloc = F.when(
+        F.col("saturated") == 1, F.col("cap_num") / F.lit(100.0)
+    ).otherwise(
+        (F.col("w") * (F.col("t_num") - F.col("sat_cap")))
+        / ((F.col("w_total") - F.col("sat_w")) * F.lit(100.0))
+    )
+    return staged.join(F.broadcast(level)).select(
+        "source",
+        "tokens",
+        F.col("w").alias("weight"),
+        "saturated",
+        round6(alloc).alias("alloc_tokens"),
+        round6(alloc / F.col("tokens")).alias("epochs"),
+    )

