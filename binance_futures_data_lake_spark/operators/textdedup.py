@@ -79,10 +79,14 @@ def ngrams_of_tokens(toks, n: int):
     return F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
 
 
-def token_hash(col):
-    """Portable 32-bit token hash: first 8 hex chars of md5 as integer.
-    (Identical in DuckDB: ('0x' || substring(md5(t),1,8))::BIGINT.)"""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+def token_hash(col, bits: int = 32):
+    """Portable token hash: first ``bits/4`` hex chars of md5 as integer.
+    (Identical in DuckDB: ('0x' || substring(md5(t),1,w))::BIGINT.)
+    ``bits`` must be a multiple of 4, at most 60 — 15 hex chars is the
+    widest prefix that stays inside signed-long range."""
+    if bits % 4 != 0 or not (4 <= bits <= 60):
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
+    return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -190,8 +194,11 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 32,
 ) -> DataFrame:
-    """32-bit SimHash: per token-hash bit, +count if set else −count;
-    fingerprint bit set where the sum is positive."""
+    """SimHash (default 32-bit): per token-hash bit, +count if set else
+    −count; fingerprint bit set where the sum is positive. ``bits`` up to
+    60 — the token hash widens with the fingerprint, so high bits carry
+    real entropy (a fixed 32-bit token hash would leave bits 32+ constant
+    across the corpus and degenerate any band built from them)."""
     tok = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -199,17 +206,19 @@ def simhash(
         )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("t", token_hash(F.col("tok")))
+        .withColumn("t", token_hash(F.col("tok"), bits=bits))
     )
     # one columnar conditional sum per bit instead of exploding each token
     # row `bits`-fold: same two shuffles, 1/32nd the aggregated rows, and
-    # the 32 sums stay inside whole-stage codegen (2.5x on the bench SF)
+    # the 32 sums stay inside whole-stage codegen (2.5x on the bench SF).
+    # Bit test is integer shift+mask: floor(t / 2^b) % 2 goes through
+    # doubles and drops low bits once t exceeds 2^53.
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when((F.floor(F.col("t") / F.lit(1 << b)) % 2) == 1, F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                )
+                F.when(
+                    F.shiftright(F.col("t"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
             ).alias(f"__s{b}")
             for b in range(bits)
         ]
@@ -221,19 +230,41 @@ def simhash(
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: byte-band candidates (pigeonhole over 4
-    bands guarantees recall for hamming ≤ 3), exact bit_count(xor) verify.
+def simhash_near_pairs(
+    sims: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band candidates (pigeonhole over 4
+    disjoint bands guarantees recall for hamming ≤ 3), exact
+    bit_count(xor) verify.
 
-    One EXPLODE over (band, byte) then a single equi-self-join on both —
+    One EXPLODE over (band, value) then a single equi-self-join on both —
     not a per-band union, which would recompute the upstream simhash
     aggregation once per band per side (a prior version compiled to 16
-    corpus scans; this shape compiles to 2, one per join side)."""
+    corpus scans; this shape compiles to 2, one per join side). The
+    hamming verify runs INSIDE the join stage, BEFORE the pair dedup: a
+    false band collision dies in whole-stage codegen without ever
+    shuffling, so the distinct's exchange carries only true near-pairs
+    (a pair with k clean bands appears k ≤ 4 times) — at the 10× bench
+    replica that is ~200 k rows through the exchange instead of ~20 M
+    candidate rows. With 32-bit fingerprints each band is 8 bits = 256
+    buckets — fine to ~10^5 docs; at corpus scale pass ``bits=60`` (the
+    Charikar 64-bit standard adapted so fingerprint AND md5-prefix token
+    hash stay in signed-long range, paired with ``simhash(docs,
+    bits=60)``), whose 15-bit bands cut random collisions a further
+    ~128× per band."""
+    if bits % 4 != 0 or not (4 <= bits <= 60):
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
+    width = (bits + 3) // 4
+    # integer shift+mask, NOT floor(x / 2^k) % m: the fingerprint is a
+    # long and double division silently drops low bits past 2^53 (would
+    # mis-band every bits=63 fingerprint's low bands)
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                (F.floor(F.col("simhash") / F.lit(256 ** i)) % 256).alias("bv"),
+                F.shiftright(F.col("simhash"), width * i)
+                .bitwiseAND(F.lit((1 << min(width, bits - width * i)) - 1))
+                .alias("bv"),
             )
             for i in range(4)
         ]
@@ -247,15 +278,30 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     b = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bv"
     )
-    pairs = (
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+
+    # Uniqueness WITHOUT a distinct: a true pair collides in every clean
+    # band, so emit it only from its SMALLEST matching band — whether an
+    # earlier band also matched is decidable in-row from the two
+    # fingerprints (xor restricted to that band == 0), so duplicate
+    # emissions die in the same codegen stage as false candidates and the
+    # plan's only exchanges are the band-key join shuffles themselves.
+    def _band_clean(i: int):
+        mask = ((1 << min(width, bits - width * i)) - 1) << (width * i)
+        return (
+            F.col("sim_a").bitwiseXOR(F.col("sim_b")).bitwiseAND(F.lit(mask)) == 0
+        )
+
+    first_match = F.lit(True)
+    for j in range(3):
+        first_match = first_match & F.when(
+            F.col("band") > j, ~_band_clean(j)
+        ).otherwise(F.lit(True))
+    return (
         a.join(b, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        pairs.withColumn("hamming", ham)
+        .filter(first_match)
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

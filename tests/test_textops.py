@@ -454,3 +454,40 @@ def test_pii_redact_planted(spark):
     ).collect()[0]
     assert again["redacted_text"] == out[1]["redacted_text"]
     assert again["n_email"] == again["n_url"] == again["n_long_digits"] == 0
+
+
+def test_simhash_wide_fingerprint_banding_guarantee(spark, docs):
+    """bits=60 production config: the token hash widens with the
+    fingerprint (high bits carry real entropy — a fixed 32-bit hash would
+    leave bits 32+ constant and degenerate their bands), bit extraction
+    is integer shift+mask (double division drops low bits past 2^53),
+    and 15-bit banding still finds EXACTLY the brute-force hamming<=3
+    pair set."""
+    sims = simhash(docs, bits=60).cache()
+    vals = [r.simhash for r in sims.collect()]
+    # real entropy above bit 32 somewhere in the corpus
+    assert any(v >> 32 for v in vals)
+    assert all(0 <= v < (1 << 60) for v in vals)
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", ham).filter(F.col("h") <= 3).collect()
+    }
+    rows = simhash_near_pairs(sims, max_hamming=3, bits=60).collect()
+    found = {(r.doc_a, r.doc_b) for r in rows}
+    assert found == truth
+    # no-distinct construction really is duplicate-free
+    assert len(rows) == len(found)
+
+
+def test_simhash_near_pairs_rejects_bad_bits(spark, docs):
+    import pytest as _pytest
+
+    sims = simhash(docs)
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(sims, bits=63)
+    with _pytest.raises(ValueError):
+        simhash(docs, bits=64)
