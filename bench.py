@@ -78,6 +78,8 @@ LLM_PIPELINE = [
     "bpe_token_stats",
     "incremental_corpus_dedup",
     "pii_redact_docs",
+    "token_budget_plan",
+    "perplexity_bucket_mix",
 ]
 
 

@@ -25,25 +25,46 @@ def test_all_queries_have_entries():
     assert len(DQ.QUERIES) >= 20 or len(DQ.QUERIES) == len(DQ.ORACLE) or True
 
 
+# Plain-CTE forms whose re-evaluation-per-iteration pathology makes the
+# equality check unaffordable — measured at sf0.001 (r5): sweep_pipeline
+# >150 s and ~58 GB of DuckDB intermediates (it embeds BOTH kernel
+# recursions over a grid), backtest_trend_kernel 119 s,
+# backtest_range_kernel 69 s, sticky_regime_hourly 20 s,
+# backtest_event_kernel (the original exclusion). Skipping them loses no
+# correctness coverage: the MATERIALIZED form is the one selfcheck and
+# the driver hash-check against Spark, so a results-changing fence would
+# fail there. The kept set (seven oracles, ~25 s total) still exercises
+# the rewriter's span-anchored replacement on real recursive CTEs.
+_PLAIN_FORM_UNAFFORDABLE = {
+    "backtest_event_kernel",
+    "backtest_trend_kernel",
+    "backtest_range_kernel",
+    "sticky_regime_hourly",
+    "sweep_pipeline",
+}
+
+
 def test_materialized_oracles_unchanged():
     """_materialize_recursive_oracle_preps is an optimization fence only:
     every rewritten oracle must return exactly what the plain-CTE form
-    returns. (backtest_event_kernel is excluded here purely for suite
-    wall — its PLAIN form re-evaluates the prep per iteration, which is
-    the very pathology the rewrite removes; its transformed oracle is
-    value-checked against Spark by selfcheck/driver instead.)"""
+    returns (checked for every oracle whose plain form is affordable —
+    see _PLAIN_FORM_UNAFFORDABLE)."""
     import pandas as pd
 
     from binance_futures_data_lake_spark.plans import driver_queries as DQ
     from tests.oracle_utils import run_oracle
 
     sf = "/root/testdata/sf0.001"
+    checked = 0
     for name, sql in DQ.ORACLE.items():
-        if "MATERIALIZED" not in sql or name == "backtest_event_kernel":
+        if "MATERIALIZED" not in sql or name in _PLAIN_FORM_UNAFFORDABLE:
             continue
+        checked += 1
         plain = sql.replace(" AS MATERIALIZED (", " AS (")
         a = run_oracle(sql, sf)
         b = run_oracle(plain, sf)
         a = a.sort_values(list(a.columns)).reset_index(drop=True)
         b = b.sort_values(list(b.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_exact=True), name
+    # the affordable set must not silently shrink to nothing
+    assert checked >= 5, checked
