@@ -3096,7 +3096,10 @@ def q_retrieval_pipeline(spark, sf_dir):
     ch = chunk_documents(docs, chunk_chars=200, stride=150)
     base = ch.select(
         (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("vec_id"),
-        F.transform(words(F.col("chunk_text")), token_hash).alias("ht"),
+        # single-arg lambda, NOT the bare callable: token_hash(col, bits=32)
+        # has two parameters, and a 2-arg transform lambda receives
+        # (element, array_index) — the index would land in ``bits``
+        F.transform(words(F.col("chunk_text")), lambda c: token_hash(c)).alias("ht"),
     ).filter(F.size("ht") > 0)
     def _dim_term(j):
         # single-arg lambda on purpose: a 2-arg transform lambda would
