@@ -290,3 +290,32 @@ def test_perplexity_bucket_mix_validation(spark, docs):
 
     with pytest.raises(ValueError):
         perplexity_bucket_mix(docs, n_buckets=3, keep_rates=(1.0, 0.5))
+
+
+def test_perplexity_buckets_approx_agrees_with_exact(spark, docs):
+    """The sketch path assigns the same tier as the exact ntile for all
+    but boundary-band documents, and applies the identical keep rule."""
+    from binance_futures_data_lake_spark.operators.textquality import (
+        perplexity_bucket_mix,
+        perplexity_bucket_mix_approx,
+    )
+
+    exact = {
+        r["doc_id"]: (r["bucket"], r["kept"])
+        for r in perplexity_bucket_mix(docs).collect()
+    }
+    approx = {
+        r["doc_id"]: (r["bucket"], r["kept"])
+        for r in perplexity_bucket_mix_approx(docs).collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(1 for d in exact if exact[d][0] == approx[d][0])
+    assert agree / len(exact) >= 0.9, agree / len(exact)
+    # keep decision is a pure function of (bucket, doc_id) in both paths
+    for d in exact:
+        if exact[d][0] == approx[d][0]:
+            assert exact[d][1] == approx[d][1], d
+    # every tier exists and the head keeps everything
+    buckets = {b for b, _ in approx.values()}
+    assert buckets == {1, 2, 3}
+    assert all(k == 1 for b, k in approx.values() if b == 1)
