@@ -523,3 +523,66 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    gold: DataFrame,
+    k: int = 10,
+    q_col: str = "q_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+    gold_q_col: str = "q_id",
+    gold_doc_col: str = "doc_id",
+) -> DataFrame:
+    """Offline IR evaluation of a retrieval run against a gold relevance
+    table: per-query recall@k and reciprocal rank — the metrics loop that
+    closes a RAG/retrieval pipeline (index → probe → re-rank →
+    **measure**).
+
+    ``recall_at_k = hits / min(n_gold, k)`` (feasible-recall: a query
+    with more relevant docs than k can still score 1.0);
+    ``rr = 1 / rank of the first relevant hit`` (0 when none). Queries
+    are the gold table's key set — a query with no retrieved rows scores
+    zero rather than disappearing; retrieved queries without gold are
+    out of scope by definition.
+
+    Scale shape: one equi-join of the top-k result rows (|Q|·k) against
+    the gold pair table on (query, doc) — both sides are
+    evaluation-sized, never corpus-sized; two small aggregates after.
+    Corpus-scale cost lives in the retrieval run being evaluated, not
+    here. Mean metrics over queries are one further trivial aggregate —
+    left per-query so the driver can hash-check row-level values.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(q_col).alias("q_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("rnk"),
+    )
+    g = gold.select(
+        F.col(gold_q_col).alias("q_id"),
+        F.col(gold_doc_col).alias("doc_id"),
+        F.lit(1).alias("rel"),
+    )
+    hit = res.join(g, ["q_id", "doc_id"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0))
+    )
+    per = hit.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("frr"),
+    )
+    gc = g.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_gold"))
+    out = gc.join(per, "q_id", "left")
+    hits = F.coalesce(F.col("hits"), F.lit(0).cast("long"))
+    recall = hits * F.lit(1.0) / F.least(F.col("n_gold"), F.lit(k).cast("long"))
+    rr = F.coalesce(F.lit(1.0) / F.col("frr"), F.lit(0.0))
+    return out.select(
+        "q_id",
+        "n_gold",
+        hits.alias("hits"),
+        round6(recall).alias("recall_at_k"),
+        F.coalesce(F.col("frr"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        round6(rr).alias("rr"),
+    )

@@ -6078,9 +6078,10 @@ def q_curation_pipeline(spark, sf_dir):
     return shard_manifest(with_shard(mixed, "doc_id", 8), "doc_id", "n_chars")
 
 
-@register(
-    "ann_ivf_seeded_topk",
-    sql="""
+# Seeded-IVF CTE chain (shared by ann_ivf_seeded_topk and the retrieval
+# eval): deterministic seed cells -> cosine assignment -> 3-cell probe ->
+# exact re-rank; `r` holds the ranked candidates.
+_IVF_SEEDED_CTES = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
@@ -6123,6 +6124,13 @@ def q_curation_pipeline(spark, sf_dir):
                                 ORDER BY round(cos, 6) DESC, neighbor_id) AS rnk
       FROM s
     )
+"""
+
+
+@register(
+    "ann_ivf_seeded_topk",
+    sql=_IVF_SEEDED_CTES
+    + """
     SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
     """,
 )
@@ -6142,6 +6150,63 @@ def q_ann_ivf_seeded_topk(spark, sf_dir):
     cents = ivf_seed_centroids(emb, num_cells=8)
     return ivf_seeded_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
                            k=5, nprobe=3)
+
+
+@register(
+    "retrieval_eval_ivf",
+    sql=_IVF_SEEDED_CTES
+    + """
+    , res AS (
+      SELECT q_id, neighbor_id AS doc_id, rnk FROM r WHERE rnk <= 5
+    ), gold AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS doc_id
+      FROM embeddings a JOIN embeddings b USING (label)
+      WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+    ), hit AS (
+      SELECT res.q_id, res.rnk,
+             CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM res LEFT JOIN gold g ON g.q_id = res.q_id AND g.doc_id = res.doc_id
+    ), per AS (
+      SELECT q_id, CAST(sum(rel) AS BIGINT) AS hits,
+             min(CASE WHEN rel = 1 THEN rnk END) AS frr
+      FROM hit GROUP BY 1
+    ), gc AS (
+      SELECT q_id, count(*) AS n_gold FROM gold GROUP BY 1
+    )
+    SELECT gc.q_id, n_gold,
+           coalesce(hits, CAST(0 AS BIGINT)) AS hits,
+           round(coalesce(hits, CAST(0 AS BIGINT)) * 1.0
+                 / least(n_gold, CAST(5 AS BIGINT)), 6) AS recall_at_k,
+           CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank,
+           round(coalesce(1.0 / frr, 0), 6) AS rr
+    FROM gc LEFT JOIN per USING (q_id)
+    """,
+)
+def q_retrieval_eval_ivf(spark, sf_dir):
+    """The metrics loop that closes the retrieval family: evaluate the
+    seeded-IVF tier's top-5 against a label-derived gold table (same
+    label = relevant, self excluded) — per-query recall@5 and reciprocal
+    rank, the offline eval every RAG/index deployment runs after an
+    index build. The oracle replays the ENTIRE chain: seed selection,
+    assignment, probe, re-rank, and then the eval joins — so a change in
+    either the index math or the metric definition fails the hash. Eval
+    cost is |Q|·k rows joined to the gold pairs; the corpus never enters
+    the eval join (operators/similarity.py:retrieval_eval)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_seed_centroids, ivf_seeded_topk, retrieval_eval,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_seed_centroids(emb, num_cells=8)
+    res = ivf_seeded_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                          k=5, nprobe=3)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "label"
+    )
+    gold = q.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "label"
+    ).filter(F.col("doc_id") != F.col("q_id")).select("q_id", "doc_id")
+    return retrieval_eval(res, gold, k=5)
 
 
 @register(
@@ -6296,7 +6361,8 @@ _FRONT = [
     # queries NEW or behavior-touched this round.
     # r6 NOTE: rotate again — the r5-NEW oracle queries (ann_ivf_topk,
     # streaming_incremental_dedup, pii_redact_docs, retrieval_pipeline,
-    # kmv_quantiles, token_budget_plan, perplexity_bucket_mix)
+    # kmv_quantiles, token_budget_plan, perplexity_bucket_mix,
+    # retrieval_eval_ivf)
     # sit in the mid block this round (SELFCHECK-green only) and should
     # lead r6's prefix together with the then-stale r4 block.
     "sweep_pipeline",          # NEW: full MR+gates+grid composition

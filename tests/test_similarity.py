@@ -203,3 +203,42 @@ def test_embedding_near_dup_lsh_matches_driver_threshold(spark, emb):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.7
+
+
+def test_retrieval_eval_hand_case(spark):
+    from binance_futures_data_lake_spark.operators.similarity import retrieval_eval
+
+    results = spark.createDataFrame(
+        [
+            # q1: relevant at ranks 2 and 3 of top-3
+            (1, 101, 1), (1, 102, 2), (1, 103, 3),
+            # q2: nothing relevant retrieved
+            (2, 101, 1), (2, 104, 2),
+            # q3 appears in results but has no gold -> excluded
+            (3, 101, 1),
+            # rank beyond k must be ignored
+            (1, 105, 4),
+        ],
+        "q_id long, neighbor_id long, rnk int",
+    )
+    gold = spark.createDataFrame(
+        [
+            (1, 102), (1, 103), (1, 105), (1, 106),  # 4 relevant, one at rank 4
+            (2, 103),
+            (4, 101),  # q4 never retrieved -> scores zero
+        ],
+        "q_id long, doc_id long",
+    )
+    out = {r["q_id"]: r for r in retrieval_eval(results, gold, k=3).collect()}
+    assert set(out) == {1, 2, 4}
+    # q1: hits 2 (105 was rank 4, outside k), feasible recall = 2/min(4,3)
+    assert out[1]["hits"] == 2
+    assert out[1]["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1]["first_rel_rank"] == 2 and out[1]["rr"] == 0.5
+    # q2: retrieved but zero relevant
+    assert out[2]["hits"] == 0 and out[2]["rr"] == 0.0
+    assert out[2]["first_rel_rank"] == 0
+    # q4: gold exists, nothing retrieved at all
+    assert out[4]["hits"] == 0 and out[4]["recall_at_k"] == 0.0
+    with pytest.raises(ValueError):
+        retrieval_eval(results, gold, k=0)
