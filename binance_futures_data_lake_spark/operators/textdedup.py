@@ -230,70 +230,93 @@ def simhash(
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(
-    sims: DataFrame, max_hamming: int = 3, bits: int = 32
+def hamming_near_pairs(
+    sims: DataFrame,
+    value_col: str,
+    max_hamming: int,
+    bits: int = 64,
+    n_bands: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band candidates (pigeonhole over 4
-    disjoint bands guarantees recall for hamming ≤ 3), exact
-    bit_count(xor) verify.
+    """All pairs whose ``value_col`` fingerprints differ in at most
+    ``max_hamming`` bits — the generalized banded-hamming join shared by
+    text SimHash and image perceptual hashes.
+
+    ``n_bands`` (default ``max_hamming + 1``) disjoint bit-bands cover
+    the fingerprint; by pigeonhole, hamming <= n_bands - 1 forces at
+    least one identical band, so the band equi-self-join loses no
+    qualifying pair. Looser thresholds therefore need more/narrower
+    bands — more candidate collisions — which is why web-scale dedup
+    keeps thresholds tight (<=3 over 64 bits, 4x16-bit bands); this
+    operator makes that trade explicit instead of silently losing
+    recall.
 
     One EXPLODE over (band, value) then a single equi-self-join on both —
-    not a per-band union, which would recompute the upstream simhash
+    not a per-band union, which would recompute the upstream fingerprint
     aggregation once per band per side (a prior version compiled to 16
     corpus scans; this shape compiles to 2, one per join side). The
     hamming verify runs INSIDE the join stage, BEFORE the pair dedup: a
     false band collision dies in whole-stage codegen without ever
-    shuffling, so the distinct's exchange carries only true near-pairs
-    (a pair with k clean bands appears k ≤ 4 times) — at the 10× bench
-    replica that is ~200 k rows through the exchange instead of ~20 M
-    candidate rows. With 32-bit fingerprints each band is 8 bits = 256
-    buckets — fine to ~10^5 docs; at corpus scale pass ``bits=60`` (the
-    Charikar 64-bit standard adapted so fingerprint AND md5-prefix token
-    hash stay in signed-long range, paired with ``simhash(docs,
-    bits=60)``), whose 15-bit bands cut random collisions a further
-    ~128× per band."""
-    if bits % 4 != 0 or not (4 <= bits <= 60):
-        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
-    width = (bits + 3) // 4
-    # integer shift+mask, NOT floor(x / 2^k) % m: the fingerprint is a
-    # long and double division silently drops low bits past 2^53 (would
-    # mis-band every bits=63 fingerprint's low bands)
+    shuffling. Uniqueness WITHOUT a distinct: a true pair collides in
+    every clean band, so it is emitted only from its SMALLEST matching
+    band — whether an earlier band also matched is decidable in-row (xor
+    restricted to that band == 0), so duplicate emissions die in the
+    same codegen stage and the plan's only exchanges are the band-key
+    join shuffles themselves (8.1 -> 2.8 s at the 10x bench replica).
+
+    Bit extraction is unsigned shift + mask — ``floor(x / 2^k)`` goes
+    through doubles and silently drops low bits past 2^53, and full
+    64-bit fingerprints (image aHash) use the sign bit.
+    """
+    if not (1 <= bits <= 64):
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not (max_hamming < n_bands <= bits):
+        raise ValueError(
+            f"need max_hamming < n_bands <= bits for pigeonhole recall, "
+            f"got max_hamming={max_hamming}, n_bands={n_bands}, bits={bits}"
+        )
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def _mask(i: int) -> int:
+        m = ((1 << widths[i]) - 1) << offsets[i]
+        return m - (1 << 64) if m >= (1 << 63) else m  # signed-long view
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), width * i)
-                .bitwiseAND(F.lit((1 << min(width, bits - width * i)) - 1))
+                F.shiftrightunsigned(F.col("__fp"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
                 .alias("bv"),
             )
-            for i in range(4)
+            for i in range(n_bands)
         ]
     )
-    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
-        "doc_id", "simhash", "bb.band", "bb.bv"
+    banded = (
+        sims.select(F.col(id_col).alias("doc_id"), F.col(value_col).alias("__fp"))
+        .select("doc_id", "__fp", F.explode(bands).alias("bb"))
+        .select("doc_id", "__fp", "bb.band", "bb.bv")
     )
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bv"
+        F.col("doc_id").alias("doc_a"), F.col("__fp").alias("sim_a"), "band", "bv"
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bv"
+        F.col("doc_id").alias("doc_b"), F.col("__fp").alias("sim_b"), "band", "bv"
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
 
-    # Uniqueness WITHOUT a distinct: a true pair collides in every clean
-    # band, so emit it only from its SMALLEST matching band — whether an
-    # earlier band also matched is decidable in-row from the two
-    # fingerprints (xor restricted to that band == 0), so duplicate
-    # emissions die in the same codegen stage as false candidates and the
-    # plan's only exchanges are the band-key join shuffles themselves.
     def _band_clean(i: int):
-        mask = ((1 << min(width, bits - width * i)) - 1) << (width * i)
         return (
-            F.col("sim_a").bitwiseXOR(F.col("sim_b")).bitwiseAND(F.lit(mask)) == 0
+            F.col("sim_a").bitwiseXOR(F.col("sim_b")).bitwiseAND(F.lit(_mask(i)))
+            == 0
         )
 
     first_match = F.lit(True)
-    for j in range(3):
+    for j in range(n_bands - 1):
         first_match = first_match & F.when(
             F.col("band") > j, ~_band_clean(j)
         ).otherwise(F.lit(True))
@@ -304,6 +327,24 @@ def simhash_near_pairs(
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash — :func:`hamming_near_pairs` over the
+    ``simhash`` column with the classic 4-band configuration (pigeonhole
+    guarantees recall for hamming <= 3). With 32-bit fingerprints each
+    band is 8 bits = 256 buckets — fine to ~10^5 docs; at corpus scale
+    pass ``bits=60`` (the Charikar 64-bit standard adapted so fingerprint
+    AND md5-prefix token hash stay in signed-long range, paired with
+    ``simhash(docs, bits=60)``), whose 15-bit bands cut random collisions
+    a further ~128x per band."""
+    if bits % 4 != 0 or not (4 <= bits <= 60):
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
+    return hamming_near_pairs(
+        sims, "simhash", max_hamming=max_hamming, bits=bits, n_bands=4
     )
 
 

@@ -3217,15 +3217,11 @@ def q_streaming_ohlcv_bars(spark, sf_dir):
     return out
 
 
-@register(
-    "media_image_features",
-    # The media pixels are deterministic arithmetic over (text, dims):
-    # utf-8 bytes tiled to width×height. Spark ENCODES them into real PNGs
-    # and DECODES them back (stdlib zlib codec) before computing features;
-    # DuckDB recomputes the same features straight from the text — so the
-    # hash attests the entire encode→decode roundtrip (chunk layout, CRC,
-    # inflate, defilter), not just the stats math.
-    sql="""
+# Deterministic pixel-model CTE chain (shared by media_image_features and
+# the image near-dup tier): pixels are arithmetic over (text, dims); `st`
+# holds per-image intensity sums, `ph` the 64-bit aHash (bit63 folded to
+# the signed-long view, matching the Arrow kernel's int64 reinterpret).
+_MEDIA_IMG_CTES = """
     WITH d AS (
       SELECT doc_id AS media_id,
              CAST(doc_id % 64 + 32 AS BIGINT) AS w,
@@ -3264,6 +3260,18 @@ def q_streaming_ohlcv_bars(spark, sf_dir):
                            ELSE 0 END END) AS BIGINT) AS phash
       FROM bm JOIN st USING (media_id) GROUP BY 1
     )
+"""
+
+
+@register(
+    "media_image_features",
+    # Spark ENCODES the deterministic pixels into real PNGs and DECODES
+    # them back (stdlib zlib codec) before computing features; DuckDB
+    # recomputes the same features straight from the text — so the hash
+    # attests the entire encode→decode roundtrip (chunk layout, CRC,
+    # inflate, defilter), not just the stats math.
+    sql=_MEDIA_IMG_CTES
+    + """
     SELECT st.media_id, st.w AS width, st.h AS height,
            round(CAST(st.s AS DOUBLE) / st.n, 6) AS mean_intensity,
            round(sqrt(greatest(CAST(st.ss AS DOUBLE) / st.n
@@ -3294,6 +3302,50 @@ def q_media_image_features(spark, sf_dir):
         r6(F.col("mean_intensity")).alias("mean_intensity"),
         r6(F.col("std_intensity")).alias("std_intensity"),
         "phash",
+    )
+
+
+@register(
+    "media_image_near_dup",
+    sql=_MEDIA_IMG_CTES
+    + """
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 10
+    """,
+)
+def q_media_image_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs: decode the PNGs (real stdlib codec),
+    64-bit perceptual aHash per image, then the SAME banded-hamming join
+    the text tier uses (textdedup.hamming_near_pairs, 11 bands for the
+    hamming<=10 threshold — pigeonhole keeps recall exact; the loose
+    threshold suits perceptual hashes, whose near-dups drift more bits
+    than text SimHash). The oracle recomputes the hashes from the pixel
+    model and brute-forces all n²/2 hamming distances — a genuinely
+    independent algorithm, so both the codec-to-hash path AND the
+    banding's exactness are attested. At corpus scale candidates stay
+    banded; the brute force exists only oracle-side."""
+    from binance_futures_data_lake_spark.operators.multimodal import (
+        image_features, synthetic_media,
+    )
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_near_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = image_features(synthetic_media(docs, kind="image"))
+    pairs = hamming_near_pairs(
+        feats.select("media_id", "phash"),
+        "phash",
+        max_hamming=10,
+        bits=64,
+        id_col="media_id",
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
     )
 
 
@@ -6362,7 +6414,7 @@ _FRONT = [
     # r6 NOTE: rotate again — the r5-NEW oracle queries (ann_ivf_topk,
     # streaming_incremental_dedup, pii_redact_docs, retrieval_pipeline,
     # kmv_quantiles, token_budget_plan, perplexity_bucket_mix,
-    # retrieval_eval_ivf)
+    # retrieval_eval_ivf, media_image_near_dup)
     # sit in the mid block this round (SELFCHECK-green only) and should
     # lead r6's prefix together with the then-stale r4 block.
     "sweep_pipeline",          # NEW: full MR+gates+grid composition

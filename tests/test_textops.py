@@ -491,3 +491,46 @@ def test_simhash_near_pairs_rejects_bad_bits(spark, docs):
         simhash_near_pairs(sims, bits=63)
     with _pytest.raises(ValueError):
         simhash(docs, bits=64)
+
+
+def test_hamming_near_pairs_generalized_vs_bruteforce(spark):
+    """Banded-hamming at arbitrary (bits, n_bands, threshold) — including
+    full 64-bit fingerprints using the sign bit — must equal brute force
+    exactly, with no duplicate emissions."""
+    import random
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_near_pairs,
+    )
+
+    rng = random.Random(11)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    vals = list(base)
+    for v in base[:15]:  # plant near-dups at small hamming distances
+        w = v
+        for _ in range(rng.randint(1, 9)):
+            w ^= 1 << rng.randrange(64)
+        vals.append(w)
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(signed)], "doc_id long, fp long"
+    )
+    for max_h, n_bands in ((3, 4), (10, 11), (10, None), (6, 16)):
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in hamming_near_pairs(
+                df, "fp", max_hamming=max_h, bits=64, n_bands=n_bands
+            ).collect()
+        }
+        want = {}
+        for i in range(len(signed)):
+            for j in range(i + 1, len(signed)):
+                h = bin((signed[i] ^ signed[j]) & ((1 << 64) - 1)).count("1")
+                if h <= max_h:
+                    want[(i, j)] = h
+        assert got == want, (max_h, n_bands)
+
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, "fp", max_hamming=5, bits=64, n_bands=5)
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, "fp", max_hamming=3, bits=70)
