@@ -80,6 +80,9 @@ LLM_PIPELINE = [
     "pii_redact_docs",
     "token_budget_plan",
     "perplexity_bucket_mix",
+    "retrieval_eval_ivf",
+    "media_image_near_dup",
+    "media_audio_near_dup",
 ]
 
 

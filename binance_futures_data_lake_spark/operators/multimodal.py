@@ -624,3 +624,76 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
             })
 
     return media.select("media_id", "payload", "meta").mapInPandas(sample, FRAME_SCHEMA)
+
+
+AUDIO_FINGERPRINT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("afp", T.LongType()),
+])
+
+
+def audio_fingerprint(media: DataFrame, n_frames: int = 64) -> DataFrame:
+    """Arrow-batched WAV decode → 63-bit energy-contour fingerprint: the
+    clip splits into ``n_frames`` equal frames (array_split sizing, the
+    same closed-form block mapping as the image aHash), per-frame energy
+    is the INTEGER sum of squared samples (exact — no float drift can
+    desync an oracle), and bit *i* is set iff energy rises from frame i
+    to i+1. Sign-of-delta contours are the classic audio-matching
+    fingerprint shape: level-invariant (gain scales all frames
+    together), cheap, and hamming-comparable, which is exactly what
+    :func:`textdedup.hamming_near_pairs` consumes — text, image, and
+    audio near-dup all share one banded-hamming engine.
+
+    Clips shorter than ``n_frames`` samples emit a null fingerprint
+    (callers filter; a contour over sub-sample frames is meaningless).
+    Same scale contract as the other kernels: the binary column is
+    consumed in-kernel and never shuffled; per-clip results are
+    independent of batch composition. Energy stays inside int64 up to
+    ~1.6e6-sample frames at full PCM16 amplitude — hour-scale mono
+    clips; beyond that, chunk the clip first (sample_frames)."""
+    import numpy as np
+    import pandas as pd
+
+    if not (2 <= n_frames <= 64):
+        raise ValueError(f"n_frames must be in [2, 64], got {n_frames}")
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            decoded = [wav_decode_pcm16(p) for p in pdf["payload"].tolist()]
+            if any(d[1] != 1 for d in decoded):
+                raise NotImplementedError("fingerprint expects mono WAV")
+            n = np.array([len(d[2]) // 2 for d in decoded], dtype=np.int64)
+            ok = n >= n_frames
+            k = len(pdf)
+            afp = np.zeros(k, dtype=np.int64)
+            if ok.any():
+                # concatenate ONLY the kept clips: reduceat segments are
+                # delimited by the NEXT bound, so a skipped clip between
+                # two kept ones would otherwise leak its samples into the
+                # previous clip's final frame
+                v = np.frombuffer(
+                    b"".join(d[2] for d, o in zip(decoded, ok) if o),
+                    dtype="<i2",
+                ).astype(np.int64)
+                n_ok = n[ok]
+                off_ok = np.zeros(int(ok.sum()), dtype=np.int64)
+                np.cumsum(n_ok[:-1], out=off_ok[1:])
+                j = np.arange(n_frames)
+                bounds = (off_ok[:, None] + j * (n_ok // n_frames)[:, None]
+                          + np.minimum(j, (n_ok % n_frames)[:, None]))
+                # INTEGER frame energies — exact, SQL-replayable
+                e = np.add.reduceat(v * v, bounds.ravel()).reshape(-1, n_frames)
+                bits = (e[:, 1:] > e[:, :-1]).astype(np.int64)
+                afp[ok] = (bits << j[:-1]).sum(axis=1)
+            out_fp = pd.Series(afp, dtype="Int64")
+            out_fp[~ok] = pd.NA
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype(np.int64).to_numpy(),
+                "afp": out_fp,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, AUDIO_FINGERPRINT_SCHEMA
+    )

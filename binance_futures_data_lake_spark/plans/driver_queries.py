@@ -3412,6 +3412,86 @@ def q_media_audio_features(spark, sf_dir):
 
 
 @register(
+    "media_audio_near_dup",
+    # Deterministic sample model (see media_audio_features) → 64 frames
+    # via the image aHash's closed-form array_split mapping → INTEGER
+    # frame energies (sum v² — exact, no float parity surface) → bit i
+    # set iff energy rises frame i→i+1 (63-bit contour) → brute-force
+    # hamming pairs. Spark runs the banded join; agreement attests WAV
+    # codec, framing, integer energy math, and banding at once.
+    sql="""
+    WITH d AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 800 + 400 AS BIGINT) AS n,
+             text, length(text) AS L
+      FROM documents
+    ), px AS (
+      SELECT media_id, n, L, text, unnest(range(n)) AS i FROM d
+    ), sv AS (
+      SELECT media_id, n, i,
+             CAST((ascii(substr(text, CAST(i % L AS INT) + 1, 1)) % 192 - 96)
+                  * 180 AS BIGINT) AS v
+      FROM px
+    ), fb AS (
+      SELECT media_id, v,
+             CASE WHEN i < (n % 64) * (n // 64 + 1)
+                  THEN i // (n // 64 + 1)
+                  ELSE (n % 64) + (i - (n % 64) * (n // 64 + 1)) // (n // 64)
+             END AS frame
+      FROM sv
+    ), en AS (
+      SELECT media_id, frame, CAST(sum(v * v) AS BIGINT) AS e
+      FROM fb GROUP BY 1, 2
+    ), bits AS (
+      SELECT media_id, frame, e,
+             lead(e) OVER (PARTITION BY media_id ORDER BY frame) AS e_next
+      FROM en
+    ), fp AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN e_next > e
+                      THEN CAST(1 AS BIGINT) << CAST(frame AS INT)
+                      ELSE 0 END) AS BIGINT) AS afp
+      FROM bits WHERE frame < 63 GROUP BY 1
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           bit_count(xor(a.afp, b.afp)) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 14
+    """,
+)
+def q_media_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs: decode the WAVs (real stdlib RIFF
+    codec), 63-bit energy-contour fingerprint per clip (sign-of-delta
+    over 64 integer frame energies — level-invariant, the classic audio
+    matching shape), then the SAME banded-hamming join as text SimHash
+    and image aHash (textdedup.hamming_near_pairs, 15 bands for
+    hamming<=14 — pigeonhole keeps recall exact; contours drift more
+    bits than text hashes, hence the loose threshold/narrow bands, the
+    trade the operator makes explicit). Third consumer of the one
+    near-dup engine; the oracle recomputes fingerprints from the sample
+    model and brute-forces all pairs
+    (operators/multimodal.py:audio_fingerprint)."""
+    from binance_futures_data_lake_spark.operators.multimodal import (
+        audio_fingerprint, synthetic_media,
+    )
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_near_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = audio_fingerprint(synthetic_media(docs, kind="audio")).filter(
+        F.col("afp").isNotNull()
+    )
+    pairs = hamming_near_pairs(
+        fp, "afp", max_hamming=14, bits=63, id_col="media_id"
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
+
+
+@register(
     "incremental_corpus_dedup",
     # The daily-ingest pattern replayed end to end: exact md5 layer, the
     # cross-set band join (new signatures vs the existing side's index),
@@ -6414,7 +6494,7 @@ _FRONT = [
     # r6 NOTE: rotate again — the r5-NEW oracle queries (ann_ivf_topk,
     # streaming_incremental_dedup, pii_redact_docs, retrieval_pipeline,
     # kmv_quantiles, token_budget_plan, perplexity_bucket_mix,
-    # retrieval_eval_ivf, media_image_near_dup)
+    # retrieval_eval_ivf, media_image_near_dup, media_audio_near_dup)
     # sit in the mid block this round (SELFCHECK-green only) and should
     # lead r6's prefix together with the then-stale r4 block.
     "sweep_pipeline",          # NEW: full MR+gates+grid composition

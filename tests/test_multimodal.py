@@ -201,3 +201,39 @@ def test_audio_features_match_numpy_reference(spark):
     assert {k: (v.rms, v.zero_crossings) for k, v in rows.items()} == {
         k: (v.rms, v.zero_crossings) for k, v in rows2.items()
     }
+
+
+def test_audio_fingerprint_contour_and_invariances(spark):
+    import struct
+
+    import numpy as np
+
+    from binance_futures_data_lake_spark.operators.multimodal import (
+        audio_fingerprint, wav_encode_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    base = (rng.integers(-800, 800, size=640)).astype("<i2")
+    louder = (base.astype(np.int32) * 3).clip(-32768, 32767).astype("<i2")
+    short = base[:40]  # < n_frames -> null fingerprint
+    rows = [
+        (1, wav_encode_pcm16(base.tobytes(), 16000)),
+        (2, wav_encode_pcm16(louder.tobytes(), 16000)),
+        (3, wav_encode_pcm16(short.tobytes(), 16000)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r.afp for r in audio_fingerprint(media).collect()}
+    # numpy reference: 64 array_split frames, integer energies, delta signs
+    frames = np.array_split(base.astype(np.int64), 64)
+    e = np.array([int((f * f).sum()) for f in frames])
+    want = sum(1 << i for i in range(63) if e[i + 1] > e[i])
+    assert out[1] == want
+    # gain-invariance: scaling every sample scales every frame energy
+    assert out[2] == out[1]
+    assert out[3] is None
+    # batch-composition independence
+    out2 = {r.media_id: r.afp for r in
+            audio_fingerprint(media.repartition(3)).collect()}
+    assert out2 == out
+    with pytest.raises(ValueError):
+        audio_fingerprint(media, n_frames=1)
