@@ -385,6 +385,40 @@ def main() -> None:
         shutil.rmtree(aroot, ignore_errors=True)
     ann.unpersist()
 
+    # banded-hamming near-dup probe (r5): 10M 64-bit fingerprints through
+    # the shared text/image/audio near-dup engine at its web-scale config
+    # (4x16-bit bands, hamming<=3). Planted truth: ids < 100k form 10k
+    # groups of 10 (5 identical + 5 one-distinct-bit members -> all 45
+    # pairs within hamming 2), the rest are unique xxhash64 values.
+    # Candidate volume is the honest cost: 10M rows / 65536 buckets ~ 153
+    # deep, ~0.8G joined rows per band dying in codegen (no exchange) —
+    # the knob a 10^10-doc deployment turns is MORE bucket bits, not a
+    # different algorithm. Generation is in-plan (range + xxhash64), so
+    # both join sides regenerate deterministically instead of caching.
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_near_pairs,
+    )
+
+    n_fp = 10_000_000
+    member = F.col("id") % 10
+    base = F.xxhash64(
+        F.when(F.col("id") < 100_000, F.floor(F.col("id") / 10))
+        .otherwise(F.col("id"))
+        .cast("long")
+    )
+    # F.shiftleft needs a literal bit count — expression form takes a column
+    flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(((id % 10) * 7) % 64 AS INT))")
+    fp_col = F.when(
+        (F.col("id") < 100_000) & (member >= 5), base.bitwiseXOR(flip)
+    ).otherwise(base)
+    fps = spark.range(n_fp).select(F.col("id").alias("doc_id"), fp_col.alias("fp"))
+    ham_pairs = hamming_near_pairs(
+        fps, "fp", max_hamming=3, bits=64, n_bands=4
+    ).persist()
+    stage("hamming_band_join_10m", lambda: force(ham_pairs))
+    stages["hamming_band_join_10m"]["shuffle_exchanges"] = exchange_count(ham_pairs)
+    ham_pairs.unpersist()
+
     # backtest kernel probe (r4): the full research pipeline -> 4-config
     # sweep over every symbol. Exercises bars x cfg cross, vectorized
     # signals, and the per-(symbol, cfg) applyInPandas position loop —
