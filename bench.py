@@ -83,6 +83,7 @@ LLM_PIPELINE = [
     "retrieval_eval_ivf",
     "media_image_near_dup",
     "media_audio_near_dup",
+    "curation_planning_pipeline",
 ]
 
 
