@@ -6557,13 +6557,17 @@ _FRONT = [
     # keeping the standing invariant that every oracle query has a green
     # driver row within the last two rounds (r4 ∪ r5 = all 95) — plus the
     # queries NEW or behavior-touched this round.
-    # r6 NOTE: rotate again — the r5-NEW oracle queries (ann_ivf_topk,
-    # streaming_incremental_dedup, pii_redact_docs, retrieval_pipeline,
-    # kmv_quantiles, token_budget_plan, perplexity_bucket_mix,
-    # retrieval_eval_ivf, media_image_near_dup, media_audio_near_dup,
-    # curation_planning_pipeline)
-    # sit in the mid block this round (SELFCHECK-green only) and should
-    # lead r6's prefix together with the then-stale r4 block.
+    # r6 NOTE: rotate again. The registry has outgrown a 2-round cycle
+    # (107 oracle queries vs the 50-query gate -> steady-state period is
+    # now 3 rounds). Coverage ages after r5: _FRONT = r5-checked (50),
+    # _ORACLE_TAIL = r4-checked (34), mid = 24 queries that are either
+    # r5-NEW (driver-never-checked: ann_ivf_topk, retrieval_pipeline,
+    # streaming_incremental_dedup, pii_redact_docs, kmv-sampled quantile,
+    # token_budget_plan, perplexity_bucket_mix, retrieval_eval_ivf,
+    # media_image_near_dup, media_audio_near_dup,
+    # curation_planning_pipeline) or r4-checked-but-unplaced. r6's prefix
+    # = the 11 never-checked first, then 39 of the r4-aged block; r7
+    # sweeps the r4-aged remainder plus the then-stale r5 block.
     "sweep_pipeline",          # NEW: full MR+gates+grid composition
     "media_audio_features",    # oracle re-derived (codepoint-based parity)
     "streaming_doc_quality",   # result localization + cleanup rework
