@@ -6532,8 +6532,19 @@ def q_curation_planning_pipeline(spark, sf_dir):
         .select("doc_id", "n_tokens")
         .join(docs.select("doc_id", "source"), "doc_id")
     )
+    # Barrier the per-source sums before the planner: Spark plans are
+    # trees, so the planner's four references to its input would each
+    # re-run the full score->tier->sample chain (measured: 110 exchanges,
+    # ~5x the perplexity wall). The checkpointed table is |sources| rows
+    # at ANY corpus size — the same localCheckpoint-after-expensive-
+    # derivation move as retrieval_pipeline.
+    per_source = (
+        kept.groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
+        .localCheckpoint()
+    )
     return token_budget_plan(
-        kept, budget_frac_pct=40, max_epochs_pct=200, size_col="n_tokens"
+        per_source, budget_frac_pct=40, max_epochs_pct=200, size_col="n_tokens"
     )
 
 
