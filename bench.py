@@ -298,6 +298,11 @@ def main() -> None:
         compact["serial_10x_ratio_vs_duckdb"] = serial_10x["ratio_vs_duckdb"]
         compact["serial_10x_spark_total"] = serial_10x["spark_serial_total"]
         compact["serial_10x_duckdb_total"] = serial_10x["duckdb_serial_total"]
+    elif isinstance(serial_10x, dict) and "error" in serial_10x:
+        # a failed 10x section must be visible in the ONLY line the driver
+        # parses — otherwise the headline silently reads as a clean run
+        # with the failure buried in BENCH_FULL.json
+        compact["serial_10x_error"] = str(serial_10x["error"])[:200]
     compact["detail"] = "BENCH_FULL.json"
     print(json.dumps(compact))
     spark.stop()

@@ -432,11 +432,16 @@ def token_budget_plan(
     aggregate broadcast back.
 
     Exactness contract: budget and caps are integers in 1/100-token units
-    (``budget_frac_pct``/``max_epochs_pct`` are percents), the saturation
-    comparison runs in DECIMAL(20,0) products (exact to ~1e18-token
-    sources — beyond any real corpus; int64 alone would overflow near
-    1e14), and doubles appear only in the final allocation division,
-    rounded 6 dp. A SQL oracle replays every step bit-for-bit.
+    (``budget_frac_pct``/``max_epochs_pct`` are percents), and every
+    integer product — the pct scalings ``tokens * max_epochs_pct`` /
+    ``sum(tokens) * budget_frac_pct`` as much as the saturation
+    cross-products — is computed in DECIMAL (tokens cast to
+    decimal(20,0) BEFORE multiplying, so precision grows instead of the
+    int64 silent wraparound non-ANSI Spark would produce past ~4.6e16
+    tokens at 200 pct). Doubles appear only in the final allocation
+    division, rounded 6 dp. A SQL oracle replays every step exactly
+    (DuckDB integer arithmetic errors on overflow rather than wrapping,
+    so agreement implies neither side wrapped).
 
     Scale shape: ONE map-side-combinable corpus aggregate reduces to |S|
     rows; the sort window, prefix sums, and water-level aggregate all run
@@ -463,22 +468,30 @@ def token_budget_plan(
         w_expr = F.lit(int(default_weight)).cast("long")
         for name, wv in sorted(weights.items(), reverse=True):
             w_expr = F.when(F.col("source") == name, F.lit(int(wv))).otherwise(w_expr)
+    # The pct products are computed in DECIMAL from the start: long
+    # ``tokens * max_epochs_pct`` would silently wrap (non-ANSI) once a
+    # source exceeds ~4.6e16 tokens at the default 200 pct — a wrong plan
+    # with no error. decimal(20,0) holds any int64 token count; the
+    # product precision grows, it never wraps.
     t = t.select(
         "source",
         "tokens",
         w_expr.alias("w"),
-        (F.col("tokens") * F.lit(int(max_epochs_pct))).alias("cap_num"),
+        (F.col("tokens").cast("decimal(20,0)") * F.lit(int(max_epochs_pct)))
+        .alias("cap_num"),
     )
     tot = t.select(
         F.sum("w").cast("long").alias("w_total"),
-        (F.sum("tokens").cast("long") * F.lit(int(budget_frac_pct))).alias("t_num"),
+        (F.sum(F.col("tokens").cast("decimal(20,0)"))
+         * F.lit(int(budget_frac_pct))).alias("t_num"),
     )
     order = [(F.col("cap_num") / F.col("w")).asc(), F.col("source").asc()]
     prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    zero_cap = F.lit(0).cast("decimal(20,0)")
     staged = (
         t.join(F.broadcast(tot))
         .withColumn(
-            "cum_cap_prev", F.coalesce(F.sum("cap_num").over(prev), F.lit(0)).cast("long")
+            "cum_cap_prev", F.coalesce(F.sum("cap_num").over(prev), zero_cap)
         )
         .withColumn(
             "cum_w_prev", F.coalesce(F.sum("w").over(prev), F.lit(0)).cast("long")
@@ -491,13 +504,12 @@ def token_budget_plan(
     staged = staged.withColumn(
         "saturated",
         (
-            _d(F.col("cap_num")) * _d(F.col("w_total") - F.col("cum_w_prev"))
-            <= _d(F.col("w")) * _d(F.col("t_num") - F.col("cum_cap_prev"))
+            F.col("cap_num") * _d(F.col("w_total") - F.col("cum_w_prev"))
+            <= _d(F.col("w")) * (F.col("t_num") - F.col("cum_cap_prev"))
         ).cast("int"),
     )
     level = staged.select(
-        F.sum(F.when(F.col("saturated") == 1, F.col("cap_num")).otherwise(F.lit(0)))
-        .cast("long")
+        F.sum(F.when(F.col("saturated") == 1, F.col("cap_num")).otherwise(zero_cap))
         .alias("sat_cap"),
         F.sum(F.when(F.col("saturated") == 1, F.col("w")).otherwise(F.lit(0)))
         .cast("long")

@@ -499,7 +499,11 @@ def audio_features(media: DataFrame) -> DataFrame:
             # breaks reduceat (zero-length segments repeat the next
             # clip's value; a trailing empty clip indexes past v) and
             # divides by zero — compute over the NONZERO clips' compacted
-            # offsets and scatter back, emitting null stats for n == 0
+            # offsets and scatter back. For n == 0 the float stats
+            # (mean_amplitude, rms) are null; the integer stats
+            # (peak_abs, zero_crossings) stay 0, the same values a real
+            # all-silence clip produces — callers needing to distinguish
+            # the two must check n_samples
             nz = n > 0
             k = len(pdf)
             sums = np.full(k, np.nan)

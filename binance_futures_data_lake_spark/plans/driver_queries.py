@@ -3754,7 +3754,8 @@ def _incr_dedup_layer_sql(c: int, e: str, n: str) -> str:
     )
     , windec{c} AS (
       SELECT nr.doc_id, 'exact_dup' AS status,
-             CASE WHEN rd.status = 'exact_dup' THEN rd.match_id
+             CASE WHEN rd.status IN ('exact_dup', 'near_dup')
+                  THEN rd.match_id
                   ELSE nr.rep END AS match_id,
              CAST(NULL AS DOUBLE) AS jaccard
       FROM nr{c} nr JOIN repdec{c} rd ON rd.doc_id = nr.rep
@@ -4584,7 +4585,11 @@ def q_range_boxes(spark, sf_dir):
     return out.orderBy("event_type", "cand_id")
 
 
-@register("research_sweep_stats")  # rows-only: position loop is sequential per (key, cfg)
+# Retired from the registry in r6 (VERDICT r5 next-steps #6): the reduced
+# twin ``sweep_pipeline`` hash-attests the same B1-B3 composition against a
+# recursive-CTE oracle, so this unreduced rows-only registry row was pure
+# SELFCHECK noise. The function stays importable (and exercised by the
+# backtest pytest family) as the synthetic-source end-to-end twin.
 def q_research_sweep_stats(spark, sf_dir):
     """SURVEY B1-B3 + A12 end-to-end: the reference's full research chain
     (M1 features → M15 direction regime → M5 vol regime → as-of joins →
@@ -6562,36 +6567,55 @@ def q_curation_planning_pipeline(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-5 rotation (VERDICT r4 next-steps #3): the driver checks the
-    # first-50 prefix; r4's prefix covered the 45 then-unattested promotions,
-    # so this round re-covers the 45 queries whose latest driver row is r3 —
-    # keeping the standing invariant that every oracle query has a green
-    # driver row within the last two rounds (r4 ∪ r5 = all 95) — plus the
-    # queries NEW or behavior-touched this round.
-    # r6 NOTE: rotate again. The registry has outgrown a 2-round cycle
-    # (107 oracle queries vs the 50-query gate -> steady-state period is
-    # now 3 rounds). Coverage ages after r5: _FRONT = r5-checked (50),
-    # _ORACLE_TAIL = r4-checked (34), mid = 24 queries that are either
-    # r5-NEW (driver-never-checked: ann_ivf_topk, retrieval_pipeline,
-    # streaming_incremental_dedup, pii_redact_docs, kmv-sampled quantile,
-    # token_budget_plan, perplexity_bucket_mix, retrieval_eval_ivf,
-    # media_image_near_dup, media_audio_near_dup,
-    # curation_planning_pipeline) or r4-checked-but-unplaced. r6's prefix
-    # = the 11 never-checked first, then 39 of the r4-aged block; r7
-    # sweeps the r4-aged remainder plus the then-stale r5 block.
-    "sweep_pipeline",          # NEW: full MR+gates+grid composition
-    "media_audio_features",    # oracle re-derived (codepoint-based parity)
-    "streaming_doc_quality",   # result localization + cleanup rework
-    "pack_sequences_nextfit",  # output schema typing change
-    "backtest_event_kernel",   # hand-MATERIALIZED + span-anchored rewriter
-    # --- the 45 r3-era queries ---
-    "ohlcv_5m", "bucket_stats_daily", "ohlcv_1h_right_closed",
-    "lag_lead_returns", "rolling_stats", "cumsum_runmax", "vwap_daily",
-    "rolling_pctl_of_last", "true_range_atr", "asof_user_hourly",
-    "dedup_keep_last", "gap_ranges_hourly", "pricing_summary",
-    "revenue_by_nation", "top_orders", "sampled_revenue_by_nation",
-    "user_sessions", "events_pivot_daily", "funnel_click_purchase",
-    "kmv_distinct_users", "ohlcv_daily_cascade", "range_join_ship_windows",
+    # Round-6 rotation (VERDICT r5 next-steps #1, executing the r5 NOTE):
+    # 107 oracle queries vs the 50-query driver prefix -> steady-state
+    # period 3 rounds; invariant is now "driver-green within the last
+    # THREE rounds, SELFCHECK-green every round". Ages entering r6:
+    # 11 never-driver-checked (r5-NEW), 46 r4-checked, 50 r5-checked.
+    # r6 prefix = the 11 never-checked first, then 39 of the 46 r4-aged.
+    # The 7 deferred r4-aged queries are each subsumed by a sibling that
+    # IS in a recent prefix (simhash_values / minhash_signatures /
+    # word_jaccard_pairs by the near-dup pair queries, pack_sequences by
+    # pack_sequences_nextfit, ema_per_user by rma_atr_hourly's shared EWM
+    # kernel, router_gate_from_cases by regime_cases, ml_keep_frac_grid
+    # by ml_confidence_keep + ml_net_confidence_keep).
+    # r7 NOTE: prefix = those 7 deferred r4-aged first, then 43 of the
+    # r5-checked block; r8 sweeps the remaining 7 r5-checked plus the
+    # then-aged r6 block. Keep recording exact ages here each round.
+    # --- the 11 never-driver-checked (r5-NEW) ---
+    "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
+    "streaming_incremental_dedup", "token_budget_plan",
+    "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
+    "retrieval_eval_ivf", "ann_ivf_topk", "kmv_quantile_value_by_type",
+    # --- 39 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
+    "priority_ship_exists", "backtest_range_kernel", "backtest_equity_curve",
+    "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
+    "quality_classifier_train_score", "pack_manifest",
+    "scrub_cross_doc_spans", "ml_net_confidence_keep",
+    "backtest_trend_kernel", "market_regime_pipeline", "curation_pipeline",
+    "ml_lr_gd_weights", "benchmark_decontam", "domain_caps",
+    "dup_spans_cross_doc", "doc_unigram_logprob", "pii_profile",
+    "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
+    "doc_repetition", "gopher_quality_flags", "cluster_split",
+    "retention_cohorts", "top_ngrams", "export_shard_manifest",
+    "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
+    "brand_volume", "rma_atr_hourly", "case_label_ladder",
+    "ml_forward_labels", "scrub_ffill_gates", "point_lookup_neighbors",
+    "calendar_weekly_ohlcv", "structure_breaks_hourly",
+]
+_ORACLE_TAIL = [
+    # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and
+    # unchanged since — demoted so the bounded prefix reaches the block
+    # above. SELFCHECK still covers these every round.
+    "sweep_pipeline", "media_audio_features", "streaming_doc_quality",
+    "pack_sequences_nextfit", "backtest_event_kernel", "ohlcv_5m",
+    "bucket_stats_daily", "ohlcv_1h_right_closed", "lag_lead_returns",
+    "rolling_stats", "cumsum_runmax", "vwap_daily", "rolling_pctl_of_last",
+    "true_range_atr", "asof_user_hourly", "dedup_keep_last",
+    "gap_ranges_hourly", "pricing_summary", "revenue_by_nation",
+    "top_orders", "sampled_revenue_by_nation", "user_sessions",
+    "events_pivot_daily", "funnel_click_purchase", "kmv_distinct_users",
+    "ohlcv_daily_cascade", "range_join_ship_windows",
     "quantile_value_by_type", "doc_exact_dedup", "cosine_topk", "lang_stats",
     "minhash_near_dup_pairs", "simhash_near_pairs", "embed_cosine_near_dup",
     "embed_near_dup_lsh", "shingle_jaccard_pairs", "dedup_clusters",
@@ -6599,23 +6623,6 @@ _FRONT = [
     "zscore_er_slope", "k_consecutive_and_islands", "mae_mfe_hourly",
     "ml_confidence_keep", "ann_lsh_topk", "regime_cases", "range_boxes",
     "sticky_regime_hourly", "streaming_ohlcv_bars",
-]
-_ORACLE_TAIL = [
-    # Driver-green in r4 (CORRECTNESS_r04: rows+schema+hash, zero err) and
-    # unchanged since — demoted so the bounded prefix reaches the block
-    # above. SELFCHECK still covers these every round.
-    "backtest_trend_kernel", "market_regime_pipeline", "curation_pipeline",
-    "ml_lr_gd_weights", "benchmark_decontam", "domain_caps",
-    "dup_spans_cross_doc", "doc_unigram_logprob", "pii_profile",
-    "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
-    "doc_repetition", "gopher_quality_flags", "cluster_split",
-    "retention_cohorts", "top_ngrams", "export_shard_manifest",
-    "mixture_sample_sources", "ann_ivf_seeded_topk",
-    "doc_token_stats", "ema_per_user", "brand_volume", "word_jaccard_pairs",
-    "simhash_values", "minhash_signatures", "rma_atr_hourly",
-    "case_label_ladder", "ml_forward_labels", "top_shared_minhash_bands",
-    "scrub_ffill_gates", "point_lookup_neighbors", "calendar_weekly_ohlcv",
-    "structure_breaks_hourly",
 ]
 
 

@@ -378,8 +378,47 @@ def run_doc_quality_ingest(
 # ---------------------------------------------------------------------------
 
 
-def _read_state(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.option("recursiveFileLookup", "true").parquet(root)
+def _state_batch_dirs(
+    spark: SparkSession, root: str, before_batch: int | None = None
+) -> list[str]:
+    """List the batch-addressed state dirs under ``root`` (``b-base`` plus
+    ``b-%05d`` siblings), keeping only tags strictly before
+    ``before_batch``. Uses the Hadoop FileSystem API so the listing works
+    on any supported store, not just the local FS."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith("b-"):
+            continue
+        if before_batch is not None and name != "b-base":
+            try:
+                if int(name[2:]) >= before_batch:
+                    continue
+            except ValueError:
+                pass
+        out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def _read_state(
+    spark: SparkSession, root: str, before_batch: int | None = None
+) -> DataFrame:
+    """Read the persisted dedup state. ``before_batch`` excludes the
+    current batch's own batch-addressed dirs: a replayed micro-batch
+    (crash AFTER the state writes but BEFORE the checkpoint commit) must
+    classify against exactly the state its first attempt saw — otherwise
+    the batch's kept reps find their own md5/signature in the index,
+    reclassify as duplicates of themselves, and the replay overwrites
+    the state paths with empty frames, erasing the persisted docs."""
+    dirs = _state_batch_dirs(spark, root, before_batch)
+    if not dirs:
+        return spark.read.option("recursiveFileLookup", "true").parquet(root)
+    return spark.read.option("recursiveFileLookup", "true").parquet(*dirs)
 
 
 def init_dedup_state(
@@ -432,7 +471,8 @@ def incremental_dedup_sink(
        (``dropDuplicates(doc_id)``);
     2. within-batch EXACT rule: the min-id doc per md5(text) is the
        batch representative; the others are ``exact_dup`` matching the
-       rep's own match when the rep is an exact dup, else the rep id.
+       rep's own match when the rep is itself a duplicate (exact OR
+       near — either way the rep is not kept), else the rep id.
        (Within-batch NEAR resolution is deliberately deferred to the
        periodic in-corpus pair run — the daily-snapshot discipline:
        classify-new-vs-corpus per ingest, full pair generation at
@@ -440,7 +480,12 @@ def incremental_dedup_sink(
     3. classify the representatives against the persisted state with
        :func:`~...textdedup.incremental_dedup` — md5 join against the
        exact index, MinHash band join against the signature index,
-       Jaccard verify against band-collided corpus-store docs only;
+       Jaccard verify against band-collided corpus-store docs only.
+       State reads EXCLUDE the current batch's own ``b-{batch_id}``
+       dirs (see :func:`_read_state`): a replay after a crash between
+       the state writes and the checkpoint commit classifies against
+       exactly the state the first attempt saw, instead of finding its
+       own md5/signatures and erasing itself;
     4. append the ``kept`` reps to all three state stores and write the
        batch's decision rows — every write an overwrite of a
        batch-addressed path, so a replayed micro-batch (restart before
@@ -465,9 +510,10 @@ def incremental_dedup_sink(
         b = b.withColumn("__rep", F.min("doc_id").over(w)).cache()
         reps = b.filter(F.col("doc_id") == F.col("__rep")).select("doc_id", "text")
 
-        corpus = _read_state(spark, os.path.join(state_root, "corpus"))
-        sig = _read_state(spark, os.path.join(state_root, "sig"))
-        exact = _read_state(spark, os.path.join(state_root, "exact"))
+        bid = int(batch_id)
+        corpus = _read_state(spark, os.path.join(state_root, "corpus"), bid)
+        sig = _read_state(spark, os.path.join(state_root, "sig"), bid)
+        exact = _read_state(spark, os.path.join(state_root, "exact"), bid)
 
         dec = incremental_dedup(
             corpus, reps, threshold=threshold, num_hashes=num_hashes,
@@ -486,8 +532,14 @@ def incremental_dedup_sink(
             .select(
                 "doc_id",
                 F.lit("exact_dup").alias("status"),
+                # chain through the rep's own match for BOTH dup statuses:
+                # a rep classified near_dup is not kept and never enters
+                # the corpus store, so pointing its within-batch exact
+                # twins at the rep id would leave a dangling match_id —
+                # the rep's near-dup target is the id that exists
                 F.when(
-                    F.col("__rep_status") == "exact_dup", F.col("__rep_match")
+                    F.col("__rep_status").isin("exact_dup", "near_dup"),
+                    F.col("__rep_match"),
                 ).otherwise(F.col("__rep")).alias("match_id"),
                 F.lit(None).cast("double").alias("jaccard"),
             )

@@ -338,3 +338,102 @@ def test_incremental_dedup_stream_state_and_restart(spark, tmp_path):
     assert got.loc[(1, 10), "status"] == "exact_dup"
     assert got.loc[(1, 10), "match_id"] == 10  # the GROWN index: itself
     assert got.loc[(1, 20), "status"] == "kept"
+
+
+def test_incremental_dedup_sink_replay_after_state_write(spark, tmp_path):
+    """ADVICE r5 (medium): a crash BETWEEN the sink's state-store writes
+    and the checkpoint commit replays the micro-batch with its own
+    ``b-{batch}`` state dirs already on disk. The replay must classify
+    against the state the FIRST attempt saw (state reads filter to tags
+    < batch_id) — without that filter the batch's kept reps find their
+    own md5 in the exact index, reclassify as exact_dup of themselves,
+    and the replay overwrites the state paths with empty frames."""
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        incremental_dedup_sink,
+        init_dedup_state,
+    )
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["alpha beta gamma delta epsilon zeta"],
+    }))
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    init_dedup_state(corpus, state)
+    sink = incremental_dedup_sink(state, out, threshold=0.5)
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [
+            "totally novel content with many fresh words here",
+            "alpha beta gamma delta epsilon zeta",
+        ],
+    }))
+
+    def decisions():
+        return (
+            spark.read.option("recursiveFileLookup", "true").parquet(out)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+
+    def corpus_ids():
+        return set(
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(state, "corpus"))
+            .toPandas()["doc_id"]
+        )
+
+    sink(batch, 0)  # first attempt: decisions + state b-00000 written
+    first = decisions()
+    assert first.loc[10, "status"] == "kept"
+    assert first.loc[11, "status"] == "exact_dup"
+    assert corpus_ids() == {1, 10}
+
+    sink(batch, 0)  # replay: crash landed before the checkpoint commit
+    second = decisions()
+    pd.testing.assert_frame_equal(first, second)
+    assert corpus_ids() == {1, 10}  # kept doc NOT erased by the replay
+
+    # and the grown state still decides the NEXT batch
+    sink(
+        spark.createDataFrame(pd.DataFrame({
+            "doc_id": [20],
+            "text": ["totally novel content with many fresh words here"],
+        })),
+        1,
+    )
+    assert decisions().loc[20, "status"] == "exact_dup"
+    assert decisions().loc[20, "match_id"] == 10
+
+
+def test_incremental_dedup_sink_chains_match_through_near_dup_rep(spark, tmp_path):
+    """ADVICE r5 (low): a within-batch exact twin of a rep that is itself
+    a NEAR dup must point at the rep's near-dup match (a kept, persisted
+    doc) — not at the rep id, which never entered the corpus store."""
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        incremental_dedup_sink,
+        init_dedup_state,
+    )
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["one two three four five six seven"],
+    }))
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    init_dedup_state(corpus, state)
+    sink = incremental_dedup_sink(state, out, threshold=0.5)
+    near_text = "one two three four five six EIGHT"
+    sink(
+        spark.createDataFrame(pd.DataFrame({
+            "doc_id": [10, 11], "text": [near_text, near_text],
+        })),
+        0,
+    )
+    got = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[10, "status"] == "near_dup"
+    assert got.loc[10, "match_id"] == 1
+    assert got.loc[11, "status"] == "exact_dup"
+    assert got.loc[11, "match_id"] == 1  # chained through the rep's match
