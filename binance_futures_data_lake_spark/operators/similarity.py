@@ -205,39 +205,156 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH banding + exact re-rank.
+    """ANN top-k via random-hyperplane LSH banding + exact re-rank, as ONE
+    zero-shuffle corpus pass.
 
-    Candidate generation is a join on (band_key): the corpus explodes to
-    `bands` rows/vector — at 100 TB that is the entire shuffle, and bucket
-    skew is bounded because a collision needs rows_per_band simultaneous
-    equal sign bits. Exact cosine runs on candidates only.
+    The query side is small by contract (same constraint as
+    :func:`brute_force_topk`): its vectors AND its per-band bucket keys
+    ride to every task as closure literals. The corpus pass is a single
+    ``mapInArrow`` kernel that, per Arrow batch, (1) signs the vectors
+    against the md5-derived hyperplanes, (2) packs each band's bits into
+    an int key, (3) looks the keys up in the query-side band dictionary
+    (sorted-array searchsorted + CSR gather — fully vectorized), (4)
+    dedups collided pairs across bands and excludes self-matches, (5)
+    scores the surviving candidates with one numpy einsum, and (6) takes
+    a per-batch partial top-k per query (k-th-value ties kept). Only
+    ≈ #batches·|Q|·k narrow triples reach the final ranking window — the
+    r5 shape (corpus explode to ``bands`` rows + band-key equi-join +
+    per-element SQL aggregate dots) cost 27.7 s at the 1M-vector probe
+    and is replaced outright; the corpus is scanned once and never
+    shuffled, exploded, or joined.
+
+    Bit-exactness: the sign of each plane dot must match the SQL fold
+    (``F.aggregate`` in :func:`rh_signatures`, ``list_dot_product`` in
+    the DuckDB oracle). The kernel computes the dots with one BLAS GEMM
+    and re-computes the rare entries with ``|dot| < 1e-9`` (the bound on
+    GEMM-vs-fold reassociation error is ~1e-12 for unit-scale planes)
+    using the exact sequential per-dim fold — identical IEEE op order —
+    so a reassociated near-zero dot can never flip a bucket bit.
+    Scoring uses the 6-dp-rounded cosine with an id tiebreak, as in
+    every other tier.
     """
+    import numpy as np
+    import pyarrow as pa
+
+    if n_planes % bands:
+        raise ValueError(f"n_planes {n_planes} not divisible by bands {bands}")
     rpb = n_planes // bands
-    csig = rh_signatures(corpus, dim, n_planes, id_col, vec_col)
-    qsig = rh_signatures(queries, dim, n_planes, id_col, vec_col)
-    cband = csig.select(
-        F.col("id").alias("neighbor_id"), "vec", "nrm",
-        F.explode(_band_keys(F.col("bits"), bands, rpb)).alias("band_key"),
-    )
-    qband = qsig.select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
-        F.explode(_band_keys(F.col("bits"), bands, rpb)).alias("band_key"),
-    )
-    cand = cband.join(F.broadcast(qband), "band_key").filter(
-        F.col("neighbor_id") != F.col("q_id")
-    )
-    # cosine BEFORE the dedup: a pair colliding in c bands is scored c
-    # times (vectorized, 64 flops each) so the dedup shuffle carries
-    # (q_id, neighbor_id, cosine) — ~24 B/row — instead of both full
-    # vectors (~1 KB/row). At probe scale the wide dedup shuffle was the
-    # stage's dominant cost (r5); duplicate scores are identical, so
-    # dropDuplicates on the narrow triple is exact.
-    sim = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    planes = np.array(hyperplanes(dim, n_planes), dtype=np.float64).T  # dim × P
+
+    q_pdf = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    id_type = dict(corpus.dtypes)[id_col]
+    if q_pdf.empty:
+        return corpus.sparkSession.createDataFrame(
+            [], f"q_id {id_type}, neighbor_id {id_type}, cosine double, rnk int"
+        )
+    q_ids = q_pdf["id"].to_numpy()
+    q_mat = np.array(q_pdf["vec"].tolist(), dtype=np.float64)
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    powers = 1 << np.arange(rpb, dtype=np.int64)
+
+    def _fold_dot(vec, p):
+        # the exact SQL fold: ((0 + t0) + t1) + ... in index order
+        acc = 0.0
+        for d in range(vec.size):
+            acc = acc + float(vec[d]) * planes[d, p]
+        return acc
+
+    def _bits(mat):
+        g = mat @ planes
+        near = np.abs(g) < 1e-9
+        if near.any():
+            for i, p in zip(*map(np.ndarray.tolist, np.nonzero(near))):
+                g[i, p] = _fold_dot(mat[i], p)
+        return g >= 0
+
+    def _pack(bits):
+        return bits.reshape(-1, bands, rpb).astype(np.int64) @ powers
+
+    q_keys = _pack(_bits(q_mat))  # |Q| × bands int keys
+    qmaps = []
+    for b in range(bands):
+        order = np.argsort(q_keys[:, b], kind="stable")
+        sk = q_keys[order, b]
+        uniq, start = np.unique(sk, return_index=True)
+        qmaps.append((uniq, np.append(start, sk.size).astype(np.int64), order))
+
+    def _kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            nids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat = np.asarray(rb.column(1).flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"ragged embedding column: {flat.size} values for {n} rows × dim {dim}"
+                )
+            mat = flat.reshape(n, dim)
+            keys = _pack(_bits(mat))
+            rows_all, q_all = [], []
+            for b in range(bands):
+                uniq, off, qord = qmaps[b]
+                kb = keys[:, b]
+                pos = np.minimum(np.searchsorted(uniq, kb), uniq.size - 1)
+                rows = np.flatnonzero(uniq[pos] == kb)
+                if rows.size == 0:
+                    continue
+                u = pos[rows]
+                cnt = off[u + 1] - off[u]
+                total = int(cnt.sum())
+                # CSR ragged gather: query indices of every (row, band) hit
+                gather = np.repeat(off[u], cnt) + (
+                    np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                )
+                rows_all.append(np.repeat(rows, cnt))
+                q_all.append(qord[gather])
+            if not rows_all:
+                continue
+            rows = np.concatenate(rows_all)
+            qq = np.concatenate(q_all)
+            # dedup pairs collided in several bands; drop self-matches
+            _, first = np.unique(qq.astype(np.int64) * n + rows, return_index=True)
+            rows, qq = rows[first], qq[first]
+            keep = nids[rows] != q_ids[qq]
+            rows, qq = rows[keep], qq[keep]
+            if rows.size == 0:
+                continue
+            sub = mat[rows]
+            nrm = np.sqrt(np.einsum("ij,ij->i", sub, sub))
+            dots = np.einsum("ij,ij->i", sub, q_mat[qq])
+            scaled = dots / (nrm * q_nrm[qq]) * 1e6
+            cos = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6  # round6
+            q_out, n_out, c_out = [], [], []
+            for j in np.unique(qq):
+                sel = np.flatnonzero(qq == j)
+                col = cos[sel]
+                if sel.size > k:
+                    thr = np.partition(col, -k)[-k]
+                    kp = col >= thr  # k-th-value ties kept; window tiebreaks
+                    sel, col = sel[kp], col[kp]
+                q_out.append(np.full(sel.size, q_ids[j]))
+                n_out.append(nids[rows[sel]])
+                c_out.append(col)
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(q_out)),
+                    pa.array(np.concatenate(n_out)),
+                    pa.array(np.concatenate(c_out)),
+                ],
+                names=["q_id", "neighbor_id", "cosine"],
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInArrow(_kernel, f"q_id {id_type}, neighbor_id {id_type}, cosine double")
+    # no dropDuplicates: each corpus row lives in exactly one Arrow batch
+    # and pairs are deduped in-kernel, so (q_id, neighbor_id) is unique
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.select("q_id", "neighbor_id", round6(sim).alias("cosine"))
-        .dropDuplicates(["q_id", "neighbor_id"])
-        .withColumn("rnk", F.row_number().over(w))
+        partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cosine", "rnk")
     )
