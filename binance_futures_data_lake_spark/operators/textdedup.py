@@ -133,13 +133,77 @@ def band_hashes(sig: DataFrame, rows_per_band: int) -> DataFrame:
     )
 
 
+def _collect_hot_band_keys(
+    banded: DataFrame, key_cols: list[str], max_band_freq: int, max_hot_keys: int
+) -> dict:
+    """Frequencies per band key (map-side-combinable agg), collected as a
+    ``{band: [hot values]}`` dict. The collect is bounded by construction —
+    at most |rows| / max_band_freq keys can exceed the cap — and guarded by
+    ``max_hot_keys`` so a pathological cap choice fails loudly instead of
+    OOMing the driver."""
+    hot = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_band_freq)
+        .select(*key_cols)
+        .collect()
+    )
+    if len(hot) > max_hot_keys:
+        raise ValueError(
+            f"{len(hot)} band keys exceed max_band_freq={max_band_freq} "
+            f"(> max_hot_keys={max_hot_keys}); raise the cap or pre-filter "
+            "the degenerate docs"
+        )
+    by_band: dict = {}
+    for r in hot:
+        by_band.setdefault(r[key_cols[0]], []).append(r[key_cols[1]])
+    return by_band
+
+
+def _hot_filter(key_col: str, by_band: dict):
+    """In-row predicate marking rows whose (band, key) is hot — a literal
+    expression chain, so dropping hot buckets costs no join or shuffle."""
+    cond = F.lit(False)
+    for band, vals in sorted(by_band.items()):
+        cond = cond | ((F.col("band") == band) & F.col(key_col).isin(vals))
+    return cond
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
+    sig: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_band_freq: int | None = None,
+    max_hot_keys: int = 100_000,
 ) -> DataFrame:
     """Band the long-format signature and emit candidate (doc_a, doc_b)
     pairs sharing at least one band. Jaccard s collides in a band with
-    probability s^r; P(candidate) = 1-(1-s^r)^b — the classic LSH S-curve."""
+    probability s^r; P(candidate) = 1-(1-s^r)^b — the classic LSH S-curve.
+
+    **Skew guard** (``max_band_freq``): a band value shared by m docs
+    contributes m²/2 candidate pairs to ONE join key — boilerplate-heavy
+    crawl data (empty docs, license headers, templated pages) concentrates
+    a quadratic candidate set on a handful of keys. Salting cannot help a
+    self-join: splitting a hot key across s sub-keys still produces every
+    one of the m² pairs, just on more tasks — the only scale-safe move is
+    to CAP the bucket: band values collided by more than ``max_band_freq``
+    docs are dropped from the join (both sides, an in-row literal
+    predicate — no extra shuffle; the frequency aggregate itself is one
+    map-side-combined pass over the banded rows). A pair is lost only if
+    EVERY band it collides in is hot — the standard recall trade web-scale
+    MinHash dedup makes (near-identical boilerplate should reach the
+    exact-dedup or quality-filter tiers instead). Default None preserves
+    exact all-pairs semantics. Audit the dropped keys with the same
+    aggregate this function runs: ``band_hashes(sig, r).groupBy("band",
+    "band_hash").count().filter("count > CAP")``.
+    """
     banded = band_hashes(sig, rows_per_band)
+    if max_band_freq is not None:
+        by_band = _collect_hot_band_keys(
+            banded, ["band", "band_hash"], max_band_freq, max_hot_keys
+        )
+        if by_band:
+            banded = banded.filter(~_hot_filter("band_hash", by_band))
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (
@@ -181,10 +245,15 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
-    """Full near-dup chain: sign → band → candidates → exact verify."""
+    """Full near-dup chain: sign → band → candidates → exact verify.
+    ``max_band_freq`` caps degenerate band buckets (see
+    :func:`lsh_candidate_pairs`)."""
     sig = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n)
-    cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    cand = lsh_candidate_pairs(
+        sig, bands, num_hashes // bands, max_band_freq=max_band_freq
+    )
     return jaccard_verify(docs, cand, shingle_n=shingle_n, threshold=threshold)
 
 
@@ -237,6 +306,8 @@ def hamming_near_pairs(
     bits: int = 64,
     n_bands: int | None = None,
     id_col: str = "doc_id",
+    max_band_freq: int | None = None,
+    max_hot_keys: int = 100_000,
 ) -> DataFrame:
     """All pairs whose ``value_col`` fingerprints differ in at most
     ``max_hamming`` bits — the generalized banded-hamming join shared by
@@ -267,6 +338,24 @@ def hamming_near_pairs(
     Bit extraction is unsigned shift + mask — ``floor(x / 2^k)`` goes
     through doubles and silently drops low bits past 2^53, and full
     64-bit fingerprints (image aHash) use the sign bit.
+
+    **Skew guard** (``max_band_freq``): a band value shared by m rows is
+    ONE join key carrying m² candidate comparisons — degenerate corpora
+    (millions of empty/near-empty docs collapsing to the same fingerprint
+    bits) turn the band join quadratic on a single key. Salting cannot
+    fix a self-join (it spreads the m² pairs across tasks without
+    shrinking them), so the guard CAPS the bucket: band values with more
+    than ``max_band_freq`` rows are dropped from the join via an in-row
+    literal predicate (the hot-key set is collected from one map-side-
+    combined frequency pass and is bounded by |rows| / cap, guarded by
+    ``max_hot_keys``). The smallest-band uniqueness rule is hot-aware: a
+    pair whose earlier clean band was dropped as hot is emitted from its
+    first NON-hot clean band instead of being lost — so a pair is lost
+    only when EVERY clean band it shares is hot, the explicit recall
+    trade web-scale near-dup makes for boilerplate. Default None keeps
+    exact all-pairs semantics. NOTE: when ``sims`` is an expensive
+    upstream (the simhash aggregation), persist it before calling with a
+    cap — the frequency pass re-evaluates it once.
     """
     if not (1 <= bits <= 64):
         raise ValueError(f"bits must be in [1, 64], got {bits}")
@@ -301,6 +390,13 @@ def hamming_near_pairs(
         .select("doc_id", "__fp", F.explode(bands).alias("bb"))
         .select("doc_id", "__fp", "bb.band", "bb.bv")
     )
+    hot_by_band: dict = {}
+    if max_band_freq is not None:
+        hot_by_band = _collect_hot_band_keys(
+            banded, ["band", "bv"], max_band_freq, max_hot_keys
+        )
+        if hot_by_band:
+            banded = banded.filter(~_hot_filter("bv", hot_by_band))
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("__fp").alias("sim_a"), "band", "bv"
     )
@@ -315,10 +411,24 @@ def hamming_near_pairs(
             == 0
         )
 
+    def _band_hot(i: int):
+        # the pair's band-i key is derivable from either fingerprint when
+        # the band is clean — hot membership is an in-row literal test
+        vals = hot_by_band.get(i)
+        if not vals:
+            return F.lit(False)
+        return (
+            F.shiftrightunsigned(F.col("sim_a"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .isin(vals)
+        )
+
     first_match = F.lit(True)
     for j in range(n_bands - 1):
+        # suppress a later-band emission only if an EARLIER band both
+        # matched (clean) and actually joined (its bucket was not hot)
         first_match = first_match & F.when(
-            F.col("band") > j, ~_band_clean(j)
+            F.col("band") > j, ~_band_clean(j) | _band_hot(j)
         ).otherwise(F.lit(True))
     return (
         a.join(b, ["band", "bv"])
@@ -331,7 +441,10 @@ def hamming_near_pairs(
 
 
 def simhash_near_pairs(
-    sims: DataFrame, max_hamming: int = 3, bits: int = 32
+    sims: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash — :func:`hamming_near_pairs` over the
     ``simhash`` column with the classic 4-band configuration (pigeonhole
@@ -344,7 +457,8 @@ def simhash_near_pairs(
     if bits % 4 != 0 or not (4 <= bits <= 60):
         raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
     return hamming_near_pairs(
-        sims, "simhash", max_hamming=max_hamming, bits=bits, n_bands=4
+        sims, "simhash", max_hamming=max_hamming, bits=bits, n_bands=4,
+        max_band_freq=max_band_freq,
     )
 
 

@@ -534,3 +534,93 @@ def test_hamming_near_pairs_generalized_vs_bruteforce(spark):
         hamming_near_pairs(df, "fp", max_hamming=5, bits=64, n_bands=5)
     with pytest.raises(ValueError):
         hamming_near_pairs(df, "fp", max_hamming=3, bits=70)
+
+
+def test_hamming_near_pairs_skew_guard(spark):
+    """Adversarial skew (VERDICT r5 #3): a degenerate corpus where
+    thousands of rows share one fingerprint must not build a quadratic
+    candidate stage. With ``max_band_freq`` the hot buckets drop out of
+    the join while pairs among NON-hot rows survive — including a pair
+    whose smallest clean band is hot, which must be emitted from its
+    first non-hot band instead of being lost."""
+    import pandas as pd
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_near_pairs,
+    )
+
+    n_hot = 5000
+    hot_fp = 0  # all four 8-bit bands collide for every hot row
+    # two clean near-pairs, far from the hot value and from each other:
+    # ids 100000/100001 (hamming 1) and 100002/100003 (hamming 2)
+    a, c = 0x5A5A5A5A, 0x0F0F0F0F
+    rows = pd.DataFrame({
+        "doc_id": list(range(n_hot)) + [100000, 100001, 100002, 100003],
+        "fp": [hot_fp] * n_hot + [a, a ^ 1, c, c ^ 0x21],
+    })
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_near_pairs(
+            df, "fp", max_hamming=3, bits=32, n_bands=4, max_band_freq=100
+        ).collect()
+    }
+    # hot-bucket pairs (n_hot^2/2 of them) are capped away; clean pairs kept
+    assert got == {(100000, 100001): 1, (100002, 100003): 2}
+
+    # hot-aware smallest-band rule: make band 0 hot for a pair that is
+    # ALSO clean in band 1 — the pair must still be emitted (from band 1)
+    b = 0x11111111
+    rows2 = pd.DataFrame({
+        "doc_id": list(range(n_hot)) + [200000, 200001],
+        # hot rows share ONLY band 0 (low byte) with the pair
+        "fp": [b & 0xFF] * n_hot + [b, b ^ (1 << 30)],
+    })
+    got2 = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_near_pairs(
+            spark.createDataFrame(rows2), "fp",
+            max_hamming=3, bits=32, n_bands=4, max_band_freq=100,
+        ).collect()
+    }
+    assert (200000, 200001) in got2 and got2[(200000, 200001)] == 1
+    assert all(x >= 200000 for p in got2 for x in p)
+
+    # uncapped semantics unchanged on the small clean set
+    clean = spark.createDataFrame(rows.tail(4))
+    base = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_near_pairs(
+            clean, "fp", max_hamming=3, bits=32, n_bands=4
+        ).collect()
+    }
+    assert base == {(100000, 100001): 1, (100002, 100003): 2}
+
+
+def test_lsh_candidate_pairs_skew_guard(spark):
+    """MinHash twin of the adversarial-skew test: one shared band value
+    across thousands of docs must not reach the self-join when capped;
+    distinct near-dup docs still produce their candidate pair."""
+    import pandas as pd
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n_hot = 2000
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    docs = pd.DataFrame({
+        "doc_id": list(range(n_hot)) + [100000, 100001],
+        "text": [boiler] * n_hot + [
+            "a genuinely unique document about sparks and rivers flowing east",
+            "a genuinely unique document about sparks and rivers flowing west",
+        ],
+    })
+    sig = minhash_signatures(spark.createDataFrame(docs))
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig, 8, 2, max_band_freq=100).collect()
+    }
+    assert (100000, 100001) in capped
+    assert all(x >= 100000 for p in capped for x in p)
