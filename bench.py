@@ -219,15 +219,21 @@ def main() -> None:
             "spark.sql.shuffle.partitions", str(min(32, os.cpu_count() or 8))
         )
 
+        # best-of-3 with a median column (VERDICT r5 #4): the r4→r5
+        # sub-second "regressions" needed a variance axis to separate
+        # contention noise from structural change — best prices the
+        # plan, best-vs-median prices the noise.
         sp10: dict[str, float] = {}
+        sp10_med: dict[str, float] = {}
         for name in HEADLINE:
             force(DQ.QUERIES[name](spark, dst))  # warm (JIT shapes shared)
-            best = float("inf")
-            for _ in range(2):
+            runs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 force(DQ.QUERIES[name](spark, dst))
-                best = min(best, time.perf_counter() - t0)
-            sp10[name] = round(best, 4)
+                runs.append(time.perf_counter() - t0)
+            sp10[name] = round(min(runs), 4)
+            sp10_med[name] = round(sorted(runs)[1], 4)
 
         from tests.oracle_utils import TABLES
 
@@ -240,13 +246,15 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                 )
         dk10: dict[str, float] = {}
+        dk10_med: dict[str, float] = {}
         for name in HEADLINE:
-            best = float("inf")
-            for _ in range(2):
+            runs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.sql(DQ.ORACLE[name]).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            dk10[name] = round(best, 4)
+                runs.append(time.perf_counter() - t0)
+            dk10[name] = round(min(runs), 4)
+            dk10_med[name] = round(sorted(runs)[1], 4)
         con.close()
 
         sp_total = round(sum(sp10.values()), 4)
@@ -256,8 +264,12 @@ def main() -> None:
             "spark_serial_total": sp_total,
             "duckdb_serial_total": dk_total,
             "ratio_vs_duckdb": round(sp_total / dk_total, 4),
+            "spark_serial_total_median": round(sum(sp10_med.values()), 4),
+            "duckdb_serial_total_median": round(sum(dk10_med.values()), 4),
             "spark_queries": sp10,
             "duckdb_queries": dk10,
+            "spark_queries_median": sp10_med,
+            "duckdb_queries_median": dk10_med,
         }
     except Exception as ex:  # keep the one-JSON-line contract no matter what
         serial_10x = {"error": f"{type(ex).__name__}: {ex}"[:300]}

@@ -146,9 +146,15 @@ def cmd_aggregate(args) -> int:
 
 
 def cmd_plot(args) -> int:
-    """S15 plot sink (reference scripts/research/plot_weekly_candles_v1.py
-    as a CLI verb): weekly candles for one symbol -> SVG file."""
-    from binance_futures_data_lake_spark.operators.plotsink import plot_weekly_candles
+    """S15 plot sink as a CLI verb. ``--mode weekly`` (default): weekly
+    candles per symbol (reference plot_weekly_candles_v1.py). ``--mode
+    ranges``: H1 bars with detected-range box overlays (reference
+    plot_detected_ranges_v1.py) — narrow-range candidate islands expanded
+    by containment, colored by breakout status."""
+    from binance_futures_data_lake_spark.operators.plotsink import (
+        plot_detected_ranges,
+        plot_weekly_candles,
+    )
     from binance_futures_data_lake_spark.sources import lake
 
     symbols = _resolve_symbols(args)
@@ -158,12 +164,24 @@ def cmd_plot(args) -> int:
     raw = lake.read_lake(spark, raw_root(args.base_dir))
     os.makedirs(args.out_dir, exist_ok=True)
     for sym in symbols:
-        path = os.path.join(args.out_dir, f"weekly_candles_{sym}.svg")
-        plot_weekly_candles(
-            raw, ["symbol"], sym, path,
-            value_col="close", max_weeks=args.max_weeks,
-            title=f"{sym} Weekly Candles",
-        )
+        if args.mode == "ranges":
+            from binance_futures_data_lake_spark.operators.resample import (
+                resample_bars,
+            )
+
+            bars = resample_bars(raw, 60, ["symbol"], complete_only=False)
+            path = os.path.join(args.out_dir, f"detected_ranges_{sym}.svg")
+            plot_detected_ranges(
+                bars, ["symbol"], sym, path, ts_col="ts",
+                title=f"{sym} Detected Ranges (H1)",
+            )
+        else:
+            path = os.path.join(args.out_dir, f"weekly_candles_{sym}.svg")
+            plot_weekly_candles(
+                raw, ["symbol"], sym, path,
+                value_col="close", max_weeks=args.max_weeks,
+                title=f"{sym} Weekly Candles",
+            )
         print(json.dumps({"symbol": sym, "wrote": path}))
     return 0
 
@@ -220,10 +238,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(v)
     v.add_argument("--tf", default="all", choices=["all", "m1", *TF_MINUTES])
 
-    pl = sub.add_parser("plot", help="weekly-candle SVG export (S15 sink)")
+    pl = sub.add_parser("plot", help="SVG chart export (S15 sink)")
     common(pl)
     pl.add_argument("--out-dir", default=os.path.join(os.getcwd(), "plots"))
     pl.add_argument("--max-weeks", type=int, default=200)
+    pl.add_argument("--mode", default="weekly", choices=["weekly", "ranges"])
     return p
 
 

@@ -268,6 +268,62 @@ def router_gate_from_cases(
 
 # --- W21: range-box expansion -----------------------------------------------
 
+def range_box_candidates(
+    bars: DataFrame,
+    by: Sequence[str],
+    ts_col: str = "bucket_ts",
+    lookback: int = 6,
+    narrow_frac: float = 0.02,
+    min_bars: int = 2,
+) -> DataFrame:
+    """Narrow-range islands → candidate boxes (the detection half of W21,
+    build_range_boxes_from_flats_v2.py:40-103): a bar is *narrow* when its
+    ``lookback``-bar rolling high−low range is below ``narrow_frac`` of the
+    close; consecutive narrow bars consolidate into one candidate
+    (island id), keeping islands of ≥ ``min_bars`` bars, with the island's
+    min-low/max-high as the box levels and a deterministic dense-rank
+    ``cand_id``. Everything is window algebra — no collection, no kernel;
+    pairs with :func:`expand_boxes` for the containment expansion."""
+    from pyspark.sql import Window
+
+    by = list(by)
+    order = [ts_col]
+    rng = W.rolling_max("high", lookback, by, order, min_periods=lookback) - (
+        W.rolling_min("low", lookback, by, order, min_periods=lookback)
+    )
+    med = bars.withColumn("__rng", rng).filter(F.col("__rng").isNotNull())
+    narrow = med.withColumn(
+        "__narrow", F.col("__rng") < F.col("close") * F.lit(float(narrow_frac))
+    )
+    isl = narrow.withColumn(
+        "__island",
+        W.island_id(
+            F.coalesce(
+                F.col("__narrow") != W.lag_col("__narrow", 1, by, order),
+                F.lit(True),
+            ),
+            by, order,
+        ),
+    )
+    return (
+        isl.filter(F.col("__narrow"))
+        .groupBy(*by, "__island")
+        .agg(
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.min("low").alias("range_low"),
+            F.max("high").alias("range_high"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+        .filter(F.col("n_src") >= int(min_bars))
+        .withColumn(
+            "cand_id",
+            F.dense_rank().over(Window.orderBy(*by, "start_ts")).cast("long"),
+        )
+        .select(*by, "cand_id", "start_ts", "end_ts", "range_low", "range_high")
+    )
+
+
 BOX_SCHEMA_FIELDS = [
     T.StructField("cand_id", T.LongType()),
     T.StructField("box_start", T.TimestampType()),

@@ -440,6 +440,81 @@ def hamming_near_pairs(
     )
 
 
+def hamming_match_existing(
+    existing: DataFrame,
+    new: DataFrame,
+    value_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Min-id EXISTING match within ``max_hamming`` bits for each NEW row —
+    the cross-set (snapshot-vs-corpus) variant of
+    :func:`hamming_near_pairs`, the simhash tier of the daily-ingest
+    dedup pattern. Same pigeonhole banding (``n_bands`` disjoint bit
+    bands force ≥1 identical band for any qualifying pair, so recall is
+    exact); the join shuffles ``n_bands`` narrow rows per fingerprint on
+    each side instead of the |new|·|existing| cross product, and
+    multi-band collisions collapse in the final per-doc aggregate
+    (min-id match + that match's hamming, both replayable as SQL
+    ``min`` / ``arg_min``).
+
+    Output: one row per new doc that HAS a match —
+    ``(doc_id, match_id, hamming)``."""
+    if not (1 <= bits <= 64):
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not (max_hamming < n_bands <= bits):
+        raise ValueError(
+            f"need max_hamming < n_bands <= bits for pigeonhole recall, "
+            f"got max_hamming={max_hamming}, n_bands={n_bands}, bits={bits}"
+        )
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def _banded(df, idc, fpc):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(fpc), offsets[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .alias("bv"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return (
+            df.select(F.col(idc), F.col(fpc), F.explode(arr).alias("bb"))
+            .select(idc, fpc, "bb.band", "bb.bv")
+        )
+
+    e = _banded(
+        existing.select(
+            F.col(id_col).alias("e_id"), F.col(value_col).alias("e_fp")
+        ),
+        "e_id", "e_fp",
+    )
+    nn = _banded(
+        new.select(F.col(id_col).alias("doc_id"), F.col(value_col).alias("n_fp")),
+        "doc_id", "n_fp",
+    )
+    ham = F.bit_count(F.col("e_fp").bitwiseXOR(F.col("n_fp")))
+    return (
+        nn.join(e, ["band", "bv"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_id")
+        .agg(
+            F.min("e_id").alias("match_id"),
+            F.min_by("hamming", "e_id").alias("hamming"),
+        )
+    )
+
+
 def simhash_near_pairs(
     sims: DataFrame,
     max_hamming: int = 3,

@@ -3878,6 +3878,152 @@ def q_streaming_incremental_dedup(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _streaming_simhash_sql() -> str:
+    """Batch replay of the 3-drop SimHash streaming ingest: fingerprints
+    come from ONE corpus-wide simhash CTE (fingerprints depend only on
+    text); layer c classifies chunk c against ef{c} = base ∪ kept-so-far
+    fingerprints — the exact content of the persisted index the stream's
+    batch c reads (brute-force hamming here; the engine's banded join is
+    pigeonhole-exact, so the pair sets coincide)."""
+    sql = f"""
+    WITH {_SIMHASH_CTES},
+    e0 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+    n0 AS (SELECT DISTINCT doc_id FROM documents
+           WHERE doc_id % 5 = 0 AND (doc_id // 5) % 3 = 0),
+    n1 AS (SELECT DISTINCT doc_id FROM documents
+           WHERE doc_id % 5 = 0 AND (doc_id // 5) % 3 = 1),
+    n2 AS (SELECT DISTINCT doc_id FROM documents
+           WHERE doc_id % 5 = 0
+             AND ((doc_id // 5) % 3 = 2 OR (doc_id // 5) % 6 = 0))"""
+    for c in range(3):
+        sql += f"""
+    , ef{c} AS (SELECT e.doc_id, s.simhash FROM e{c} e JOIN shv s USING (doc_id))
+    , nf{c} AS (SELECT nn.doc_id, s.simhash FROM n{c} nn JOIN shv s USING (doc_id))
+    , nr{c} AS (
+      SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS rep
+      FROM nf{c}
+    )
+    , reps{c} AS (SELECT doc_id, simhash FROM nr{c} WHERE doc_id = rep)
+    , mt{c} AS (
+      SELECT r.doc_id, min(e.doc_id) AS match_id,
+             arg_min(bit_count(xor(r.simhash, e.simhash)), e.doc_id) AS ham
+      FROM reps{c} r JOIN ef{c} e
+        ON bit_count(xor(r.simhash, e.simhash)) <= 3
+      GROUP BY 1
+    )
+    , repdec{c} AS (
+      SELECT r.doc_id,
+             CASE WHEN m.match_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'kept' END AS status,
+             m.match_id, CAST(m.ham AS INT) AS hamming
+      FROM reps{c} r LEFT JOIN mt{c} m USING (doc_id)
+    )
+    , windec{c} AS (
+      SELECT nr.doc_id, 'near_dup' AS status,
+             CASE WHEN rd.status = 'near_dup' THEN rd.match_id
+                  ELSE nr.rep END AS match_id,
+             CAST(CASE WHEN rd.status = 'near_dup' THEN rd.hamming
+                       ELSE 0 END AS INT) AS hamming
+      FROM nr{c} nr JOIN repdec{c} rd ON rd.doc_id = nr.rep
+      WHERE nr.doc_id <> nr.rep
+    )
+    , dec{c} AS (
+      SELECT CAST({c} AS INT) AS batch, doc_id, status, match_id, hamming
+      FROM repdec{c}
+      UNION ALL
+      SELECT CAST({c} AS INT), doc_id, status, match_id, hamming
+      FROM windec{c}
+    )"""
+        if c < 2:
+            sql += f"""
+    , e{c + 1} AS (
+      SELECT doc_id FROM e{c}
+      UNION ALL
+      SELECT r.doc_id FROM reps{c} r JOIN repdec{c} d USING (doc_id)
+      WHERE d.status = 'kept'
+    )"""
+    return sql + """
+    SELECT batch, doc_id, status, match_id, hamming FROM dec0
+    UNION ALL SELECT batch, doc_id, status, match_id, hamming FROM dec1
+    UNION ALL SELECT batch, doc_id, status, match_id, hamming FROM dec2
+    """
+
+
+@register(
+    "streaming_simhash_dedup",
+    cache_plan=False,  # runs a stream + temp state dirs per call
+    sql=_streaming_simhash_sql(),
+)
+def q_streaming_simhash_dedup(spark, sf_dir):
+    """Streaming SimHash dedup — the banded-hamming tier's streaming twin,
+    completing streaming coverage of all three batch dedup tiers (exact
+    md5 ∕ MinHash ∕ SimHash). Three staged crawl drops stream through
+    ``maxFilesPerTrigger=1`` micro-batches; each batch is fingerprinted,
+    classified against the PERSISTED, GROWING fingerprint index via the
+    pigeonhole band join (hamming ≤ 3 over 32 bits), and its kept docs'
+    fingerprints are upserted BEFORE the next batch runs. Drop 2
+    re-delivers half of drop 0's docs — the poison: the hash fails
+    unless batch-0 state actually reached batch 2 (a kept doc
+    re-classifies as near_dup at hamming 0 of itself). The oracle
+    replays the three layers brute-force against base ∪ kept-so-far
+    (streaming/pipeline.py run_incremental_simhash_stream)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        init_simhash_state,
+        run_incremental_simhash_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bfdl_incrsim_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("doc_id") * F.lit(60_000_000)
+            ).alias("ts"),
+            "text", "lang", "source",
+        )
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        chunk_of = F.expr("(doc_id div 5) % 3")
+        redeliver = F.expr("(doc_id div 5) % 6") == 0
+        for i in range(3):
+            chunk = new.filter(chunk_of == i)
+            if i == 2:  # re-deliver half of drop 0 against the GROWN index
+                chunk = chunk.unionByName(new.filter(redeliver))
+            stage = os.path.join(work, f"stage-{i}")
+            chunk.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"chunk-{i}.parquet")
+            shutil.move(part, dst)
+            # file-source batches follow modification time; pin the order
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        state = os.path.join(work, "state")
+        init_simhash_state(docs.filter(F.col("doc_id") % 5 != 0), state)
+        out_root = os.path.join(work, "out")
+        q = run_incremental_simhash_stream(
+            spark, src, state, out_root, os.path.join(work, "ckpt"),
+            max_hamming=3, bits=32,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("incremental simhash stream did not finish in 600 s")
+        out = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_root)
+            .select("batch", "doc_id", "status", "match_id", "hamming")
+        )
+        rows = out.collect()  # bounded: one row per delivered doc instance
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "bpe_token_stats",
     # Both engines run the SAME regex language (no lookarounds, no
@@ -4542,40 +4688,14 @@ def q_router_gate_from_cases(spark, sf_dir):
 def q_range_boxes(spark, sf_dir):
     """SURVEY W21: narrow-range islands → candidate boxes → bidirectional
     containment expansion with confirm-bars tolerance (cogrouped kernel)."""
-    from binance_futures_data_lake_spark.operators.structure import expand_boxes
+    from binance_futures_data_lake_spark.operators.structure import (
+        expand_boxes,
+        range_box_candidates,
+    )
 
     bars = _hourly_bars(spark, sf_dir)
-    by, order = ["event_type"], ["bucket_ts"]
-    rng = W.rolling_max("high", 6, by, order, min_periods=6) - W.rolling_min(
-        "low", 6, by, order, min_periods=6
-    )
-    med = bars.withColumn("rng6", rng).filter(F.col("rng6").isNotNull())
-    narrow = med.withColumn("narrow", F.col("rng6") < F.col("close") * 1.2)
-    isl = narrow.withColumn(
-        "island",
-        W.island_id(
-            F.coalesce(
-                F.col("narrow") != W.lag_col("narrow", 1, by, order), F.lit(True)
-            ),
-            by, order,
-        ),
-    )
-    cands = (
-        isl.filter(F.col("narrow"))
-        .groupBy("event_type", "island")
-        .agg(
-            F.min("bucket_ts").alias("start_ts"),
-            F.max("bucket_ts").alias("end_ts"),
-            F.min("low").alias("range_low"),
-            F.max("high").alias("range_high"),
-            F.count(F.lit(1)).alias("n_src"),
-        )
-        .filter(F.col("n_src") >= 2)
-        .withColumn("cand_id", F.dense_rank().over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window
-            .orderBy("event_type", "start_ts")
-        ).cast("long"))
-        .select("event_type", "cand_id", "start_ts", "end_ts", "range_low", "range_high")
+    cands = range_box_candidates(
+        bars, ["event_type"], lookback=6, narrow_frac=1.2, min_bars=2
     )
     out = expand_boxes(
         bars, cands, ["event_type"], ts_col="bucket_ts",
@@ -6579,9 +6699,13 @@ _FRONT = [
     # pack_sequences_nextfit, ema_per_user by rma_atr_hourly's shared EWM
     # kernel, router_gate_from_cases by regime_cases, ml_keep_frac_grid
     # by ml_confidence_keep + ml_net_confidence_keep).
-    # r7 NOTE: prefix = those 7 deferred r4-aged first, then 43 of the
-    # r5-checked block; r8 sweeps the remaining 7 r5-checked plus the
-    # then-aged r6 block. Keep recording exact ages here each round.
+    # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
+    # (bumped from this prefix for the r6-NEW streaming_simhash_dedup)
+    # first, then 42 of the r5-checked block; r8 sweeps the remaining 8
+    # r5-checked plus the then-aged r6 block. Keep recording exact ages
+    # here each round.
+    # --- r6-NEW ---
+    "streaming_simhash_dedup",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
@@ -6601,7 +6725,7 @@ _FRONT = [
     "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
     "brand_volume", "rma_atr_hourly", "case_label_ladder",
     "ml_forward_labels", "scrub_ffill_gates", "point_lookup_neighbors",
-    "calendar_weekly_ohlcv", "structure_breaks_hourly",
+    "calendar_weekly_ohlcv",
 ]
 _ORACLE_TAIL = [
     # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and

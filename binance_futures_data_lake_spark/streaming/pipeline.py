@@ -603,3 +603,160 @@ def run_incremental_dedup_stream(
         .start()
     )
     return q
+
+
+def init_simhash_state(
+    corpus: DataFrame,
+    state_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> None:
+    """Seed the persistent SIMHASH dedup index from the existing corpus:
+    one ``(doc_id, simhash)`` row per kept doc under
+    ``state_root/sim/b-base``. Ingest batches add batch-addressed
+    siblings (same layout discipline as :func:`init_dedup_state`), so
+    state reads are a recursive parquet scan filtered to tags before the
+    current batch."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.textdedup import simhash
+
+    simhash(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        bits=bits,
+    ).write.mode("overwrite").parquet(os.path.join(state_root, "sim", "b-base"))
+
+
+def incremental_simhash_sink(
+    state_root: str,
+    out_root: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+):
+    """foreachBatch sink for :func:`run_incremental_simhash_stream` — the
+    banded-hamming (SimHash) streaming twin of the md5/MinHash tiers in
+    :func:`incremental_dedup_sink`, completing the three batch dedup
+    tiers' streaming coverage.
+
+    Per micro-batch:
+
+    1. collapse at-least-once redelivery within the batch
+       (``dropDuplicates(doc_id)``) and fingerprint the docs;
+    2. within-batch rule: the min-id doc per fingerprint VALUE is the
+       representative (identical fingerprint = hamming 0); the others
+       are ``near_dup`` chaining through the rep's own match when the
+       rep is itself a dup;
+    3. classify the representatives against the persisted fingerprint
+       index with :func:`~...textdedup.hamming_match_existing` — the
+       pigeonhole band join, min-id match, that match's hamming. State
+       reads EXCLUDE the current batch's own dirs (see
+       :func:`_read_state`) so a replay after a crash between the state
+       writes and the checkpoint commit converges to the first
+       attempt's output instead of matching itself;
+    4. append the ``kept`` reps' fingerprints to the index and write the
+       batch's decision rows — every write an overwrite of a
+       batch-addressed path: exactly-once downstream from an
+       at-least-once trigger.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_match_existing,
+        simhash,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        b = batch_df.dropDuplicates(["doc_id"]).select("doc_id", "text")
+        fps = simhash(b, bits=bits)
+        w = Window.partitionBy("simhash")
+        fps = fps.withColumn("__rep", F.min("doc_id").over(w)).cache()
+        reps = fps.filter(F.col("doc_id") == F.col("__rep")).select(
+            "doc_id", "simhash"
+        )
+
+        idx = _read_state(spark, os.path.join(state_root, "sim"), bid)
+        match = hamming_match_existing(
+            idx, reps, max_hamming=max_hamming, bits=bits
+        )
+        dec = (
+            reps.join(match, "doc_id", "left")
+            .select(
+                "doc_id",
+                "simhash",
+                F.when(F.col("match_id").isNotNull(), F.lit("near_dup"))
+                .otherwise(F.lit("kept")).alias("status"),
+                "match_id",
+                F.col("hamming").cast("int").alias("hamming"),
+            )
+            .cache()
+        )
+        rep_match = dec.select(
+            F.col("doc_id").alias("__rep"),
+            F.col("status").alias("__rep_status"),
+            F.col("match_id").alias("__rep_match"),
+            F.col("hamming").alias("__rep_hamming"),
+        )
+        within = (
+            fps.filter(F.col("doc_id") != F.col("__rep"))
+            .join(rep_match, "__rep")
+            .select(
+                "doc_id",
+                F.lit("near_dup").alias("status"),
+                # identical fingerprint ⇒ same distance to the rep's
+                # match; chain so match_id always names a persisted doc
+                F.when(
+                    F.col("__rep_status") == "near_dup", F.col("__rep_match")
+                ).otherwise(F.col("__rep")).alias("match_id"),
+                F.when(
+                    F.col("__rep_status") == "near_dup", F.col("__rep_hamming")
+                ).otherwise(F.lit(0)).cast("int").alias("hamming"),
+            )
+        )
+        decisions = (
+            dec.select("doc_id", "status", "match_id", "hamming")
+            .unionByName(within)
+            .withColumn("batch", F.lit(bid))
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"b-{bid:05d}")
+        )
+        dec.filter(F.col("status") == "kept").select("doc_id", "simhash").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_root, "sim", f"b-{bid:05d}"))
+        dec.unpersist()
+        fps.unpersist()
+
+    return _sink
+
+
+def run_incremental_simhash_stream(
+    spark: SparkSession,
+    source_path: str,
+    state_root: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    max_files_per_trigger: int | None = 1,
+):
+    """Document file stream → per-batch SimHash dedup against the persisted
+    fingerprint index (see :func:`incremental_simhash_sink`), availableNow
+    trigger. ``maxFilesPerTrigger=1`` makes each staged crawl drop its own
+    micro-batch, so cross-drop redelivery exercises the GROWN index."""
+    docs = stream_docs(spark, source_path, max_files_per_trigger)
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(
+            incremental_simhash_sink(state_root, out_root, max_hamming, bits)
+        )
+        .start()
+    )

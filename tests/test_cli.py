@@ -103,3 +103,27 @@ def test_plot_writes_svg_per_symbol(spark, tmp_path, capsys):
     assert wrote and wrote[-1]["symbol"] == "BTCUSDT"
     svg = open(wrote[-1]["wrote"]).read()
     assert svg.startswith("<svg") and ("#1f9d55" in svg or "#d64545" in svg)
+
+
+def test_plot_ranges_mode_writes_overlay_svg(spark, tmp_path, capsys):
+    base = str(tmp_path)
+    _write_symbols(base, ["BTCUSDT"])
+    t1 = T0 + 600 * MIN_MS
+    assert cli.main(
+        ["collect", "--base-dir", base, "--start-ms", str(T0),
+         "--end-ms", str(t1 - 1), "--sleep-sec", "0"],
+        transport=FakeKlines(T0, t1),
+    ) == 0
+    assert cli.main(["compact", "--base-dir", base]) == 0
+
+    out_dir = os.path.join(base, "plots")
+    assert cli.main(
+        ["plot", "--mode", "ranges", "--base-dir", base, "--out-dir", out_dir]
+    ) == 0
+    lines = [json.loads(s) for s in capsys.readouterr().out.splitlines() if s.startswith("{")]
+    wrote = [r for r in lines if "wrote" in r]
+    assert wrote and wrote[-1]["wrote"].endswith("detected_ranges_BTCUSDT.svg")
+    svg = open(wrote[-1]["wrote"]).read()
+    # candles always render; boxes depend on the synthetic walk's flatness
+    assert svg.startswith("<svg") and ("#1e8449" in svg or "#c0392b" in svg)
+    assert "Range ACTIVE" in svg  # legend marks the overlay chart variant

@@ -105,3 +105,102 @@ def test_ohlc_mode_uses_real_ohlc_columns(spark):
     # explicit single-value mode still builds candles from closes
     sv = weekly_candles_frame(df, ["symbol"], value_col="close", ohlc_cols=False).collect()[0]
     assert sv.high == 14.0 and sv.open == 12.0
+
+
+def _range_bars(spark):
+    """H1 bars: 6 warm-up bars, a tight 8-bar range at ~100, then a clean
+    breakout up to 110 — one detectable box whose first post-box close is
+    above range_high."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2026, 1, 5, 0, 0)
+    prices = (
+        [90.0, 91.0, 92.0, 93.0, 94.0, 95.0]       # ramp (wide rolling range)
+        + [100.0, 100.4, 99.8, 100.2, 100.1, 99.9, 100.3, 100.0]  # flat box
+        + [110.0, 111.0, 112.0]                     # breakout up
+    )
+    for i, p in enumerate(prices):
+        rows.append(
+            ("BTC", t0 + dt.timedelta(hours=i), p, p + 0.3, p - 0.3, p + 0.1)
+        )
+    return spark.createDataFrame(
+        rows, ["symbol", "bucket_ts", "open", "high", "low", "close"]
+    )
+
+
+def test_range_overlay_status_and_marks(spark, tmp_path):
+    """Detect → expand → status → render: the flat segment must produce a
+    candidate box, the first post-box close (110.1 > range_high) must
+    label it BREAKOUT_UP, and the SVG must carry the breakout-colored box
+    rect under the candles (reference plot_detected_ranges_v1.py marks)."""
+    from binance_futures_data_lake_spark.operators.plotsink import (
+        BOX_BREAK_UP,
+        plot_detected_ranges,
+        range_overlay_frame,
+    )
+    from binance_futures_data_lake_spark.operators.structure import (
+        expand_boxes,
+        range_box_candidates,
+    )
+
+    bars = _range_bars(spark)
+    cands = range_box_candidates(
+        bars, ["symbol"], lookback=4, narrow_frac=0.02, min_bars=2
+    )
+    crows = cands.collect()
+    assert len(crows) >= 1
+    boxes = expand_boxes(bars, cands, ["symbol"]).join(
+        cands.select("symbol", "cand_id", "range_low", "range_high"),
+        ["symbol", "cand_id"],
+    )
+    framed = {r.cand_id: r for r in range_overlay_frame(bars, boxes, ["symbol"]).collect()}
+    assert any(r.status == "BREAKOUT_UP" for r in framed.values())
+
+    out = tmp_path / "ranges.svg"
+    p = plot_detected_ranges(
+        bars, ["symbol"], "BTC", str(out), lookback=4, narrow_frac=0.02
+    )
+    svg = open(p).read()
+    assert svg.startswith("<svg") and svg.rstrip().endswith("</svg>")
+    assert BOX_BREAK_UP[0] in svg            # breakout-up box fill present
+    assert svg.count("<rect") > len(_range_bars(spark).collect())  # boxes + bodies
+    # byte-determinism: identical input ⇒ identical bytes
+    p2 = plot_detected_ranges(
+        bars, ["symbol"], "BTC", str(tmp_path / "ranges2.svg"),
+        lookback=4, narrow_frac=0.02,
+    )
+    assert open(p).read() == open(p2).read()
+
+
+def test_range_overlay_active_when_no_breakout(spark, tmp_path):
+    """A box whose post-box closes stay inside the range must stay ACTIVE
+    (and a box with NO later bars must also be ACTIVE, not null)."""
+    import datetime as dt
+
+    from binance_futures_data_lake_spark.operators.plotsink import (
+        range_overlay_frame,
+    )
+    from binance_futures_data_lake_spark.operators.structure import (
+        expand_boxes,
+        range_box_candidates,
+    )
+
+    t0 = dt.datetime(2026, 1, 5, 0, 0)
+    prices = [90.0, 91.0, 92.0, 93.0] + [100.0, 100.2, 99.9, 100.1, 100.0, 99.8]
+    bars = spark.createDataFrame(
+        [
+            ("BTC", t0 + dt.timedelta(hours=i), p, p + 0.3, p - 0.3, p + 0.1)
+            for i, p in enumerate(prices)
+        ],
+        ["symbol", "bucket_ts", "open", "high", "low", "close"],
+    )
+    cands = range_box_candidates(
+        bars, ["symbol"], lookback=4, narrow_frac=0.02, min_bars=2
+    )
+    boxes = expand_boxes(bars, cands, ["symbol"]).join(
+        cands.select("symbol", "cand_id", "range_low", "range_high"),
+        ["symbol", "cand_id"],
+    )
+    rows = range_overlay_frame(bars, boxes, ["symbol"]).collect()
+    assert rows and all(r.status == "ACTIVE" for r in rows)

@@ -437,3 +437,87 @@ def test_incremental_dedup_sink_chains_match_through_near_dup_rep(spark, tmp_pat
     assert got.loc[10, "match_id"] == 1
     assert got.loc[11, "status"] == "exact_dup"
     assert got.loc[11, "match_id"] == 1  # chained through the rep's match
+
+
+def test_incremental_simhash_stream_state_restart_and_replay(spark, tmp_path):
+    """SimHash streaming tier (r6): cross-batch index growth + restart
+    idempotency + replay-after-state-write convergence, the same contract
+    as the md5/MinHash tiers. A doc KEPT in drop 0 and re-delivered in
+    drop 1 must classify near_dup at hamming 0 OF ITSELF (only possible
+    if drop 0's index upsert reached drop 1); a replayed batch must
+    re-write identical decisions without erasing its own kept docs."""
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        incremental_simhash_sink,
+        init_simhash_state,
+        run_incremental_simhash_stream,
+    )
+
+    base_ts = pd.Timestamp("2024-01-01").tz_localize("UTC")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1],
+            "text": ["alpha beta gamma delta epsilon zeta eta theta"],
+        })
+    )
+    state = str(tmp_path / "state")
+    init_simhash_state(corpus, state)
+
+    def drop(i, rows):
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        df["ts"] = base_ts
+        df["lang"], df["source"] = "en", "t"
+        p = tmp_path / f"chunk-{i}.parquet"
+        df[["doc_id", "ts", "text", "lang", "source"]].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    novel = "totally different content with many unrelated fresh words here"
+    near_of_base = "alpha beta gamma delta epsilon zeta eta iota"  # 1 token off
+    drop(0, [(10, novel), (11, near_of_base), (12, novel)])
+    drop(1, [(10, novel), (20, "entirely new payload nothing shared at all now")])
+
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second run = restart against committed checkpoint
+        q = run_incremental_simhash_stream(
+            spark, str(tmp_path), state, out_root, ckpt, max_hamming=3, bits=32,
+        )
+        assert q.awaitTermination(300)
+    got = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_root)
+        .toPandas().set_index(["batch", "doc_id"]).sort_index()
+    )
+    assert len(got) == 5  # no duplication across the restart
+    assert got.loc[(0, 10), "status"] == "kept"
+    # near_of_base differs from base doc 1 by one token; simhash may or
+    # may not land within hamming<=3 — assert consistency, not the label
+    assert got.loc[(0, 11), "status"] in ("kept", "near_dup")
+    assert got.loc[(0, 12), "status"] == "near_dup"  # same fp as rep 10
+    assert got.loc[(0, 12), "match_id"] == 10
+    assert got.loc[(0, 12), "hamming"] == 0
+    assert got.loc[(1, 10), "status"] == "near_dup"
+    assert got.loc[(1, 10), "match_id"] == 10  # the GROWN index: itself
+    assert got.loc[(1, 10), "hamming"] == 0
+    assert got.loc[(1, 20), "status"] == "kept"
+
+    # replay-after-state-write: call the sink again with an already-
+    # persisted batch id — decisions identical, kept fp not erased
+    sink = incremental_simhash_sink(state, out_root, max_hamming=3, bits=32)
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 20],
+        "text": [novel, "entirely new payload nothing shared at all now"],
+    }))
+    before = got.loc[1].copy()
+    sink(batch, 1)
+    after = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_root)
+        .toPandas()
+    )
+    after1 = after[after["batch"] == 1].set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(
+        before.sort_index(), after1[before.columns].sort_index()
+    )
+    idx = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(state, "sim")).toPandas()
+    )
+    assert 20 in set(idx["doc_id"])  # batch-1 kept doc still in the index
