@@ -37,10 +37,19 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the min node id
     of its component. Output: ``id, comp`` — one row per node that
     appears in at least one edge (callers union in isolated nodes).
+
+    Convergence is tested every ``check_every`` rounds (plus the last):
+    the changed-count is a driver-synchronizing join + count job on top
+    of the round's own checkpoint action, so on very large edge lists
+    halving the checks matters more than the ≤ ``check_every − 1`` extra
+    propagation rounds a late detection costs (propagation past the
+    fixed point is a no-op on the labels). ``check_every=1`` restores
+    the per-round check.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -49,22 +58,25 @@ def connected_components(
     labels = (
         sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nb = sym.join(labels, sym.v == labels.id).select(
             F.col("u").alias("id"), F.col("comp")
         )
         new = (
             labels.union(nb).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        if (it + 1) % max(1, check_every) == 0 or it == max_iters - 1:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            labels = new
     return labels
 
 

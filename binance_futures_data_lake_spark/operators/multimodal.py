@@ -715,7 +715,10 @@ def audio_fingerprint(media: DataFrame, n_frames: int = 64) -> DataFrame:
         raise ValueError(f"n_frames must be in [2, 64], got {n_frames}")
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
+      # bounded sub-chunks, same rationale as audio_features/image_features
+      for pdf0 in batches:
+        for s0 in range(0, len(pdf0), 1024):
+            pdf = pdf0.iloc[s0 : s0 + 1024]
             if pdf.empty:
                 continue
             decoded = [wav_decode_pcm16(p) for p in pdf["payload"].tolist()]

@@ -41,7 +41,101 @@ def force(df) -> "object":
     return df
 
 
+def flagship_main() -> None:
+    """One-order-higher probe (VERDICT r5 #9): the 3 flagship shapes —
+    OHLCV resample, backward as-of join, banded-hamming near-dup — at
+    ``--rows`` (default 100M), each with its FINAL-plan shuffle-exchange
+    count (AQE-final via exchange_count(execute=True), which re-runs the
+    stage untimed) and JVM heap headroom after the stage. The claim under
+    test: exchange counts are identical to the 10M probe's — the plans
+    scale by partition width, not by new shuffles."""
+    total_rows = (
+        int(sys.argv[sys.argv.index("--rows") + 1])
+        if "--rows" in sys.argv else 100_000_000
+    )
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "100g")
+    spark = get_spark("bfdl-flagship")
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_near_pairs,
+    )
+    from binance_futures_data_lake_spark.sources.bucketed import exchange_count
+
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    stages: dict[str, dict] = {}
+
+    def heap() -> dict:
+        return {
+            "heap_used_gb": round((rt.totalMemory() - rt.freeMemory()) / 2**30, 2),
+            "heap_max_gb": round(rt.maxMemory() / 2**30, 2),
+        }
+
+    def stage(name: str, df) -> None:
+        t0 = time.perf_counter()
+        force(df)
+        dt = time.perf_counter() - t0
+        n = df.count()
+        stages[name] = {
+            "sec": round(dt, 2),
+            "rows": n,
+            "rows_per_sec": int(n / dt) if dt else None,
+            "shuffle_exchanges": exchange_count(df, execute=True),
+            **heap(),
+        }
+
+    # 1000 symbols × total/1000 minutes; generation is in-plan (range +
+    # xxhash), so each stage regenerates instead of caching 100M wide rows
+    n_symbols = 1000
+    n_minutes = max(1440, total_rows // n_symbols)
+    symbols = tuple(f"SYM{i:04d}" for i in range(n_symbols))
+
+    def m1():
+        return synthetic_klines_m1(
+            spark, symbols=symbols, n_minutes=n_minutes, trend_amp=0.05
+        )
+
+    stage("flagship_resample_m5", resample_bars(m1(), 5, ["symbol"]))
+
+    base = m1().select("symbol", "ts", "close")
+    h1 = resample_bars(m1(), 60, ["symbol"]).select(
+        "symbol", "ts", F.col("close").alias("close_h1")
+    )
+    stage(
+        "flagship_asof_m1_from_h1",
+        asof_join_backward(base, h1, on="ts", by=["symbol"]),
+    )
+
+    # planted-group fingerprints, same structure as the 10M probe stage
+    member = F.col("id") % 10
+    fbase = F.xxhash64(
+        F.when(F.col("id") < 100_000, F.floor(F.col("id") / 10))
+        .otherwise(F.col("id"))
+        .cast("long")
+    )
+    flip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(((id % 10) * 7) % 64 AS INT))"
+    )
+    fp_col = F.when(
+        (F.col("id") < 100_000) & (member >= 5), fbase.bitwiseXOR(flip)
+    ).otherwise(fbase)
+    fps = spark.range(total_rows).select(
+        F.col("id").alias("doc_id"), fp_col.alias("fp")
+    )
+    stage(
+        "flagship_hamming_band_join",
+        hamming_near_pairs(fps, "fp", max_hamming=3, bits=64, n_bands=4),
+    )
+
+    print(json.dumps({
+        "mode": "flagship", "rows": total_rows, "n_symbols": n_symbols,
+        "stages": stages,
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--flagship" in sys.argv:
+        flagship_main()
+        return
     total_rows = int(sys.argv[sys.argv.index("--rows") + 1]) if "--rows" in sys.argv else 10_000_000
     n_symbols = 100
     n_minutes = max(1440, total_rows // n_symbols)

@@ -624,3 +624,48 @@ def test_lsh_candidate_pairs_skew_guard(spark):
     }
     assert (100000, 100001) in capped
     assert all(x >= 100000 for p in capped for x in p)
+
+
+def test_hamming_match_existing_vs_bruteforce(spark):
+    """Cross-set banded-hamming matcher (streaming simhash tier): min-id
+    existing match + that match's hamming must equal the brute-force
+    answer for every new row, across band configs."""
+    import random
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        hamming_match_existing,
+    )
+
+    rng = random.Random(7)
+
+    def s64(x):  # fold to the signed-long domain (two's complement)
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    exist = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(60)]
+    new = [(100 + i, rng.getrandbits(64) - (1 << 63)) for i in range(25)]
+    # plant guaranteed matches: copies and 1/3-bit flips of existing rows
+    # (incl. a SIGN-bit flip — the bit a doubles-based extraction drops)
+    new += [(200, exist[3][1]), (201, s64(exist[5][1] ^ 1)),
+            (202, s64(exist[5][1] ^ 0b111)), (203, s64(exist[9][1] ^ (1 << 63)))]
+    e_df = spark.createDataFrame(exist, ["doc_id", "fp"])
+    n_df = spark.createDataFrame(new, ["doc_id", "fp"])
+    for max_h, n_bands in ((3, 4), (10, 11)):
+        got = {
+            r.doc_id: (r.match_id, r.hamming)
+            for r in hamming_match_existing(
+                e_df, n_df, value_col="fp", max_hamming=max_h,
+                bits=64, n_bands=n_bands,
+            ).collect()
+        }
+        want = {}
+        for nid, nfp in new:
+            best = [
+                (eid, bin((nfp ^ efp) & ((1 << 64) - 1)).count("1"))
+                for eid, efp in exist
+                if bin((nfp ^ efp) & ((1 << 64) - 1)).count("1") <= max_h
+            ]
+            if best:
+                eid = min(b[0] for b in best)
+                want[nid] = (eid, dict(best)[eid])
+        assert got == want, (max_h, n_bands)
