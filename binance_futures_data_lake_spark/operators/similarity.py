@@ -10,10 +10,13 @@ Three tiers, all over ``array<float>`` columns (the `embeddings` table):
 - **Random-hyperplane LSH** (`rh_signatures` / `lsh_topk`): sign-of-dot-
   product bit signatures banded into buckets; candidates = corpus vectors
   sharing ≥1 band bucket with the query, then exact cosine on candidates
-  only. The corpus shuffle carries (id, band, band_key) — `bands` rows per
-  vector — instead of the |Q|·|C| cross product. Hyperplanes are derived
-  deterministically from md5, so signatures are reproducible across runs,
-  partitionings, and engines (no RNG state).
+  only. `lsh_topk` runs the whole tier as ONE zero-shuffle corpus pass —
+  the query vectors AND their band-bucket keys ship as closure literals,
+  and each Arrow batch signs, buckets, looks up, scores, and partial-
+  top-ks in numpy (per-batch GEMM with an exact-fold correction for
+  near-zero dots, so bucket bits match the SQL fold bit-for-bit).
+  Hyperplanes are derived deterministically from md5, so signatures are
+  reproducible across runs, partitionings, and engines (no RNG state).
 - **IVF** (`ivf_assign` / `ivf_topk`): k-means coarse quantizer; each
   vector is assigned to its nearest centroid (one narrow pass, centroids
   broadcast), queries probe the `nprobe` nearest cells. At scale the cell
@@ -702,4 +705,78 @@ def retrieval_eval(
         round6(recall).alias("recall_at_k"),
         F.coalesce(F.col("frr"), F.lit(0)).cast("long").alias("first_rel_rank"),
         round6(rr).alias("rr"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023):
+    assign every vector to its cell in a deterministic Lloyd-refined
+    coarse quantizer (:func:`ivf_lloyd_centroids`), then WITHIN each cell
+    drop a vector when a smaller-id cellmate sits at cosine ≥
+    ``threshold``. Keeps the min-id representative of every semantic
+    duplicate group, exactly like the md5/MinHash/SimHash text tiers keep
+    theirs — but on meaning, not surface form.
+
+    Output: ``vec_id, cell, status ('kept'|'near_dup'), match_id,
+    cosine`` — one row per corpus vector (zero-norm vectors are out of
+    domain, as everywhere in this module); ``match_id`` is the SMALLEST
+    matching cellmate id (the stable-representative contract shared by
+    every dedup tier here) and ``cosine`` is the similarity to that
+    match, 6-dp rounded before both the threshold test and the min-pick
+    so a SQL oracle replays the decision bit-for-bit.
+
+    Scale shape: the pairwise comparison NEVER leaves a cell — one
+    shuffle by ``cell``, then a per-cell self-join whose output is
+    Σ|cell|² instead of |corpus|². That is the SemDeDup contract: you
+    size ``num_cells`` so cells stay bounded (the paper runs ~11k cells
+    for 100M+ embeddings), and the quantizer pass is one narrow
+    broadcast-literal compare per row. A degenerate corpus that
+    collapses into one cell concentrates the quadratic cost exactly like
+    a hot band value in the banded-hamming join — the same
+    frequency-cap defense applies if a real corpus needs it.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    sb = base.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
+    cells = sb.withColumn(
+        "cell", _nearest_cells_int(F.col("s"), cents, 1)[0]
+    ).select("id", "cell", "vec", "nrm")
+    a = cells.select(
+        F.col("id").alias("a_id"), F.col("cell"),
+        F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
+    )
+    b = cells.select(
+        F.col("id").alias("b_id"), F.col("cell"),
+        F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
+    )
+    cos = round6(
+        _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    )
+    # min(struct) picks the smallest b_id and carries THAT pair's cosine
+    matches = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .select("a_id", cos.alias("cosine"), "b_id")
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .groupBy("a_id")
+        .agg(F.min(F.struct("b_id", "cosine")).alias("m"))
+    )
+    return (
+        cells.join(matches, cells.id == matches.a_id, "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell"),
+            F.when(F.col("m").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.col("m.b_id").alias("match_id"),
+            F.col("m.cosine").alias("cosine"),
+        )
     )

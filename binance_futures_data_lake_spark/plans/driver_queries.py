@@ -2926,18 +2926,20 @@ def q_ann_lsh_topk(spark, sf_dir):
                     n_planes=16, bands=8)
 
 
-def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64,
-                   pre="",
-                   src=("SELECT vec_id, list_transform(embedding, "
-                        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings"),
-                   q_pred="vec_id < 10") -> str:
-    """Oracle for the Lloyd-refined IVF index: replays seed selection and
-    every k-means step in the SAME 1e-6 fixed-point arithmetic the Spark
-    quantizer uses — integer squared-L2 assignment (cell-id tiebreak),
-    integer-sum centroid means rounded half-away-from-zero via the
-    (2·s+n)//(2·n) formula — then the final assignment, nprobe probe, and
-    exact-cosine re-rank. Exact integers make every step order-free, so the
-    index build is bit-identical across engines."""
+def _lloyd_cells_ctes(num_cells=8, iters=2, dim=64,
+                      pre="",
+                      src=("SELECT vec_id, list_transform(embedding, "
+                           "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings")) -> str:
+    """Shared oracle prefix for every Lloyd-index consumer: replays seed
+    selection and every k-means step in the SAME 1e-6 fixed-point
+    arithmetic the Spark quantizer uses — integer squared-L2 assignment
+    (cell-id tiebreak), integer-sum centroid means rounded
+    half-away-from-zero via the (2·s+n)//(2·n) formula — ending at the
+    final per-vector ranked assignment ``af`` and 1-nearest ``cells``.
+    Exact integers make every step order-free, so the index build is
+    bit-identical across engines. Consumers append their own tail
+    (`_ivf_lloyd_sql` probes + re-ranks; `_semdedup_sql` dedups within
+    cells)."""
     d2 = "list_sum(list_transform(range(1, {d}), i -> (sv.s[i]-c.cs[i])*(sv.s[i]-c.cs[i])))".format(d=dim + 1)
     sql = f"""
     WITH {pre}v AS (
@@ -2984,7 +2986,18 @@ def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64,
       FROM sv CROSS JOIN c{iters} c
     ), cells AS (
       SELECT vec_id, cell FROM af WHERE rk = 1
-    ), qprobe AS (
+    )"""
+
+
+def _ivf_lloyd_sql(num_cells=8, iters=2, nprobe=3, k=5, dim=64,
+                   pre="",
+                   src=("SELECT vec_id, list_transform(embedding, "
+                        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings"),
+                   q_pred="vec_id < 10") -> str:
+    """Lloyd-IVF ANN oracle: the shared index-build prefix, then the
+    final assignment, nprobe probe, and exact-cosine re-rank."""
+    return _lloyd_cells_ctes(num_cells, iters, dim, pre, src) + f"""
+    , qprobe AS (
       SELECT vec_id AS q_id, cell FROM af WHERE rk <= {nprobe} AND ({q_pred})
     ), cand AS (
       SELECT DISTINCT q.q_id, c.vec_id AS neighbor_id
@@ -3026,6 +3039,103 @@ def q_ann_ivf_topk(spark, sf_dir):
     cents = ivf_lloyd_centroids(emb, num_cells=8, iters=2)
     return ivf_lloyd_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
                           k=5, nprobe=3)
+
+
+# Planted semantic twins for semantic_dedup: the synthetic embeddings are
+# near-random (max pairwise cosine ≈ 0.49 at sf0.01), so a 0.9-threshold
+# dedup over the raw table keeps everything and the hash would pass
+# trivially — the pii_redact_docs rule. vec_id<30 gets a +0.05-per-dim
+# twin (measured base↔twin cosine ≥ 0.9166 — drops whenever it lands in
+# its base's cell), vec_id∈[30,60) a REVERSED decoy (near-random cosine
+# vs everything — must survive). NOT an additive decoy: a shared +c·𝟙
+# component puts decoy↔decoy pairs within 2e-4 of the 0.9 threshold
+# (measured), exactly the float-boundary hazard the 6-dp contract exists
+# to avoid. Both engines apply the SAME transform to the SAME
+# float→double cast, so the planted vectors are bit-identical.
+_SEMDEDUP_SRC = """
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05)
+      FROM embeddings WHERE vec_id < 30
+      UNION ALL
+      SELECT vec_id + 20000,
+             list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      FROM embeddings WHERE vec_id >= 30 AND vec_id < 60
+"""
+
+
+def _semdedup_sql(threshold=0.9, num_cells=8, iters=2, dim=64,
+                  src=_SEMDEDUP_SRC) -> str:
+    """SemDeDup oracle: the shared Lloyd index-build prefix, then the
+    within-cell min-id cosine-threshold dedup — cosine 6-dp rounded
+    BEFORE both the threshold test and the min-id pick, mirroring
+    similarity.semantic_dedup exactly."""
+    return _lloyd_cells_ctes(num_cells, iters, dim, src=src) + f"""
+    , pr AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(na.vec, nb.vec) / (na.nrm * nb.nrm), 6) AS cos
+      FROM cells a JOIN cells b USING (cell)
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE b.vec_id < a.vec_id
+    ), mt AS (
+      SELECT a_id, b_id AS match_id, cos AS cosine FROM (
+        SELECT a_id, b_id, cos,
+               row_number() OVER (PARTITION BY a_id ORDER BY b_id) AS rk
+        FROM pr WHERE cos >= {threshold}
+      ) WHERE rk = 1
+    )
+    SELECT c.vec_id, c.cell,
+           CASE WHEN m.a_id IS NULL THEN 'kept' ELSE 'near_dup' END AS status,
+           m.match_id, m.cosine
+    FROM cells c LEFT JOIN mt m ON m.a_id = c.vec_id
+    """
+
+
+@register("semantic_dedup", sql=_semdedup_sql())
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — cluster-scoped SEMANTIC dedup, the
+    embedding-space member of the dedup tier family (md5 exact → MinHash
+    lexical → SimHash hamming → THIS): cluster the corpus with the
+    deterministic fixed-point Lloyd quantizer (the ann_ivf_topk index,
+    replayed wholesale by the oracle), then within each cell drop every
+    vector with a smaller-id cellmate at cosine ≥ 0.9, keeping the min-id
+    representative. Pairwise work never leaves a cell — Σ|cell|² not
+    |corpus|², the paper's contract; num_cells is the knob that bounds it
+    at 100 TB. Planted +0.05 twins (cosine ≥ 0.9166 to their base) drop
+    whenever they share their base's cell — cell-straddling misses are
+    the algorithm's honest recall loss, and the oracle replays them —
+    while reversed decoys must ALL survive (see _SEMDEDUP_SRC; an
+    unplanted hash would pass trivially on the near-random synthetic
+    embeddings). Output: one row per vector with
+    cell, kept/near_dup status, min-id match and its 6-dp cosine
+    (similarity.semantic_dedup)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    tw = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    dc = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60)).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.reverse(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("embedding"),
+    )
+    corpus = dbl.unionByName(tw).unionByName(dc)
+    cents = ivf_lloyd_centroids(corpus, num_cells=8, iters=2)
+    return semantic_dedup(corpus, cents, threshold=0.9)
 
 
 _RETRIEVAL_PRE = r"""chd AS (
@@ -6700,12 +6810,13 @@ _FRONT = [
     # kernel, router_gate_from_cases by regime_cases, ml_keep_frac_grid
     # by ml_confidence_keep + ml_net_confidence_keep).
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
-    # (bumped from this prefix for the r6-NEW streaming_simhash_dedup)
-    # first, then 42 of the r5-checked block; r8 sweeps the remaining 8
-    # r5-checked plus the then-aged r6 block. Keep recording exact ages
-    # here each round.
+    # + calendar_weekly_ohlcv (bumped from this prefix for the r6-NEW
+    # streaming_simhash_dedup / semantic_dedup; any further r6-NEW query
+    # bumps one more r4-aged entry onto this list) first, then the
+    # r5-checked block up to 50; r8 sweeps the remaining r5-checked plus
+    # the then-aged r6 block. Keep recording exact ages here each round.
     # --- r6-NEW ---
-    "streaming_simhash_dedup",
+    "streaming_simhash_dedup", "semantic_dedup",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
@@ -6725,7 +6836,6 @@ _FRONT = [
     "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
     "brand_volume", "rma_atr_hourly", "case_label_ladder",
     "ml_forward_labels", "scrub_ffill_gates", "point_lookup_neighbors",
-    "calendar_weekly_ohlcv",
 ]
 _ORACLE_TAIL = [
     # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and

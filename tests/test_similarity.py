@@ -242,3 +242,67 @@ def test_retrieval_eval_hand_case(spark):
     assert out[4]["hits"] == 0 and out[4]["recall_at_k"] == 0.0
     with pytest.raises(ValueError):
         retrieval_eval(results, gold, k=0)
+
+
+def test_semantic_dedup_hand_case(spark):
+    """Min-id representative semantics inside a cell, cross-cell blindness,
+    and the kept/near_dup split — on a hand-built corpus whose Lloyd cells
+    are forced by construction (two tight antipodal groups, 2 cells)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids, semantic_dedup,
+    )
+
+    # group A around +e0 (ids 1,2,3 mutually ~identical), group B around
+    # -e0 (ids 10, 11 mutually ~identical), one outlier near +e1 (id 20)
+    def v(main, eps, d=8):
+        out = [0.0] * d
+        out[0] = main
+        out[1] = eps
+        return out
+
+    rows = [
+        (1, v(1.0, 0.00)), (2, v(1.0, 0.01)), (3, v(1.0, 0.02)),
+        (10, v(-1.0, 0.00)), (11, v(-1.0, 0.01)),
+        (20, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_lloyd_centroids(emb, num_cells=2, iters=2)
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, cents, 0.9).collect()}
+    assert len(out) == 6
+    # min-id keep inside the A group; 2 and 3 both match the MIN id 1,
+    # not a chain (3 must not match 2)
+    assert out[1]["status"] == "kept" and out[1]["match_id"] is None
+    assert out[2]["status"] == "near_dup" and out[2]["match_id"] == 1
+    assert out[3]["status"] == "near_dup" and out[3]["match_id"] == 1
+    # B group dedups independently (cosine(A,B) = -1 < threshold)
+    assert out[10]["status"] == "kept"
+    assert out[11]["status"] == "near_dup" and out[11]["match_id"] == 10
+    # orthogonal outlier survives in whichever cell it landed
+    assert out[20]["status"] == "kept"
+    # cosines carried for the chosen match are the 6-dp pair values
+    assert out[2]["cosine"] >= 0.999
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, cents, 0.0)
+
+
+def test_semantic_dedup_planted_twins(spark):
+    """The registered query's planting contract at sf0.001: every flagged
+    vector is a planted +0.05 twin matching ITS OWN base, every reversed
+    decoy survives, and no base vector is ever flagged (twins have larger
+    ids, so the min-id rule keeps the original)."""
+    from binance_futures_data_lake_spark.plans.driver_queries import QUERIES
+
+    rows = QUERIES["semantic_dedup"](spark, SF).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    dups = by_status.get("near_dup", [])
+    assert dups, "planting must produce at least one semantic duplicate"
+    for r in dups:
+        assert 10000 <= r["vec_id"] < 20000, "only twins may drop"
+        assert r["match_id"] == r["vec_id"] - 10000, "twin matches its base"
+        assert r["cosine"] >= 0.9
+    kept_ids = {r["vec_id"] for r in by_status["kept"]}
+    assert all(i in kept_ids for i in range(0, 30))  # bases kept
+    assert all(r["vec_id"] in kept_ids
+               for r in rows if r["vec_id"] >= 20000)  # decoys kept
