@@ -597,3 +597,72 @@ def perplexity_bucket_mix_approx(
     return ranked.withColumn(
         "kept", (uniform_hash(F.col("doc_id")) < rate).cast("int")
     )
+
+
+def c4_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020) — the OTHER classic
+    rule set next to Gopher's (:func:`gopher_flags`), and actionable like
+    the scrub/redact operators: the cleaned page text is rebuilt, not
+    just flagged.
+
+    Line rules (a line survives iff ALL hold):
+    - ends in terminal punctuation (``. ! ?`` or a closing quote) after
+      trimming spaces;
+    - has at least ``min_words_per_line`` words;
+    - does not mention "javascript" (case-insensitive).
+    Page rules: drop the page when it contains "lorem ipsum" (any case),
+    a ``{`` (code), or fewer than ``min_sentences`` sentence enders
+    (``[.!?]``) in the CLEANED text — dropped lines contribute nothing.
+
+    One map-only columnar pass: split → array filters → rebuild via
+    ``array_join`` — no explode, no shuffle, so at 100 TB this is a pure
+    scan at parquet-read speed. Word counts use ``[^ \\t]+`` (not
+    ``\\S+``): Java's ``\\s`` includes ``\\x0B``, RE2's does not — the
+    same Java∩RE2 subset rule every oracle-compared regex here follows.
+
+    Output: ``doc_id, n_lines, n_kept_lines, n_js_lines, n_sentences,
+    has_lorem_ipsum, has_curly_brace, c4_keep, cleaned_text`` (bools as
+    0/1 ints for engine-portable hashing).
+    """
+    if min_words_per_line < 1 or min_sentences < 1:
+        raise ValueError("min_words_per_line and min_sentences must be >= 1")
+    c = F.col(text_col)
+    nb = F.filter(F.split(c, r"\n"), lambda ln: F.trim(ln) != "")
+
+    def is_js(ln):
+        return F.contains(F.lower(ln), F.lit("javascript"))
+
+    def keep_line(ln):
+        return (
+            F.trim(ln).substr(-1, 1).isin(".", "!", "?", '"')
+            & (F.regexp_count(ln, F.lit(r"[^ \t]+")) >= min_words_per_line)
+            & ~is_js(ln)
+        )
+
+    kept = F.filter(nb, keep_line)
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    has_lorem = F.contains(F.lower(c), F.lit("lorem ipsum"))
+    has_brace = F.contains(c, F.lit("{"))
+    keep = (~has_lorem) & (~has_brace) & (n_sent >= min_sentences)
+
+    def i01(cond):
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(nb).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.size(F.filter(nb, is_js)).alias("n_js_lines"),
+        n_sent.alias("n_sentences"),
+        i01(has_lorem).alias("has_lorem_ipsum"),
+        i01(has_brace).alias("has_curly_brace"),
+        i01(keep).alias("c4_keep"),
+        cleaned.alias("cleaned_text"),
+    )

@@ -5962,6 +5962,103 @@ def q_gopher_quality_flags(spark, sf_dir):
     return gopher_flags(docs)
 
 
+# Planted C4 pages: the synthetic corpus is single-line word soup with no
+# punctuation, newlines, braces, or keywords — every C4 rule would be
+# degenerately false and the hash trivial (the pii_redact_docs rule). So
+# the query BUILDS a multi-line page per doc from its own text, with each
+# rule's positive branch planted on a different doc_id residue: %2 adds a
+# second sentence to line 1 (the ≥3-sentences rule's swing vote), a
+# too-short line is always present, %5 adds a javascript line (line rule),
+# %7 lorem ipsum (page rule), %11 a curly-brace code line (page rule);
+# the tail line ends '?' but only survives where the doc is long enough
+# to give it ≥5 words. Both engines build the page from the same
+# substrings and literals, so the cleaned text rebuilds identically.
+_C4_PAGE_SQL = """
+      SELECT doc_id,
+             substring(text, 1, 80) || '.' ||
+             CASE WHEN doc_id % 2 = 0 THEN ' Also quite good stuff here.'
+                  ELSE '' END || chr(10) ||
+             'too short' || chr(10) ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'Please enable javascript support today friend.' || chr(10)
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'Lorem Ipsum dolor sit amet consectetur.' || chr(10)
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'function f() { return 1; }' || chr(10)
+                  ELSE '' END ||
+             substring(text, 81, 60) || '?' AS text
+      FROM documents
+"""
+
+
+@register(
+    "c4_quality_flags",
+    sql="WITH pages AS (" + _C4_PAGE_SQL + """
+    ), l AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS nb
+      FROM pages
+    ), k AS (
+      SELECT doc_id, text, nb,
+             list_filter(nb, x ->
+               right(trim(x), 1) IN ('.', '!', '?', '"')
+               AND len(regexp_extract_all(x, '[^ \t]+')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l
+    ), f AS (
+      SELECT doc_id,
+             len(nb) AS n_lines, len(kept) AS n_kept_lines,
+             len(list_filter(nb, x -> contains(lower(x), 'javascript')))
+               AS n_js_lines,
+             len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))
+               AS n_sentences,
+             CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+               AS has_lorem_ipsum,
+             CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_curly_brace,
+             array_to_string(kept, chr(10)) AS cleaned_text
+      FROM k
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_js_lines, n_sentences,
+           has_lorem_ipsum, has_curly_brace,
+           CASE WHEN has_lorem_ipsum = 0 AND has_curly_brace = 0
+                     AND n_sentences >= 3 THEN 1 ELSE 0 END AS c4_keep,
+           cleaned_text
+    FROM f
+    """,
+)
+def q_c4_quality_flags(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over planted multi-line
+    pages — terminal-punctuation / min-words / javascript line filters,
+    lorem-ipsum / curly-brace / ≥3-sentences page filters, and the CLEANED
+    page text rebuilt in-plan (the actionable half; the oracle rebuilds it
+    too, so a one-character drift in any line decision fails the hash).
+    Map-only columnar pass, no shuffle (textquality.c4_flags; see
+    _C4_PAGE_SQL for why planting is required on this corpus)."""
+    from binance_futures_data_lake_spark.operators.textquality import c4_flags
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+
+    def when_mod(m, lit):
+        return F.when(d % m == 0, F.lit(lit)).otherwise(F.lit(""))
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 80), F.lit("."),
+            when_mod(2, " Also quite good stuff here."), F.lit("\n"),
+            F.lit("too short\n"),
+            when_mod(5, "Please enable javascript support today friend.\n"),
+            when_mod(7, "Lorem Ipsum dolor sit amet consectetur.\n"),
+            when_mod(11, "function f() { return 1; }\n"),
+            F.substring(F.col("text"), 81, 60), F.lit("?"),
+        ).alias("text"),
+    )
+    return c4_flags(pages)
+
+
 @register(
     "tfidf_top_terms",
     sql="""
@@ -6810,13 +6907,14 @@ _FRONT = [
     # kernel, router_gate_from_cases by regime_cases, ml_keep_frac_grid
     # by ml_confidence_keep + ml_net_confidence_keep).
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
-    # + calendar_weekly_ohlcv (bumped from this prefix for the r6-NEW
-    # streaming_simhash_dedup / semantic_dedup; any further r6-NEW query
-    # bumps one more r4-aged entry onto this list) first, then the
-    # r5-checked block up to 50; r8 sweeps the remaining r5-checked plus
-    # the then-aged r6 block. Keep recording exact ages here each round.
+    # + calendar_weekly_ohlcv + point_lookup_neighbors (bumped from this
+    # prefix for the r6-NEW streaming_simhash_dedup / semantic_dedup /
+    # c4_quality_flags; any further r6-NEW query bumps one more r4-aged
+    # entry onto this list) first, then the r5-checked block up to 50;
+    # r8 sweeps the remaining r5-checked plus the then-aged r6 block.
+    # Keep recording exact ages here each round.
     # --- r6-NEW ---
-    "streaming_simhash_dedup", "semantic_dedup",
+    "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
@@ -6835,7 +6933,7 @@ _FRONT = [
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
     "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
     "brand_volume", "rma_atr_hourly", "case_label_ladder",
-    "ml_forward_labels", "scrub_ffill_gates", "point_lookup_neighbors",
+    "ml_forward_labels", "scrub_ffill_gates",
 ]
 _ORACLE_TAIL = [
     # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and

@@ -319,3 +319,48 @@ def test_perplexity_buckets_approx_agrees_with_exact(spark, docs):
     buckets = {b for b, _ in approx.values()}
     assert buckets == {1, 2, 3}
     assert all(k == 1 for b, k in approx.values() if b == 1)
+
+
+def test_c4_flags_hand_case(spark):
+    """Every C4 rule on a hand-built page: line punctuation/word-count/
+    javascript filters, lorem-ipsum and curly-brace page kills, the
+    ≥3-sentences gate on CLEANED text only, and the rebuilt page."""
+    from binance_futures_data_lake_spark.operators.textquality import c4_flags
+
+    good1 = "This is a fine first sentence."
+    good2 = "Another proper sentence ends with a question mark?"
+    short = "too short."                      # ends '.', but 2 words
+    nopunct = "this line has plenty of words but no terminal punctuation"
+    js = "You must enable JavaScript to continue reading this."
+    docs = spark.createDataFrame(
+        [
+            # 3 sentences in kept text (2 in good1? no: 1 + 1 + the extra)
+            (1, "\n".join([good1, short, good2, "He said stop right there. Now."])),
+            # only 2 sentences survive -> page dropped by sentence rule
+            (2, "\n".join([good1, nopunct, good2])),
+            # lorem ipsum kills the page even though lines are fine
+            (3, "\n".join([good1, good2, "Sprinkle Lorem IPSUM dolor here.",
+                           "One more sentence to pass the count."])),
+            # curly brace kills the page
+            (4, "\n".join([good1, good2, "if (x) { y(); } is code here."])),
+            # javascript line dropped AND counted; blank lines ignored
+            (5, "\n".join([good1, "", js, good2,
+                           "Third good sentence right here friend."])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_flags(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_lines"], r1["n_kept_lines"]) == (4, 3)
+    # 'He said stop. Now.' contributes 2 enders -> 1 + 1 + 2 = 4
+    assert r1["n_sentences"] == 4 and r1["c4_keep"] == 1
+    assert r1["cleaned_text"] == "\n".join([good1, good2, "He said stop right there. Now."])
+    assert out[2]["n_sentences"] == 2 and out[2]["c4_keep"] == 0
+    assert out[3]["has_lorem_ipsum"] == 1 and out[3]["c4_keep"] == 0
+    assert out[4]["has_curly_brace"] == 1 and out[4]["c4_keep"] == 0
+    r5 = out[5]
+    assert r5["n_lines"] == 4  # blank line ignored
+    assert r5["n_js_lines"] == 1 and r5["n_kept_lines"] == 3
+    assert "JavaScript" not in r5["cleaned_text"] and r5["c4_keep"] == 1
+    with pytest.raises(ValueError):
+        c4_flags(docs, min_sentences=0)
