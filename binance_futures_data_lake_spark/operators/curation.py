@@ -529,3 +529,82 @@ def token_budget_plan(
         round6(alloc).alias("alloc_tokens"),
         round6(alloc / F.col("tokens")).alias("epochs"),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    budget_frac: float,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rates (the mT5/XLM-R ``p_s ∝ n_s^α``
+    recipe): shares are DERIVED from the data — ``share_s =
+    n_s^α / Σ n_t^α`` — instead of handed in like
+    :func:`mixture_rates`'s ``target_shares``. ``α = 1`` reproduces the
+    natural mixture, ``α → 0`` the uniform one; the usual 0.2-0.7 range
+    upsamples rare sources without letting any source dominate.
+
+    Float-parity discipline: the per-source weight ``n_s^α`` is rounded
+    onto the 1e-6 grid and summed as LONGs, so the denominator is exact
+    and order-free (a plain double SUM would hash-diverge with shuffle
+    order); the single share division then happens once on identical
+    operands in every engine. ``α = 0.5`` routes through ``sqrt``
+    (IEEE-correctly rounded everywhere) rather than ``pow``. Keep rates
+    cap at 1 — epoch-style upsampling past one pass is
+    :func:`token_budget_plan`'s job, not a sampler's.
+
+    Output: ``source_col, n_source, share, rate`` (6-dp doubles). Same
+    scale shape as :func:`mixture_rates`: two tiny aggregates, a
+    broadcast, no corpus shuffle.
+    """
+    if not (0.0 < budget_frac <= 1.0):
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    w = (
+        F.sqrt(F.col("n_source"))
+        if alpha == 0.5
+        else F.pow(F.col("n_source"), F.lit(float(alpha)))
+    )
+    weighted = counts.withColumn(
+        "w_int", F.round(w * F.lit(1_000_000.0), 0).cast("long")
+    )
+    tot = weighted.agg(
+        F.sum("n_source").alias("n_total"), F.sum("w_int").alias("tw")
+    )
+    share = F.col("w_int") / F.col("tw")
+    rate = F.least(
+        F.lit(1.0),
+        share * F.lit(float(budget_frac)) * F.col("n_total") / F.col("n_source"),
+    )
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    return (
+        weighted.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_source",
+            round6(share).alias("share"),
+            round6(rate).alias("rate"),
+        )
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    budget_frac: float,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministically sample ``df`` to the temperature mixture: the
+    |S|-row rate table broadcast-joins back and the keep decision is
+    ``uniform_hash(key) < rate`` — identical mechanics (and key-fate
+    consistency) as :func:`mixture_sample`."""
+    rates = temperature_mixture_rates(df, source_col, budget_frac, alpha)
+    return (
+        df.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        .filter(uniform_hash(F.col(key_col)) < F.col("rate"))
+        .drop("rate")
+    )

@@ -6303,6 +6303,82 @@ def q_mixture_sample_sources(spark, sf_dir):
 
 
 @register(
+    "temperature_mixture",
+    sql="""
+    WITH docs AS (
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / power(2, 60)
+            < (CAST(right(source, 1) AS INT) + 1) / 10.0
+    ), c AS (
+      SELECT source, count(*) AS n_source FROM docs GROUP BY 1
+    ), w AS (
+      SELECT source, n_source,
+             CAST(round(sqrt(n_source) * 1000000.0, 0) AS BIGINT) AS w_int
+      FROM c
+    ), t AS (
+      SELECT CAST(sum(n_source) AS BIGINT) AS n_total,
+             CAST(sum(w_int) AS BIGINT) AS tw
+      FROM w
+    ), r AS (
+      SELECT source, n_source,
+             round(w_int / tw, 6) AS share,
+             round(least(1.0, w_int / tw * 0.4 * n_total / n_source), 6)
+               AS rate
+      FROM w CROSS JOIN t
+    ), kept AS (
+      SELECT d.source, d.doc_id, d.n_chars
+      FROM docs d JOIN r USING (source)
+      WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / power(2, 60) < r.rate
+    )
+    SELECT r.source, r.n_source, r.share, r.rate,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.n_chars), 0) AS BIGINT) AS chars_kept
+    FROM r LEFT JOIN kept k ON k.source = r.source
+    GROUP BY r.source, r.n_source, r.share, r.rate
+    """,
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (mT5/XLM-R ``p_s ∝ n_s^0.5``)
+    at a 40% budget: data-derived shares via exact LONG-summed 1e-6
+    weights (no order-dependent double sums), broadcast rate table, one
+    md5 hash-threshold filter — then per-source kept counts/chars next to
+    the share and rate so the driver hash-checks BOTH the allocation math
+    and the sampled corpus (curation.temperature_mixture_rates/_sample).
+    The synthetic corpus is source-UNIFORM (25 docs each at sf0.01), which
+    would collapse every share to 1/|S| — so the query first plants a
+    deterministic ~1:10 skew: keep a doc when its md5 hash value is below
+    (last-digit(source)+1)/10 (``source = src{doc_id % 20}`` makes any
+    doc_id-modulus predicate perfectly correlated with the source name —
+    the hash decorrelates). This makes the sqrt flattening, the
+    per-source rates, AND the rate-1.0 cap branch all visible in the
+    hash."""
+    from binance_futures_data_lake_spark.operators.curation import (
+        temperature_mixture_rates, temperature_mixture_sample,
+    )
+
+    from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        uniform_hash(F.col("doc_id"))
+        < (F.substring(F.col("source"), -1, 1).cast("int") + 1) / F.lit(10.0)
+    )
+    kept = temperature_mixture_sample(
+        docs, "doc_id", "source", budget_frac=0.4, alpha=0.5
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    rates = temperature_mixture_rates(docs, "source", 0.4, 0.5)
+    return rates.join(kept, "source", "left").select(
+        "source", "n_source", "share", "rate",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("chars_kept"), F.lit(0)).cast("long").alias("chars_kept"),
+    )
+
+
+@register(
     "domain_caps",
     sql="""
     WITH c AS (
@@ -6907,14 +6983,16 @@ _FRONT = [
     # kernel, router_gate_from_cases by regime_cases, ml_keep_frac_grid
     # by ml_confidence_keep + ml_net_confidence_keep).
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
-    # + calendar_weekly_ohlcv + point_lookup_neighbors (bumped from this
-    # prefix for the r6-NEW streaming_simhash_dedup / semantic_dedup /
-    # c4_quality_flags; any further r6-NEW query bumps one more r4-aged
-    # entry onto this list) first, then the r5-checked block up to 50;
+    # + calendar_weekly_ohlcv + point_lookup_neighbors + scrub_ffill_gates
+    # (bumped from this prefix for the r6-NEW streaming_simhash_dedup /
+    # semantic_dedup / c4_quality_flags / temperature_mixture; any further
+    # r6-NEW query bumps one more r4-aged entry onto this list) first,
+    # then the r5-checked block up to 50;
     # r8 sweeps the remaining r5-checked plus the then-aged r6 block.
     # Keep recording exact ages here each round.
     # --- r6-NEW ---
     "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
+    "temperature_mixture",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
@@ -6933,7 +7011,7 @@ _FRONT = [
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
     "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
     "brand_volume", "rma_atr_hourly", "case_label_ladder",
-    "ml_forward_labels", "scrub_ffill_gates",
+    "ml_forward_labels",
 ]
 _ORACLE_TAIL = [
     # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and

@@ -383,3 +383,37 @@ def test_token_budget_plan_validation(spark, docs):
         token_budget_plan(docs, weights={"src0": 0})
     with pytest.raises(ValueError):
         token_budget_plan(docs, default_weight=-1)
+
+
+def test_temperature_mixture_rates_math(spark):
+    """α=0.5 shares flatten skew: a 10000:100 source imbalance becomes
+    sqrt-proportional (10:1), rare-source rate exceeds its natural share
+    rate, and α=1 reproduces mixture_rates' natural allocation."""
+    import math
+
+    from binance_futures_data_lake_spark.operators.curation import (
+        temperature_mixture_rates, temperature_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(10000)] + [
+        (100000 + i, "rare") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r = {x["source"]: x for x in
+         temperature_mixture_rates(df, "source", 0.4, 0.5).collect()}
+    w_big, w_rare = round(math.sqrt(10000) * 1e6), round(math.sqrt(100) * 1e6)
+    assert r["big"]["share"] == pytest.approx(w_big / (w_big + w_rare), abs=1e-6)
+    assert r["rare"]["share"] == pytest.approx(w_rare / (w_big + w_rare), abs=1e-6)
+    # rare gets 1/11 of a 4040-doc budget = ~367 wanted from 100 docs -> cap
+    assert r["rare"]["rate"] == 1.0
+    assert 0 < r["big"]["rate"] < 0.4
+    # sampling respects the capped rate: every rare doc survives
+    kept = temperature_mixture_sample(df, "doc_id", "source", 0.4, 0.5)
+    by_src = {s["source"]: s["n"] for s in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["rare"] == 100
+    assert 0 < by_src["big"] < 10000
+    with pytest.raises(ValueError):
+        temperature_mixture_rates(df, "source", 0.4, alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_mixture_rates(df, "source", 1.5)
