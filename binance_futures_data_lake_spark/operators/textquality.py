@@ -666,3 +666,99 @@ def c4_flags(
         i01(keep).alias("c4_keep"),
         cleaned.alias("cleaned_text"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+) -> DataFrame:
+    """BM25 (Robertson/Okapi) lexical top-k retrieval — the sparse
+    counterpart of the dense tiers in operators/similarity.py, scoring
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))`` summed over
+    the query's DISTINCT terms, with ``idf = ln(1 + (N − df + 0.5) /
+    (df + 0.5))``.
+
+    Float discipline: each term's contribution is rounded onto the 1e-6
+    grid and summed as LONGs, so a document's score is EXACT and
+    independent of both join order and shuffle order (a double Σ over
+    matched terms would be neither), and the top-k window orders by the
+    integer score — no float-comparison ties. All idf/length inputs are
+    identical longs in every engine, so the per-term doubles match
+    bit-for-bit before rounding.
+
+    Scale shape: token instances collapse to per-(doc, term) counts
+    before ANY join (the unigram_logprob rule); the df table reduces to
+    one row per vocabulary term; the query-term table broadcasts. A
+    stopword query term still fans out to one row per containing doc —
+    that is BM25's semantics (its idf ≈ 0 contribution is why real
+    deployments drop it); pass ``max_df_frac`` to prune query terms with
+    ``df > frac·N`` and cap that fan-out, the standard stopword guard.
+
+    Output: ``q_id, doc_id, score, rnk`` (score 6-dp, rnk 1..k by score
+    desc / doc_id asc).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dt = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+        )
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dlen = dt.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    df_ = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dt.select(F.sum("cnt").alias("total_len"))
+    )
+    qt = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(words(F.col(q_text_col))).alias("term"),
+    ).distinct()
+    cand = (
+        dt.join(dlen, "doc_id")
+        .join(df_, "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    if max_df_frac is not None:
+        cand = cand.filter(
+            F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("cnt") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("cnt") * F.lit(float(k1) + 1.0) / denom
+    ci = F.round(contrib * F.lit(1_000_000.0), 0).cast("long")
+    scored = (
+        cand.select("q_id", "doc_id", ci.alias("ci"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("ci").alias("score_int"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_int").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "doc_id",
+            round6(F.col("score_int") / F.lit(1_000_000.0)).alias("score"),
+            "rnk",
+        )
+    )

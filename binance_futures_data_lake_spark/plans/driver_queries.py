@@ -6059,6 +6059,80 @@ def q_c4_quality_flags(spark, sf_dir):
     return c4_flags(pages)
 
 
+_BM25_QUERIES = [
+    (1, "fast table scan"),
+    (2, "hash join merge"),
+    (3, "window agg group"),
+    (4, "stream batch data"),
+    (5, "customer query filter"),
+]
+
+
+@register(
+    "bm25_topk",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2
+    ), dlen AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM dt GROUP BY 1
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM dt GROUP BY 1
+    ), st AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             CAST(sum(cnt) AS BIGINT) AS total_len
+      FROM dt
+    ), q(q_id, q_text) AS (
+      VALUES (1, 'fast table scan'), (2, 'hash join merge'),
+             (3, 'window agg group'), (4, 'stream batch data'),
+             (5, 'customer query filter')
+    ), qt AS (
+      SELECT DISTINCT q_id,
+             unnest(list_filter(string_split_regex(lower(q_text), '\\s+'), x -> x <> '')) AS term
+      FROM q
+    ), cand AS (
+      SELECT qt.q_id, dt.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * dt.cnt * 2.2
+               / (dt.cnt + 1.2 * (0.25 + 0.75 * dlen.dl
+                                  / (st.total_len / st.n_docs)))
+               * 1000000.0, 0) AS BIGINT) AS ci
+      FROM dt
+      JOIN dlen USING (doc_id)
+      JOIN dfreq USING (term)
+      JOIN qt USING (term)
+      CROSS JOIN st
+    ), sc AS (
+      SELECT q_id, doc_id, CAST(sum(ci) AS BIGINT) AS score_int
+      FROM cand GROUP BY 1, 2
+    ), r AS (
+      SELECT q_id, doc_id, round(score_int / 1000000.0, 6) AS score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_int DESC, doc_id) AS rnk
+      FROM sc
+    )
+    SELECT q_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 lexical retrieval for 5 fixed vocabulary queries
+    (k1=1.2, b=0.75) — the sparse-retrieval complement to the dense ANN
+    tiers; per-term contributions land on the 1e-6 integer grid BEFORE
+    the per-document sum, so scores and ranks are exact and shuffle-
+    order-free on both engines (textquality.bm25_topk). The oracle spells
+    the same closed-form constants (k1+1 = 2.2, 1−b = 0.25)."""
+    from binance_futures_data_lake_spark.operators.textquality import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id int, q_text string")
+    return bm25_topk(docs, q, k=10)
+
+
+
 @register(
     "tfidf_top_terms",
     sql="""
@@ -6984,21 +7058,22 @@ _FRONT = [
     # by ml_confidence_keep + ml_net_confidence_keep).
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
     # + calendar_weekly_ohlcv + point_lookup_neighbors + scrub_ffill_gates
-    # (bumped from this prefix for the r6-NEW streaming_simhash_dedup /
-    # semantic_dedup / c4_quality_flags / temperature_mixture; any further
-    # r6-NEW query bumps one more r4-aged entry onto this list) first,
-    # then the r5-checked block up to 50;
+    # + ml_forward_labels (each bumped from this prefix for one r6-NEW
+    # query: streaming_simhash_dedup / semantic_dedup / c4_quality_flags /
+    # temperature_mixture / bm25_topk; any further r6-NEW query bumps one
+    # more r4-aged entry onto this list) first, then the r5-checked block
+    # up to 50;
     # r8 sweeps the remaining r5-checked plus the then-aged r6 block.
     # Keep recording exact ages here each round.
     # --- r6-NEW ---
     "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
-    "temperature_mixture",
+    "temperature_mixture", "bm25_topk",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "retrieval_eval_ivf", "ann_ivf_topk", "kmv_quantile_value_by_type",
-    # --- 39 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
+    # --- 34 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
     "priority_ship_exists", "backtest_range_kernel", "backtest_equity_curve",
     "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
     "quality_classifier_train_score", "pack_manifest",
@@ -7011,7 +7086,6 @@ _FRONT = [
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
     "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
     "brand_volume", "rma_atr_hourly", "case_label_ladder",
-    "ml_forward_labels",
 ]
 _ORACLE_TAIL = [
     # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and

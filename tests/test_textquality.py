@@ -364,3 +364,50 @@ def test_c4_flags_hand_case(spark):
     assert "JavaScript" not in r5["cleaned_text"] and r5["c4_keep"] == 1
     with pytest.raises(ValueError):
         c4_flags(docs, min_sentences=0)
+
+
+def test_bm25_topk_hand_case(spark):
+    """BM25 fundamentals on a hand corpus: rare terms outrank common
+    ones, higher tf wins within a term, length normalization demotes the
+    padded document, and max_df_frac prunes stopword fan-out."""
+    import math
+
+    from binance_futures_data_lake_spark.operators.textquality import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana the the"),
+            (2, "apple apple banana the"),
+            (3, "apple " + "pad " * 40 + "the"),
+            (4, "cherry the"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "apple"), (2, "cherry the")], "q_id int, q_text string"
+    )
+    out = bm25_topk(docs, q, k=4)
+    rows = {(r["q_id"], r["rnk"]): r for r in out.collect()}
+    # q1: doc2 (tf=2) > doc1 (tf=1) > doc3 (tf=1 but 42-token doc, length
+    # normalization demotes it); doc4 has no 'apple'
+    assert [rows[(1, i)]["doc_id"] for i in (1, 2, 3)] == [2, 1, 3]
+    assert (1, 4) not in rows
+    # q2: 'cherry' (df=1) dominates 'the' (df=4, idf ~ ln(1+0.5/4.5));
+    # doc4 must rank first and every 'the' doc still appears
+    assert rows[(2, 1)]["doc_id"] == 4
+    assert {rows[(2, i)]["doc_id"] for i in (2, 3, 4)} == {1, 2, 3}
+    # exact idf spot check on the winner: doc4 = cherry + the contribs
+    n, dl, avgdl = 4, 2, (4 + 4 + 42 + 2) / 4
+    def contrib(df_, tf, dl_):
+        idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl_ / avgdl))
+                     * 1e6) / 1e6
+    want = round(contrib(1, 1, dl) + contrib(4, 1, dl), 6)
+    assert rows[(2, 1)]["score"] == pytest.approx(want, abs=2e-6)
+    # stopword guard: df('the') = 4 = N -> pruned at max_df_frac=0.9,
+    # so q2 reduces to the cherry-only match
+    pruned = bm25_topk(docs, q, k=4, max_df_frac=0.9)
+    got = [(r["q_id"], r["doc_id"]) for r in pruned.filter(F.col("q_id") == 2).collect()]
+    assert got == [(2, 4)]
+    with pytest.raises(ValueError):
+        bm25_topk(docs, q, k=0)
