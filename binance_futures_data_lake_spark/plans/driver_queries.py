@@ -6445,7 +6445,7 @@ def q_temperature_mixture(spark, sf_dir):
         F.sum("n_chars").alias("chars_kept"),
     )
     rates = temperature_mixture_rates(docs, "source", 0.4, 0.5)
-    return rates.join(kept, "source", "left").select(
+    return rates.join(F.broadcast(kept), "source", "left").select(
         "source", "n_source", "share", "rate",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("chars_kept"), F.lit(0)).cast("long").alias("chars_kept"),

@@ -477,6 +477,32 @@ def main() -> None:
         stages["ann_ivf_pruned_gemm_100q"]["cells_read"] = f"{len(probed)}/{n_latent}"
     finally:
         shutil.rmtree(aroot, ignore_errors=True)
+
+    # SemDeDup probe (r6): cluster-scoped semantic dedup over the SAME
+    # clustered corpus through the GEMM kernel path — Spark-ML centroids
+    # projected onto the fixed-point grid (fixed_point_cents), BLAS-exact
+    # integer-grid assignment in one zero-shuffle corpus pass, then ONE
+    # shuffle by cell and a grouped lower-triangle GEMM. num_cells is the
+    # quadratic-work knob: 512 cells ≈ 2k-row cells at 1M vectors, and the
+    # per-cell cos block stays ~30 MB. The expression path (semantic_dedup)
+    # is the oracle-replayable twin; frame equality is pytest-pinned.
+    from binance_futures_data_lake_spark.operators.similarity import (
+        fixed_point_cents,
+        semantic_dedup_gemm,
+    )
+
+    sd_cells = 512
+    t0 = time.perf_counter()
+    sd_cents = fixed_point_cents(ivf_train_centroids(ann, num_cells=sd_cells, seed=7))
+    sd_train_sec = round(time.perf_counter() - t0, 2)
+    sd = semantic_dedup_gemm(ann, sd_cents, threshold=0.92)
+    stage("semantic_dedup_gemm", lambda: force(sd))
+    stages["semantic_dedup_gemm"].update(
+        num_cells=sd_cells,
+        centroid_train_sec=sd_train_sec,
+        n_near_dup=sd.filter(F.col("status") == "near_dup").count(),
+        shuffle_exchanges=exchange_count(sd),
+    )
     ann.unpersist()
 
     # banded-hamming near-dup probe (r5): 10M 64-bit fingerprints through

@@ -306,3 +306,43 @@ def test_semantic_dedup_planted_twins(spark):
     assert all(i in kept_ids for i in range(0, 30))  # bases kept
     assert all(r["vec_id"] in kept_ids
                for r in rows if r["vec_id"] >= 20000)  # decoys kept
+
+
+def test_semantic_dedup_gemm_matches_expression(spark):
+    """The 100 TB kernel path (fixed-point BLAS assignment + grouped
+    lower-triangle GEMM) must produce FRAME-IDENTICAL output to the
+    oracle-replayable expression path — same cells, same statuses, same
+    min-id matches, same 6-dp cosines — on the planted-twin corpus."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        fixed_point_cents, ivf_lloyd_centroids, semantic_dedup,
+        semantic_dedup_gemm,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    tw = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    corpus = dbl.unionByName(tw)
+    cents = ivf_lloyd_centroids(corpus, num_cells=8, iters=2)
+    a = semantic_dedup(corpus, cents, 0.9).orderBy("vec_id").collect()
+    b = semantic_dedup_gemm(corpus, cents, 0.9).orderBy("vec_id").collect()
+    assert len(a) == len(b) > 0
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert any(r["status"] == "near_dup" for r in a)
+    # float32 corpus through fixed_point_cents-projected ML centroids:
+    # both paths must still agree (the grid projection is shared)
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+
+    fcents = fixed_point_cents(ivf_train_centroids(emb, num_cells=4, seed=7))
+    a32 = semantic_dedup(emb, fcents, 0.5).orderBy("vec_id").collect()
+    b32 = semantic_dedup_gemm(emb, fcents, 0.5).orderBy("vec_id").collect()
+    assert [tuple(r) for r in a32] == [tuple(r) for r in b32]
