@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+from binance_futures_data_lake_spark.operators.sketch import TWO_POW_60, uniform_hash
 
 
 def mixture_rates(
@@ -607,4 +607,181 @@ def temperature_mixture_sample(
         df.join(F.broadcast(rates.select(source_col, "rate")), source_col)
         .filter(uniform_hash(F.col(key_col)) < F.col("rate"))
         .drop("rate")
+    )
+
+
+def _dsir_grams(toks, bigram: bool = True):
+    """Hashed-n-gram feature list for DSIR: unigrams plus word bigrams
+    (the feature space of Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling" — hashed n-gram bag-of-words).
+    ``toks`` is a token-array expression (see ``textdedup.words``)."""
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        ngrams_of_tokens,
+    )
+
+    if not bigram:
+        return toks
+    return F.concat(toks, ngrams_of_tokens(toks, 2))
+
+
+def dsir_fit(
+    docs: DataFrame,
+    target,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    bigram: bool = True,
+) -> list[int]:
+    """Fit the DSIR importance model: hashed-n-gram multinomials for the
+    TARGET slice (rows where the ``target`` boolean column is true) vs
+    the RAW pool (all of ``docs``), Laplace-smoothed, returned as a dense
+    ``n_buckets``-long list of micro-scaled log ratios
+    ``λ_u[b] = round₆ₐ((ln p_t[b] − ln p_r[b]) · 1e6)`` (half away from
+    zero, as LONGs).
+
+    Integer micro-λ is the float-parity discipline (same trick as
+    :func:`temperature_mixture_rates`): a document's log weight is a SUM
+    of per-gram λ — summing doubles would make the result depend on
+    shuffle/evaluation order, summing longs is exact and order-free, so
+    the oracle can replay the identical arithmetic through a join+SUM
+    while the engine scores in-row.
+
+    Scale shape: one corpus scan → per-bucket partial aggregation
+    (map-side combine collapses every partition to ≤ n_buckets rows
+    before the exchange) → a window total over the B-row frame → ONE
+    bounded collect (``n_buckets`` rows, the same bounded-by-contract
+    collect as the IVF centroid literals). Nothing per-doc ever reaches
+    the driver. Buckets no corpus gram hashed into get the smoothed
+    zero-count λ (they can only be hit when scoring docs outside the fit
+    pool).
+    """
+    import math
+
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        token_hash, words,
+    )
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    ex = docs.select(
+        target.alias("__is_t"),
+        F.explode(_dsir_grams(words(F.col(text_col)), bigram)).alias("__g"),
+    ).select(
+        "__is_t",
+        F.pmod(token_hash(F.col("__g")), F.lit(n_buckets)).alias("__b"),
+    )
+    cnt = ex.groupBy("__b").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    w = Window.partitionBy()
+    lam = (
+        F.log(F.col("ct") + 1)
+        - F.log(F.sum("ct").over(w) + n_buckets)
+        - F.log(F.col("cr") + 1)
+        + F.log(F.sum("cr").over(w) + n_buckets)
+    ) * F.lit(1_000_000.0)
+    rows = cnt.select(
+        F.col("__b"),
+        (F.signum(lam) * F.floor(F.abs(lam) + F.lit(0.5))).cast("long").alias("lam_u"),
+        F.sum("ct").over(w).alias("tot_t"),
+        F.sum("cr").over(w).alias("tot_r"),
+    ).collect()  # bounded: <= n_buckets rows by construction
+    if not rows:
+        raise ValueError("dsir_fit: empty corpus (no grams)")
+    tot_t, tot_r = rows[0]["tot_t"], rows[0]["tot_r"]
+    default = math.log(tot_r + n_buckets) - math.log(tot_t + n_buckets)
+    default_u = int(math.copysign(math.floor(abs(default * 1e6) + 0.5), default))
+    out = [default_u] * n_buckets
+    for r in rows:
+        out[r["__b"]] = r["lam_u"]
+    return out
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    lam_u: Sequence[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigram: bool = True,
+) -> DataFrame:
+    """Score every document's DSIR log importance weight — ZERO shuffles:
+    the fitted micro-λ table rides the plan as a literal array (n_buckets
+    longs, the IVF-centroid pattern) and the per-doc weight is an in-row
+    higher-order ``aggregate`` over the gram list, ``w_u = Σ_g
+    λ_u[hash(g) mod B]`` summed as exact longs. The whole scoring pass
+    pipelines inside the parquet scan's stage — at 100 TB this is a
+    map-only pass with no exchange, no broadcast, no Python.
+
+    Output: ``doc_id, n_grams, logw`` where ``logw = w_u / 1e6`` (the
+    micro-exact log weight; identical IEEE division in any engine).
+    Empty documents score 0 over 0 grams.
+    """
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        token_hash, words,
+    )
+
+    n_buckets = len(lam_u)
+    lam_lit = F.array([F.lit(int(v)).cast("long") for v in lam_u])
+    toks = words(F.col(text_col))
+    grams = _dsir_grams(toks, bigram)
+    w_u = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(
+            lam_lit, (F.pmod(token_hash(g), F.lit(n_buckets)) + 1).cast("int")
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).cast("long").alias("n_grams"),
+        (w_u / F.lit(1_000_000.0)).alias("logw"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    bigram: bool = True,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR data selection end-to-end (Xie et al. 2023): fit hashed-n-gram
+    target/raw multinomials on the pool, score every doc's log importance
+    weight, perturb with deterministic Gumbel noise and keep the top-k —
+    importance RESAMPLING, not thresholding, so the kept set matches the
+    target distribution instead of collapsing onto its mode.
+
+    The Gumbel draw is the engine-portable hash primitive
+    (``operators/sketch.uniform_hash`` mechanics): ``u = (h₆₀ + 0.5) /
+    2⁶⁰`` from md5 of ``doc_id:seed`` (the +0.5 keeps u in (0,1), so the
+    double-log never sees 0), ``g = −ln(−ln u)``, ``key = logw + g``.
+    Reproducible across runs, engines, and partitionings — the oracle
+    replays the identical draw. Top-k by key compiles to
+    TakeOrderedAndProject (no global sort at scale).
+
+    Output: ``doc_id, n_grams, logw, gumbel_key`` (6-dp), the k kept docs.
+    """
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lam = dsir_fit(docs, target, text_col, n_buckets, bigram)
+    scored = dsir_logweights(docs, lam, text_col, id_col, bigram)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(str(int(seed))))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(TWO_POW_60)
+    key = F.col("logw") - F.log(-F.log(u))
+    return (
+        scored.withColumn("gumbel_key", round6(key))
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(int(k))
     )

@@ -6453,6 +6453,92 @@ def q_temperature_mixture(spark, sf_dir):
 
 
 @register(
+    "dsir_select",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT % 1024 AS b
+      FROM (
+        SELECT doc_id, unnest(tk) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+        FROM (
+          SELECT doc_id, tk,
+                 unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM tok
+        )
+      )
+    ), cnt AS (
+      SELECT b,
+             sum(CASE WHEN d.source IN ('src1', 'src2', 'src3')
+                 THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cr
+      FROM grams gr JOIN documents d USING (doc_id)
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+      FROM cnt
+    ), lam AS (
+      SELECT b,
+             CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                  ELSE -floor(-x + 0.5) END AS BIGINT) AS lam_u
+      FROM (
+        SELECT b,
+               (ln(ct + 1) - ln(tt + 1024) - ln(cr + 1) + ln(tr + 1024))
+                 * 1000000.0 AS x
+        FROM cnt CROSS JOIN tot
+      )
+    ), wm AS (
+      SELECT gr.doc_id, count(*) AS n_grams,
+             CAST(sum(l.lam_u) AS BIGINT) AS w_u
+      FROM grams gr JOIN lam l USING (b)
+      GROUP BY 1
+    ), sc AS (
+      SELECT d.doc_id,
+             CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+             coalesce(w.w_u, 0) / 1000000.0 AS logw,
+             (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                + 0.5) / power(2, 60) AS u
+      FROM documents d LEFT JOIN wm w USING (doc_id)
+    )
+    SELECT doc_id, n_grams, logw,
+           round(logw - ln(-ln(u)), 6) AS gumbel_key
+    FROM sc
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): fit hashed unigram+bigram
+    multinomials (1024 buckets, Laplace-smoothed) for a target slice
+    (source ∈ {src1,src2,src3}) vs the raw pool, score every doc's log
+    importance weight, Gumbel-perturb and keep the top-100. Float-parity
+    discipline: per-bucket log ratios are micro-scaled LONGs, so doc
+    weights are exact order-free integer sums; the Gumbel draw is the
+    deterministic md5 uniform. Scale shape: the fit collapses map-side to
+    ≤1024 rows, the λ table rides the scoring plan as a LITERAL array
+    (the IVF-centroid pattern), and scoring is an in-row higher-order
+    aggregate — a map-only corpus pass with ZERO shuffles; top-k compiles
+    to TakeOrderedAndProject (operators/curation.py: dsir_fit /
+    dsir_logweights / dsir_select)."""
+    from binance_futures_data_lake_spark.operators.curation import dsir_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_select(
+        docs,
+        F.col("source").isin("src1", "src2", "src3"),
+        k=100,
+        n_buckets=1024,
+        seed=7,
+    )
+
+
+@register(
     "domain_caps",
     sql="""
     WITH c AS (
@@ -7049,7 +7135,7 @@ _FRONT = [
     # period 3 rounds; invariant is now "driver-green within the last
     # THREE rounds, SELFCHECK-green every round". Ages entering r6:
     # 11 never-driver-checked (r5-NEW), 46 r4-checked, 50 r5-checked.
-    # r6 prefix = the 11 never-checked first, then 39 of the 46 r4-aged.
+    # r6 prefix = 6 r6-NEW, the 11 never-checked, then 33 of the 46 r4-aged.
     # The 7 deferred r4-aged queries are each subsumed by a sibling that
     # IS in a recent prefix (simhash_values / minhash_signatures /
     # word_jaccard_pairs by the near-dup pair queries, pack_sequences by
@@ -7058,22 +7144,22 @@ _FRONT = [
     # by ml_confidence_keep + ml_net_confidence_keep).
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
     # + calendar_weekly_ohlcv + point_lookup_neighbors + scrub_ffill_gates
-    # + ml_forward_labels (each bumped from this prefix for one r6-NEW
-    # query: streaming_simhash_dedup / semantic_dedup / c4_quality_flags /
-    # temperature_mixture / bm25_topk; any further r6-NEW query bumps one
-    # more r4-aged entry onto this list) first, then the r5-checked block
-    # up to 50;
+    # + ml_forward_labels + case_label_ladder (each bumped from this
+    # prefix for one r6-NEW query: streaming_simhash_dedup /
+    # semantic_dedup / c4_quality_flags / temperature_mixture / bm25_topk
+    # / dsir_select; any further r6-NEW query bumps one more r4-aged
+    # entry onto this list) first, then the r5-checked block up to 50;
     # r8 sweeps the remaining r5-checked plus the then-aged r6 block.
     # Keep recording exact ages here each round.
     # --- r6-NEW ---
     "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
-    "temperature_mixture", "bm25_topk",
+    "temperature_mixture", "bm25_topk", "dsir_select",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "retrieval_eval_ivf", "ann_ivf_topk", "kmv_quantile_value_by_type",
-    # --- 34 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
+    # --- 33 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
     "priority_ship_exists", "backtest_range_kernel", "backtest_equity_curve",
     "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
     "quality_classifier_train_score", "pack_manifest",
@@ -7085,7 +7171,7 @@ _FRONT = [
     "doc_repetition", "gopher_quality_flags", "cluster_split",
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
     "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
-    "brand_volume", "rma_atr_hourly", "case_label_ladder",
+    "brand_volume", "rma_atr_hourly",
 ]
 _ORACLE_TAIL = [
     # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and

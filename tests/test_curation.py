@@ -417,3 +417,67 @@ def test_temperature_mixture_rates_math(spark):
         temperature_mixture_rates(df, "source", 0.4, alpha=0.0)
     with pytest.raises(ValueError):
         temperature_mixture_rates(df, "source", 1.5)
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_toy(spark):
+    """20 'science' target docs, 40 junk + 20 science-adjacent raw docs."""
+    rows = []
+    sci = "quantum electron proton neutron orbital spin lattice boson"
+    junk = "click here buy now free offer winner prize casino jackpot"
+    for i in range(20):
+        rows.append((i, sci + f" study {i % 3}", True))
+    for i in range(20, 40):
+        rows.append((i, sci + f" study {i % 5}", False))  # target-like raw
+    for i in range(40, 80):
+        rows.append((i, junk + f" deal {i % 7}", False))
+    return spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+
+def test_dsir_weights_discriminate(spark):
+    from binance_futures_data_lake_spark.operators.curation import (
+        dsir_fit, dsir_logweights,
+    )
+
+    pool = _dsir_toy(spark)
+    lam = dsir_fit(pool, F.col("is_t"), n_buckets=256)
+    assert len(lam) == 256 and all(isinstance(v, int) for v in lam)
+    w = {r["doc_id"]: r["logw"] for r in dsir_logweights(pool, lam).collect()}
+    sci_like = [w[i] for i in range(20, 40)]
+    junky = [w[i] for i in range(40, 80)]
+    assert min(sci_like) > max(junky)  # clean separation on planted vocab
+    # exact long arithmetic: logw is a multiple of 1e-6 (micro-λ sums)
+    for v in w.values():
+        assert abs(v * 1e6 - round(v * 1e6)) < 1e-6
+
+
+def test_dsir_select_topk_and_determinism(spark):
+    from binance_futures_data_lake_spark.operators.curation import dsir_select
+
+    pool = _dsir_toy(spark)
+    kept = dsir_select(pool, F.col("is_t"), k=30, n_buckets=256).collect()
+    assert len(kept) == 30
+    ids = {r["doc_id"] for r in kept}
+    # Gumbel resampling keeps mostly target-like docs, junk nearly never:
+    # the planted logw gap (> 20 nats) dwarfs Gumbel noise (~±3)
+    assert sum(1 for i in ids if i < 40) >= 28
+    again = dsir_select(pool, F.col("is_t"), k=30, n_buckets=256).collect()
+    assert [tuple(r) for r in kept] == [tuple(r) for r in again]  # seeded
+
+
+def test_dsir_empty_and_unseen_docs(spark):
+    from binance_futures_data_lake_spark.operators.curation import (
+        dsir_fit, dsir_logweights,
+    )
+
+    pool = _dsir_toy(spark)
+    lam = dsir_fit(pool, F.col("is_t"), n_buckets=64)
+    extra = spark.createDataFrame(
+        [(900, "   "), (901, "zzzz unseen gram wholly novel")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_logweights(extra, lam).collect()}
+    assert rows[900]["n_grams"] == 0 and rows[900]["logw"] == 0.0
+    assert rows[901]["n_grams"] == 5 + 4  # unigrams + bigrams
