@@ -21,6 +21,8 @@ Spark's xxhash seed or Python's PYTHONHASHSEED).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 from binance_futures_data_lake_spark.functions.scalars import round6
@@ -813,4 +815,128 @@ def incremental_dedup(
             F.col("exact_id").isNull() & F.col("near_id").isNotNull(),
             F.col("near_jaccard"),
         ).alias("jaccard"),
+    )
+
+
+def bloom_bitset(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> list[int]:
+    """Build a Bloom filter over the benchmark's distinct shingles as a
+    list of 63-bit words — the MEMORY-BOUNDED variant of
+    :func:`benchmark_overlap`'s broadcast shingle set. An eval suite of
+    10⁸ shingles broadcast as strings is gigabytes per executor; the
+    Bloom bitset is ``m_bits/8`` bytes at any benchmark size (false
+    positives only — a contaminated doc can NEVER be missed, so the
+    hygiene guarantee is one-sided in the safe direction).
+
+    Engine-portable double hashing (Kirsch-Mitzenmacher): one md5 per
+    shingle yields ``h1`` (hex chars 1-15) and ``h2`` (chars 17-31);
+    position j is ``(h1 + j·h2) mod m``. Words are 63 bits so every mask
+    is a POSITIVE long in any engine (bit 63 of a signed 64-bit word
+    flips sign and ``1 << 63`` is engine-dependent UB territory); masks
+    are built as ``pow(2.0, bit)`` — exact for every bit ≤ 62, and the
+    only shift spelling Spark's column API allows a COLUMN bit count.
+
+    Scale shape: benchmark scan → explode k positions → per-word
+    ``bit_or`` (map-side combined to ≤ ⌈m/63⌉ rows) → ONE bounded
+    collect (the IVF-centroid / DSIR-λ literal pattern).
+    """
+    if m_bits < 64 or k < 1:
+        raise ValueError(f"need m_bits >= 64, k >= 1; got {m_bits}, {k}")
+    bsh = (
+        benchmark.select(words(F.col(text_col)).alias("__toks"))
+        .select(F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"))
+        .distinct()
+    )
+    md5h = F.md5(F.col("s"))
+    pos = F.pmod(
+        F.conv(F.substring(md5h, 1, 15), 16, 10).cast("long")
+        + F.col("j") * F.conv(F.substring(md5h, 17, 15), 16, 10).cast("long"),
+        F.lit(m_bits),
+    )
+    rows = (
+        bsh.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"), "s"
+        )
+        .select(pos.alias("pos"))
+        .select(
+            ((F.col("pos") - F.pmod(F.col("pos"), F.lit(63))) / F.lit(63))
+            .cast("long")
+            .alias("w"),
+            F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(63)).cast("double"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )  # bounded: <= ceil(m_bits/63) rows by construction
+    out = [0] * ((m_bits + 62) // 63)
+    for r in rows:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def bloom_decontam(
+    corpus: DataFrame,
+    bloom_words: Sequence[int],
+    m_bits: int,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Flag corpus docs whose shingles hit the benchmark Bloom filter
+    (:func:`bloom_bitset`) — decontamination when the eval set is too
+    big to broadcast as strings. ZERO shuffles: the bitset rides the
+    plan as a literal word array and each shingle's k membership probes
+    are in-row bit tests, so the whole pass pipelines inside the corpus
+    scan's stage. One md5 per shingle (computed once into a per-shingle
+    struct; h1/h2 are substring slices of it), k add-mod-mask probes.
+
+    Output mirrors :func:`benchmark_overlap`: ``doc_id, n_shingles,
+    n_hits, hit_frac, contaminated`` — with ``n_hits >= n_overlap``
+    (Bloom false positives can only ADD hits, never drop one; size
+    ``m_bits`` for the target FP rate ``(1 - e^(-k·n/m))^k``).
+    """
+    n_words = (m_bits + 62) // 63
+    if len(bloom_words) != n_words:
+        raise ValueError(
+            f"bloom_words has {len(bloom_words)} words, expected {n_words}"
+        )
+    words_lit = F.array([F.lit(int(w)).cast("long") for w in bloom_words])
+    sh = shingles_of_tokens(words(F.col(text_col)), shingle_n)
+
+    def _allset(h):
+        cond = F.lit(True)
+        for j in range(k):
+            pos = F.pmod(h["h1"] + F.lit(j) * h["h2"], F.lit(m_bits))
+            bit = F.pmod(pos, F.lit(63))
+            mask = F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+            word_ix = ((pos - bit) / F.lit(63)).cast("int") + F.lit(1)
+            cond = cond & (
+                F.element_at(words_lit, word_ix).bitwiseAND(mask) == mask
+            )
+        return cond
+
+    hashes = F.transform(
+        F.transform(sh, lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    n_sh = F.size(sh).cast("long")
+    n_hits = F.size(F.filter(hashes, _allset)).cast("long")
+    return corpus.select(
+        F.col(id_col),
+        n_sh.alias("n_shingles"),
+        n_hits.alias("n_hits"),
+        round6(n_hits / n_sh.cast("double")).alias("hit_frac"),
+        (n_hits >= min_hits).cast("int").alias("contaminated"),
     )

@@ -5670,6 +5670,77 @@ def q_benchmark_decontam(spark, sf_dir):
 
 
 @register(
+    "bloom_decontam",
+    sql=f"""
+    WITH bs AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 97 = 0
+    ), bh AS (
+      SELECT ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+             ('0x' || substring(md5(s), 17, 15))::BIGINT AS h2
+      FROM bs
+    ), bpos AS (
+      SELECT (h1 + j * h2) % 65536 AS pos
+      FROM bh, generate_series(0, 3) g(j)
+    ), bw AS (
+      SELECT (pos - pos % 63) // 63 AS w,
+             bit_or(CAST(power(2, pos % 63) AS BIGINT)) AS bits
+      FROM bpos GROUP BY 1
+    ), csh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 97 <> 0
+    ), ch AS (
+      SELECT doc_id, s,
+             ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+             ('0x' || substring(md5(s), 17, 15))::BIGINT AS h2
+      FROM csh
+    ), cpos AS (
+      SELECT doc_id, s, (h1 + j * h2) % 65536 AS pos
+      FROM ch, generate_series(0, 3) g(j)
+    ), chk AS (
+      SELECT c.doc_id, c.s,
+             min(CASE WHEN (w.bits & CAST(power(2, c.pos % 63) AS BIGINT)) <> 0
+                 THEN 1 ELSE 0 END) AS allset
+      FROM cpos c LEFT JOIN bw w ON w.w = (c.pos - c.pos % 63) // 63
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(allset) AS BIGINT) AS n_hits
+      FROM chk GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_hits,
+           round(n_hits / CAST(n_shingles AS DOUBLE), 6) AS hit_frac,
+           CASE WHEN n_hits >= 3 THEN 1 ELSE 0 END AS contaminated
+    FROM per
+    """,
+)
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter benchmark decontamination — the memory-bounded scale
+    path for ``benchmark_decontam``: the eval set's distinct 3-shingles
+    fold into an m=65536-bit Bloom bitset (k=4 Kirsch-Mitzenmacher md5
+    probes, 63-bit words so every mask is a positive long in any engine)
+    via per-word bit_or and ONE bounded collect; the corpus pass is then
+    ZERO-shuffle — the bitset rides the plan as a literal word array and
+    each shingle's membership is k in-row bit tests. One-sided error:
+    contamination can never be MISSED (n_hits >= n_overlap always;
+    no-false-negative pytest vs the exact path), and the bitset is
+    m/8 bytes regardless of benchmark size where the broadcast string
+    set grows with it. Same 97-split, min_hits and output shape as
+    benchmark_decontam; the oracle replays the identical bit arithmetic
+    (operators/textdedup.py: bloom_bitset / bloom_decontam)."""
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        bloom_bitset, bloom_decontam,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bits = bloom_bitset(bench, shingle_n=3, m_bits=65536, k=4)
+    return bloom_decontam(
+        corpus, bits, m_bits=65536, k=4, shingle_n=3, min_hits=3
+    )
+
+
+@register(
     "stratified_sample_langs",
     sql="""
     SELECT lang, count(*) AS n_docs,
@@ -7135,7 +7206,7 @@ _FRONT = [
     # period 3 rounds; invariant is now "driver-green within the last
     # THREE rounds, SELFCHECK-green every round". Ages entering r6:
     # 11 never-driver-checked (r5-NEW), 46 r4-checked, 50 r5-checked.
-    # r6 prefix = 6 r6-NEW, the 11 never-checked, then 33 of the 46 r4-aged.
+    # r6 prefix = 7 r6-NEW, the 11 never-checked, then 32 of the 46 r4-aged.
     # The 7 deferred r4-aged queries are each subsumed by a sibling that
     # IS in a recent prefix (simhash_values / minhash_signatures /
     # word_jaccard_pairs by the near-dup pair queries, pack_sequences by
@@ -7144,22 +7215,23 @@ _FRONT = [
     # by ml_confidence_keep + ml_net_confidence_keep).
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
     # + calendar_weekly_ohlcv + point_lookup_neighbors + scrub_ffill_gates
-    # + ml_forward_labels + case_label_ladder (each bumped from this
-    # prefix for one r6-NEW query: streaming_simhash_dedup /
-    # semantic_dedup / c4_quality_flags / temperature_mixture / bm25_topk
-    # / dsir_select; any further r6-NEW query bumps one more r4-aged
-    # entry onto this list) first, then the r5-checked block up to 50;
+    # + ml_forward_labels + case_label_ladder + brand_volume (each
+    # bumped from this prefix for one r6-NEW query:
+    # streaming_simhash_dedup / semantic_dedup / c4_quality_flags /
+    # temperature_mixture / bm25_topk / dsir_select / bloom_decontam;
+    # any further r6-NEW query bumps one more r4-aged entry onto this
+    # list) first, then the r5-checked block up to 50;
     # r8 sweeps the remaining r5-checked plus the then-aged r6 block.
     # Keep recording exact ages here each round.
     # --- r6-NEW ---
     "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
-    "temperature_mixture", "bm25_topk", "dsir_select",
+    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "retrieval_eval_ivf", "ann_ivf_topk", "kmv_quantile_value_by_type",
-    # --- 33 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
+    # --- 32 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
     "priority_ship_exists", "backtest_range_kernel", "backtest_equity_curve",
     "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
     "quality_classifier_train_score", "pack_manifest",
@@ -7171,7 +7243,7 @@ _FRONT = [
     "doc_repetition", "gopher_quality_flags", "cluster_split",
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
     "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
-    "brand_volume", "rma_atr_hourly",
+    "rma_atr_hourly",
 ]
 _ORACLE_TAIL = [
     # Driver-green in r5 (CORRECTNESS_r05: rows+schema+hash, zero err) and

@@ -669,3 +669,58 @@ def test_hamming_match_existing_vs_bruteforce(spark):
                 eid = min(b[0] for b in best)
                 want[nid] = (eid, dict(best)[eid])
         assert got == want, (max_h, n_bands)
+
+
+def test_bloom_decontam_no_false_negatives_vs_exact(spark):
+    """Bloom membership is one-sided: every exact-overlap hit must also
+    be a bloom hit (n_hits >= n_overlap per doc), and the planted
+    contamination must be flagged identically at a sane m_bits."""
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        benchmark_overlap, bloom_bitset, bloom_decontam,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    exact = {
+        r["doc_id"]: r
+        for r in benchmark_overlap(corpus, bench, min_hits=3).collect()
+    }
+    wordsv = bloom_bitset(bench, m_bits=1 << 17, k=4)
+    assert len(wordsv) == ((1 << 17) + 62) // 63
+    assert any(w != 0 for w in wordsv)
+    bl = {
+        r["doc_id"]: r
+        for r in bloom_decontam(
+            corpus, wordsv, m_bits=1 << 17, k=4, min_hits=3
+        ).collect()
+    }
+    assert set(bl) == set(exact)
+    for d, e in exact.items():
+        assert bl[d]["n_shingles"] == e["n_shingles"]
+        assert bl[d]["n_hits"] >= e["n_overlap"]  # never misses a real hit
+        if e["contaminated"]:
+            assert bl[d]["contaminated"] == 1
+    # at this load factor FPs should be rare: total spurious hits small
+    spurious = sum(bl[d]["n_hits"] - exact[d]["n_overlap"] for d in bl)
+    total_sh = sum(e["n_shingles"] for e in exact.values())
+    assert spurious <= max(5, total_sh // 100)
+
+
+def test_bloom_bitset_self_membership_and_word_edges(spark):
+    """Every benchmark shingle must test positive against its own bitset,
+    including positions landing in the last PARTIAL 63-bit word."""
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        bloom_bitset, bloom_decontam,
+    )
+
+    bench = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta epsilon zeta{i}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    m = 1000  # NOT a multiple of 63: 16 words, last one 55 bits wide
+    wordsv = bloom_bitset(bench, m_bits=m, k=5)
+    out = bloom_decontam(bench, wordsv, m_bits=m, k=5, min_hits=1).collect()
+    for r in out:
+        assert r["n_hits"] == r["n_shingles"], r  # self-membership exact
+        assert r["contaminated"] == 1
