@@ -919,3 +919,53 @@ def semantic_dedup_gemm(
         f"vec_id {id_type}, cell int, status string, "
         "match_id long, cosine double",
     )
+
+
+def hard_negatives(
+    results: DataFrame,
+    gold: DataFrame,
+    n_neg: int = 3,
+    max_cos: float | None = 0.95,
+) -> DataFrame:
+    """DPR-style hard-negative mining for contrastive retriever training
+    (Karpukhin et al. 2020): from an ANN result set (``q_id,
+    neighbor_id, cosine, rnk`` — any tier: brute, LSH, IVF), drop the
+    labeled positives (``gold``: ``q_id, doc_id``), optionally drop
+    candidates scoring above ``max_cos`` (near-certain UNLABELED
+    positives — mining those as negatives poisons the loss), and keep
+    each query's ``n_neg`` highest-scoring survivors. These
+    top-ranked-but-wrong candidates are the negatives that actually move
+    a contrastive loss; random negatives are trivially separable.
+
+    Scale shape: the result set is |Q|·k rows (never the corpus), the
+    positives anti-join is broadcast, and the final per-query rank
+    windows over ≤ k rows per query. The expensive part — scoring the
+    corpus — already happened inside the ANN tier, which at 100 TB reads
+    nprobe/num_cells of the store via partition pruning.
+
+    Output: ``q_id, neg_id, cosine, neg_rank`` (≤ n_neg rows per query).
+    """
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    neg = results.join(
+        F.broadcast(
+            gold.select(F.col("q_id"), F.col("doc_id").alias("neighbor_id"))
+        ),
+        ["q_id", "neighbor_id"],
+        "left_anti",
+    )
+    if max_cos is not None:
+        neg = neg.filter(F.col("cosine") <= F.lit(float(max_cos)))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(
+            "q_id",
+            F.col("neighbor_id").alias("neg_id"),
+            "cosine",
+            "neg_rank",
+        )
+    )

@@ -6980,6 +6980,58 @@ def q_retrieval_eval_ivf(spark, sf_dir):
     return retrieval_eval(res, gold, k=5)
 
 
+@register(
+    "hard_negative_mining",
+    sql=_IVF_SEEDED_CTES
+    + """
+    , res AS (
+      SELECT q_id, neighbor_id, cosine FROM r WHERE rnk <= 10
+    ), gold AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS doc_id
+      FROM embeddings a JOIN embeddings b USING (label)
+      WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+    ), neg AS (
+      SELECT res.q_id, res.neighbor_id, res.cosine
+      FROM res LEFT JOIN gold g
+        ON g.q_id = res.q_id AND g.doc_id = res.neighbor_id
+      WHERE g.doc_id IS NULL AND res.cosine <= 0.95
+    ), rk AS (
+      SELECT q_id, neighbor_id AS neg_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS neg_rank
+      FROM neg
+    )
+    SELECT q_id, neg_id, cosine, neg_rank FROM rk WHERE neg_rank <= 3
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """DPR-style hard-negative mining (Karpukhin et al. 2020) — the
+    training-data half of the retrieval family: the seeded-IVF tier's
+    top-10 per query, minus the label-derived positives (broadcast
+    anti-join), minus near-certain unlabeled positives (cosine > 0.95),
+    keep each query's 3 highest-scoring survivors. The oracle replays
+    the ENTIRE chain — seed selection, assignment, probe, re-rank, and
+    the mining joins — so either an index or a mining-rule drift fails
+    the hash. Mining cost is |Q|·k rows; the corpus is only touched
+    inside the ANN tier's pruned read
+    (operators/similarity.py:hard_negatives)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        hard_negatives, ivf_seed_centroids, ivf_seeded_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_seed_centroids(emb, num_cells=8)
+    res = ivf_seeded_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                          k=10, nprobe=3)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "label"
+    )
+    gold = q.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "label"
+    ).filter(F.col("doc_id") != F.col("q_id")).select("q_id", "doc_id")
+    return hard_negatives(res, gold, n_neg=3, max_cos=0.95)
+
+
 # Water-filling tail (shared by token_budget_plan and the planning
 # composition): consumes a `t` CTE with (source, tokens BIGINT, w BIGINT)
 # and solves the capped allocation exactly as documented on the operator.
@@ -7206,7 +7258,7 @@ _FRONT = [
     # period 3 rounds; invariant is now "driver-green within the last
     # THREE rounds, SELFCHECK-green every round". Ages entering r6:
     # 11 never-driver-checked (r5-NEW), 46 r4-checked, 50 r5-checked.
-    # r6 prefix = 7 r6-NEW, the 11 never-checked, then 32 of the 46 r4-aged.
+    # r6 prefix = 8 r6-NEW, the 11 never-checked, then 31 of the 46 r4-aged.
     # The 7 deferred r4-aged queries are each subsumed by a sibling that
     # IS in a recent prefix (simhash_values / minhash_signatures /
     # word_jaccard_pairs by the near-dup pair queries, pack_sequences by
@@ -7215,23 +7267,25 @@ _FRONT = [
     # by ml_confidence_keep + ml_net_confidence_keep).
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
     # + calendar_weekly_ohlcv + point_lookup_neighbors + scrub_ffill_gates
-    # + ml_forward_labels + case_label_ladder + brand_volume (each
-    # bumped from this prefix for one r6-NEW query:
+    # + ml_forward_labels + case_label_ladder + brand_volume +
+    # doc_token_stats (each bumped from this prefix for one r6-NEW query:
     # streaming_simhash_dedup / semantic_dedup / c4_quality_flags /
-    # temperature_mixture / bm25_topk / dsir_select / bloom_decontam;
-    # any further r6-NEW query bumps one more r4-aged entry onto this
-    # list) first, then the r5-checked block up to 50;
+    # temperature_mixture / bm25_topk / dsir_select / bloom_decontam /
+    # hard_negative_mining; any further r6-NEW query bumps one more
+    # r4-aged entry onto this list) first, then the r5-checked block up
+    # to 50;
     # r8 sweeps the remaining r5-checked plus the then-aged r6 block.
     # Keep recording exact ages here each round.
     # --- r6-NEW ---
     "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
     "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
+    "hard_negative_mining",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "retrieval_eval_ivf", "ann_ivf_topk", "kmv_quantile_value_by_type",
-    # --- 32 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
+    # --- 31 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
     "priority_ship_exists", "backtest_range_kernel", "backtest_equity_curve",
     "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
     "quality_classifier_train_score", "pack_manifest",
@@ -7242,7 +7296,7 @@ _FRONT = [
     "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
     "doc_repetition", "gopher_quality_flags", "cluster_split",
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
-    "mixture_sample_sources", "ann_ivf_seeded_topk", "doc_token_stats",
+    "mixture_sample_sources", "ann_ivf_seeded_topk",
     "rma_atr_hourly",
 ]
 _ORACLE_TAIL = [

@@ -346,3 +346,33 @@ def test_semantic_dedup_gemm_matches_expression(spark):
     a32 = semantic_dedup(emb, fcents, 0.5).orderBy("vec_id").collect()
     b32 = semantic_dedup_gemm(emb, fcents, 0.5).orderBy("vec_id").collect()
     assert [tuple(r) for r in a32] == [tuple(r) for r in b32]
+
+
+def test_hard_negatives_excludes_positives_and_caps(spark):
+    from binance_futures_data_lake_spark.operators.similarity import hard_negatives
+
+    res = spark.createDataFrame(
+        [
+            # q1: gold at rank 1, unlabeled near-dup at 0.99, then negatives
+            (1, 10, 0.98, 1), (1, 11, 0.99, 2), (1, 12, 0.80, 3),
+            (1, 13, 0.70, 4), (1, 14, 0.60, 5), (1, 15, 0.50, 6),
+            # q2: everything is gold -> no negatives survive
+            (2, 20, 0.90, 1), (2, 21, 0.85, 2),
+        ],
+        "q_id long, neighbor_id long, cosine double, rnk int",
+    )
+    gold = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21)], "q_id long, doc_id long"
+    )
+    out = hard_negatives(res, gold, n_neg=3, max_cos=0.95).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert 2 not in by_q  # all-gold query yields nothing
+    got = [(r["neg_id"], r["neg_rank"]) for r in sorted(by_q[1], key=lambda r: r["neg_rank"])]
+    # 10 excluded (gold), 11 excluded (cosine > max_cos), top-3 of the rest
+    assert got == [(12, 1), (13, 2), (14, 3)]
+    # no cap on cosine when max_cos is None: 11 becomes the top negative
+    out2 = hard_negatives(res, gold, n_neg=2, max_cos=None).collect()
+    top = sorted((r for r in out2 if r["q_id"] == 1), key=lambda r: r["neg_rank"])
+    assert [r["neg_id"] for r in top] == [11, 12]
