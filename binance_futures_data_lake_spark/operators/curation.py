@@ -485,7 +485,18 @@ def token_budget_plan(
         (F.sum(F.col("tokens").cast("decimal(20,0)"))
          * F.lit(int(budget_frac_pct))).alias("t_num"),
     )
-    order = [(F.col("cap_num") / F.col("w")).asc(), F.col("source").asc()]
+    # The SORT key must stay the IEEE-double ratio: the oracle orders by
+    # (tokens*200)/w, which DuckDB evaluates as double(a)/double(b) — a
+    # decimal quotient here (Spark rounds it to a fixed scale) can order
+    # near-tie sources differently and flip the saturation prefix. Only
+    # the ORDER uses doubles; every saturation/allocation comparison
+    # stays exact decimal cross-multiplication, so a 1-ulp key tie can
+    # at most swap two sources whose processing order both engines agree
+    # on (the double key is computed by identical ops in both).
+    order = [
+        (F.col("cap_num").cast("double") / F.col("w")).asc(),
+        F.col("source").asc(),
+    ]
     prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
     zero_cap = F.lit(0).cast("decimal(20,0)")
     staged = (
@@ -721,6 +732,8 @@ def dsir_logweights(
     )
 
     n_buckets = len(lam_u)
+    if n_buckets < 2:
+        raise ValueError("lam_u must hold >= 2 buckets (see dsir_fit)")
     lam_lit = F.array([F.lit(int(v)).cast("long") for v in lam_u])
     toks = words(F.col(text_col))
     grams = _dsir_grams(toks, bigram)

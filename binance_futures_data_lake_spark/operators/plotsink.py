@@ -331,7 +331,23 @@ def plot_range_overlay(
     path written."""
     key_cols = list(key_cols)
     framed = range_overlay_frame(bars, boxes, key_cols, ts_col)
-    one_key = F.col(key_cols[0]) == F.lit(key_value)
+    # key_value pins EVERY key column (a scalar pairs with a single key
+    # col; composite keys take a tuple/list) — filtering on the first
+    # column alone would interleave bars and boxes from every other key
+    # combination sharing that value
+    values = (
+        list(key_value)
+        if isinstance(key_value, (list, tuple))
+        else [key_value]
+    )
+    if len(values) != len(key_cols):
+        raise ValueError(
+            f"key_value provides {len(values)} values for "
+            f"{len(key_cols)} key columns {key_cols}"
+        )
+    one_key = F.lit(True)
+    for c, v in zip(key_cols, values):
+        one_key = one_key & (F.col(c) == F.lit(v))
     view = bars.filter(one_key)
     if max_bars > 0:
         rank = F.row_number().over(

@@ -230,10 +230,13 @@ def lsh_topk(
     Bit-exactness: the sign of each plane dot must match the SQL fold
     (``F.aggregate`` in :func:`rh_signatures`, ``list_dot_product`` in
     the DuckDB oracle). The kernel computes the dots with one BLAS GEMM
-    and re-computes the rare entries with ``|dot| < 1e-9`` (the bound on
-    GEMM-vs-fold reassociation error is ~1e-12 for unit-scale planes)
-    using the exact sequential per-dim fold — identical IEEE op order —
-    so a reassociated near-zero dot can never flip a bucket bit.
+    and re-computes the rare near-zero entries using the exact
+    sequential per-dim fold — identical IEEE op order — so a
+    reassociated dot can never flip a bucket bit. The trigger is
+    MAGNITUDE-AWARE: reassociation error scales with the operand norms
+    (≈ dim·eps·‖x‖·‖p‖, e.g. ~3e-8 for dim-512 vectors with ‖x‖~1e3),
+    so the recompute fires for ``|dot| < 1e-9 · max(1, ‖x‖·max‖p‖)`` —
+    the unit-scale behavior unchanged, large-scale embeddings safe.
     Scoring uses the 6-dp-rounded cosine with an id tiebreak, as in
     every other tier.
     """
@@ -244,6 +247,7 @@ def lsh_topk(
         raise ValueError(f"n_planes {n_planes} not divisible by bands {bands}")
     rpb = n_planes // bands
     planes = np.array(hyperplanes(dim, n_planes), dtype=np.float64).T  # dim × P
+    pn_max = float(np.sqrt(np.einsum("ij,ij->j", planes, planes).max()))
 
     q_pdf = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
@@ -267,7 +271,8 @@ def lsh_topk(
 
     def _bits(mat):
         g = mat @ planes
-        near = np.abs(g) < 1e-9
+        xn = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        near = np.abs(g) < (1e-9 * np.maximum(1.0, xn * pn_max))[:, None]
         if near.any():
             for i, p in zip(*map(np.ndarray.tolist, np.nonzero(near))):
                 g[i, p] = _fold_dot(mat[i], p)
@@ -810,8 +815,9 @@ def semantic_dedup_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """The 100 TB kernel path for :func:`semantic_dedup` — identical
-    output (pytest-pinned frame equality), two orders faster per row:
+    """The 100 TB kernel path for :func:`semantic_dedup` — same output
+    (pytest-pinned frame equality on int AND string ids), two orders
+    faster per row:
 
     - **Assignment** is one zero-shuffle ``mapInArrow`` pass: vectors
       land on the 1e-6 integer grid exactly like ``_scaled_unit``, then
@@ -833,6 +839,14 @@ def semantic_dedup_gemm(
     Use :func:`fixed_point_cents` to feed centroids from the Spark-ML
     quantizer when Lloyd-build oracle replay isn't needed (the Lloyd
     ``iters`` scans are themselves expression-bound at large num_cells).
+
+    Equality fine print: norms are computed by the SAME sequential fold
+    as the SQL ``aggregate`` (bit-identical); the residual exposure is
+    (a) ``F.round`` shortest-repr ties in the grid projection and (b) a
+    1-ulp GEMM-vs-fold dot landing exactly on a round6 boundary in the
+    cell dedup — both ~1e-14/value, caught by the frame-equality test
+    when they occur, and the consequence is one vector's cell/status,
+    never corruption.
     """
     import numpy as np
     import pyarrow as pa
@@ -843,6 +857,17 @@ def semantic_dedup_gemm(
         raise ValueError("cents must be non-empty")
     cents = sorted(cents)  # argmin first-min tiebreak needs ascending ids
     id_type = dict(corpus.dtypes)[id_col]
+
+    def _fold_sq_norm(mat):
+        # SEQUENTIAL left fold of x*x, column by column — the exact
+        # rounding order of the SQL ``aggregate`` in ``_norm``, so the
+        # kernel's norms are BIT-IDENTICAL to the expression path's
+        # (einsum's pairwise/SIMD accumulation can differ by 1 ulp,
+        # which a .5 grid boundary would amplify into a different cell)
+        acc = np.zeros(mat.shape[0])
+        for jj in range(mat.shape[1]):
+            acc = acc + mat[:, jj] * mat[:, jj]
+        return np.sqrt(acc)
     vec_type = dict(corpus.dtypes)[vec_col]
     cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
     c_mat = np.array([v for _, v in cents], dtype=np.float64)  # cells × dim
@@ -865,7 +890,7 @@ def semantic_dedup_gemm(
                     f"{n} rows × dim {dim}"
                 )
             mat = flat.reshape(n, dim)
-            nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            nrm = _fold_sq_norm(mat)
             live = np.flatnonzero(nrm > 0)  # zero-norm out of domain
             for s0 in range(0, live.size, chunk):
                 sel = live[s0 : s0 + chunk]
@@ -892,7 +917,7 @@ def semantic_dedup_gemm(
         pdf = pdf.sort_values("id").reset_index(drop=True)
         ids = pdf["id"].to_numpy()
         mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        nrm = _fold_sq_norm(mat)
         scaled = (mat @ mat.T) / (nrm[:, None] * nrm[None, :]) * 1e6
         cos = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6  # round6
         hit = cos >= thr
@@ -900,25 +925,28 @@ def semantic_dedup_gemm(
         first = hit.argmax(axis=1)  # first True = min-id match
         has = hit.any(axis=1)
         hs = pd.Series(has)
+        # convert_dtypes keeps the id's own type nullable (Int64 for
+        # ints — a plain .where would round-trip through float64 and
+        # corrupt ids past 2^53 — pandas string dtype for string ids)
+        match = pd.Series(ids[first]).convert_dtypes().where(hs)
         return pd.DataFrame(
             {
                 "vec_id": ids,
                 "cell": pdf["cell"].to_numpy(),
                 "status": np.where(has, "near_dup", "kept"),
-                "match_id": pd.Series(
-                    np.where(has, ids[first], 0), dtype="Int64"
-                ).where(hs),
+                "match_id": match,
                 "cosine": pd.Series(
                     cos[np.arange(len(ids)), first]
                 ).where(hs),
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    out = assigned.groupBy("cell").applyInPandas(
         _dedup,
         f"vec_id {id_type}, cell int, status string, "
-        "match_id long, cosine double",
+        f"match_id {id_type}, cosine double",
     )
+    return out.withColumnRenamed("vec_id", id_col) if id_col != "vec_id" else out
 
 
 def hard_negatives(

@@ -835,7 +835,10 @@ def bloom_bitset(
 
     Engine-portable double hashing (Kirsch-Mitzenmacher): one md5 per
     shingle yields ``h1`` (hex chars 1-15) and ``h2`` (chars 17-31);
-    position j is ``(h1 + j·h2) mod m``. Words are 63 bits so every mask
+    position j is ``(h1 mod m + j·(h2 mod m)) mod m`` — h1/h2 reduced
+    BEFORE the multiply so the probe can never overflow int64 at any k
+    (identical positions to the textbook ``(h1 + j·h2) mod m`` by
+    modular arithmetic). Words are 63 bits so every mask
     is a POSITIVE long in any engine (bit 63 of a signed 64-bit word
     flips sign and ``1 << 63`` is engine-dependent UB territory); masks
     are built as ``pow(2.0, bit)`` — exact for every bit ≤ 62, and the
@@ -853,9 +856,16 @@ def bloom_bitset(
         .distinct()
     )
     md5h = F.md5(F.col("s"))
+    # reduce h1/h2 mod m BEFORE the j-multiply: (h1 + j*h2) mod m ==
+    # (h1 mod m + j*(h2 mod m)) mod m, and the reduced form cannot
+    # overflow int64 at ANY k (raw h1 + j*h2 wraps past k=8 in Spark and
+    # ERRORS in ANSI engines — h1, h2 are 60-bit)
     pos = F.pmod(
-        F.conv(F.substring(md5h, 1, 15), 16, 10).cast("long")
-        + F.col("j") * F.conv(F.substring(md5h, 17, 15), 16, 10).cast("long"),
+        F.pmod(F.conv(F.substring(md5h, 1, 15), 16, 10).cast("long"), F.lit(m_bits))
+        + F.col("j")
+        * F.pmod(
+            F.conv(F.substring(md5h, 17, 15), 16, 10).cast("long"), F.lit(m_bits)
+        ),
         F.lit(m_bits),
     )
     rows = (
@@ -915,7 +925,11 @@ def bloom_decontam(
     def _allset(h):
         cond = F.lit(True)
         for j in range(k):
-            pos = F.pmod(h["h1"] + F.lit(j) * h["h2"], F.lit(m_bits))
+            pos = F.pmod(
+                F.pmod(h["h1"], F.lit(m_bits))
+                + F.lit(j) * F.pmod(h["h2"], F.lit(m_bits)),
+                F.lit(m_bits),
+            )
             bit = F.pmod(pos, F.lit(63))
             mask = F.pow(F.lit(2.0), bit.cast("double")).cast("long")
             word_ix = ((pos - bit) / F.lit(63)).cast("int") + F.lit(1)

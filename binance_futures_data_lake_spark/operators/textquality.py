@@ -694,46 +694,58 @@ def bm25_topk(
     identical longs in every engine, so the per-term doubles match
     bit-for-bit before rounding.
 
-    Scale shape: token instances collapse to per-(doc, term) counts
-    before ANY join (the unigram_logprob rule); the df table reduces to
-    one row per vocabulary term; the query-term table broadcasts. A
-    stopword query term still fans out to one row per containing doc —
-    that is BM25's semantics (its idf ≈ 0 contribution is why real
-    deployments drop it); pass ``max_df_frac`` to prune query terms with
-    ``df > frac·N`` and cap that fan-out, the standard stopword guard.
+    Scale shape: the query-vocabulary prune happens MAP-SIDE, before
+    any exchange — exploded token instances broadcast-semi-join the
+    query term set inside the scan stage, so the (doc, term) collapse
+    shuffles only query-term instances, never the corpus vocabulary.
+    Document length comes straight from the token array
+    (``size(words)``, map-only — no corpus-wide aggregate), df is
+    computed on the pruned stream (df of a term only needs that term's
+    rows), and ``max_df_frac`` filters the |query-vocab|-row df table
+    BEFORE it broadcasts back — so a stopword query term is dropped
+    before, not after, its one-row-per-containing-doc fan-out
+    materializes. The only corpus-sized exchange left is the candidate
+    × dlen doc_id join that scoring inherently needs.
 
     Output: ``q_id, doc_id, score, rnk`` (score 6-dp, rnk 1..k by score
     desc / doc_id asc).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    dt = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
-        )
-        .select("doc_id", F.explode("__toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    dlen = dt.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
-    df_ = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dt.select(F.sum("cnt").alias("total_len"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
     )
     qt = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(words(F.col(q_text_col))).alias("term"),
     ).distinct()
-    cand = (
-        dt.join(dlen, "doc_id")
-        .join(df_, "term")
-        .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(stats))
+    # map-side prune: only query-term instances survive into the
+    # (doc, term) collapse — the semi-join against the broadcast query
+    # vocabulary runs inside the scan stage, before any exchange
+    dt_q = (
+        toks.select("doc_id", F.explode("__toks").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "leftsemi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # dl straight off the token array — map-only, no corpus aggregate
+    dlen = toks.select("doc_id", F.size("__toks").cast("long").alias("dl"))
+    df_ = dt_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dlen.select(F.sum("dl").alias("total_len"))
+    )
+    df_k = df_.crossJoin(F.broadcast(stats))
     if max_df_frac is not None:
-        cand = cand.filter(
+        # stopword guard applied to the |query-vocab|-row df table —
+        # the fan-out this prunes never materializes
+        df_k = df_k.filter(
             F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
         )
+    cand = (
+        dt_q.join(F.broadcast(df_k), "term")
+        .join(F.broadcast(qt), "term")
+        .join(dlen, "doc_id")
+    )
     avgdl = F.col("total_len") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)

@@ -5679,7 +5679,7 @@ def q_benchmark_decontam(spark, sf_dir):
              ('0x' || substring(md5(s), 17, 15))::BIGINT AS h2
       FROM bs
     ), bpos AS (
-      SELECT (h1 + j * h2) % 65536 AS pos
+      SELECT (h1 % 65536 + j * (h2 % 65536)) % 65536 AS pos
       FROM bh, generate_series(0, 3) g(j)
     ), bw AS (
       SELECT (pos - pos % 63) // 63 AS w,
@@ -5694,7 +5694,7 @@ def q_benchmark_decontam(spark, sf_dir):
              ('0x' || substring(md5(s), 17, 15))::BIGINT AS h2
       FROM csh
     ), cpos AS (
-      SELECT doc_id, s, (h1 + j * h2) % 65536 AS pos
+      SELECT doc_id, s, (h1 % 65536 + j * (h2 % 65536)) % 65536 AS pos
       FROM ch, generate_series(0, 3) g(j)
     ), chk AS (
       SELECT c.doc_id, c.s,

@@ -376,3 +376,31 @@ def test_hard_negatives_excludes_positives_and_caps(spark):
     out2 = hard_negatives(res, gold, n_neg=2, max_cos=None).collect()
     top = sorted((r for r in out2 if r["q_id"] == 1), key=lambda r: r["neg_rank"])
     assert [r["neg_id"] for r in top] == [11, 12]
+
+
+def test_semantic_dedup_gemm_string_ids(spark):
+    """The kernel path must honor a non-default, non-numeric id column —
+    typed match_id, aliased output — identically to the expression path."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids, semantic_dedup, semantic_dedup_gemm,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    base = emb.select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias("doc_key"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = emb.filter(F.col("vec_id") < 10).select(
+        F.concat(F.lit("dup-"), F.format_string("%05d", "vec_id")).alias("doc_key"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.01)
+        ).alias("embedding"),
+    )
+    named = base.unionByName(twins)
+    cents = ivf_lloyd_centroids(named, num_cells=4, iters=1, id_col="doc_key")
+    a = semantic_dedup(named, cents, 0.5, id_col="doc_key").orderBy("doc_key").collect()
+    b = semantic_dedup_gemm(named, cents, 0.5, id_col="doc_key").orderBy("doc_key").collect()
+    assert len(a) == len(b) > 0
+    assert a[0].__fields__ == b[0].__fields__ == ["doc_key", "cell", "status", "match_id", "cosine"]
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert any(r["status"] == "near_dup" for r in a)
