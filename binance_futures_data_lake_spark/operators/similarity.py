@@ -997,3 +997,76 @@ def hard_negatives(
             "neg_rank",
         )
     )
+
+
+def semantic_match_existing(
+    existing: DataFrame,
+    new: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-set SemDeDup — the SEMANTIC tier of the daily-ingest dedup
+    pattern (md5 :func:`~binance_futures_data_lake_spark.operators.textdedup.incremental_dedup`,
+    MinHash band index, :func:`~binance_futures_data_lake_spark.operators.textdedup.hamming_match_existing`,
+    and now meaning): every NEW vector is assigned to its cell in the
+    EXISTING side's quantizer (centroids are the persisted index — new
+    data must not move them) and compared only against existing
+    cellmates; ``cosine ≥ threshold`` to a smaller corpus means the
+    snapshot vector is a semantic duplicate of something already
+    ingested.
+
+    Scale shape: the existing side is the persisted ``partitionBy(cell)``
+    store (the ann_ivf index layout), so the cell join reads ONLY the
+    cells the snapshot's vectors land in — cost is O(snapshot ×
+    cell-size), never O(corpus); the quantizer pass is one narrow
+    broadcast-literal compare per row on each side. Within-snapshot
+    duplicates are :func:`semantic_dedup` on the snapshot alone —
+    composing the two mirrors the md5/MinHash incremental layers.
+
+    Output: one row per NEW vector — ``id_col, cell, status
+    ('kept'|'near_dup'), match_id, cosine`` where ``match_id`` is the
+    SMALLEST matching existing id and ``cosine`` its 6-dp similarity
+    (the shared stable-representative contract; zero-norm vectors are
+    out of domain as everywhere in this module).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eb = normalized(existing, id_col, vec_col).filter(F.col("nrm") > 0)
+    ec = (
+        eb.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
+        .withColumn("cell", _nearest_cells_int(F.col("s"), cents, 1)[0])
+        .select(
+            F.col("id").alias("e_id"), "cell",
+            F.col("vec").alias("e_vec"), F.col("nrm").alias("e_nrm"),
+        )
+    )
+    nb = normalized(new, id_col, vec_col).filter(F.col("nrm") > 0)
+    nc = (
+        nb.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
+        .withColumn("cell", _nearest_cells_int(F.col("s"), cents, 1)[0])
+        .select("id", "cell", "vec", "nrm")
+    )
+    cos = round6(
+        _dot(F.col("vec"), F.col("e_vec")) / (F.col("nrm") * F.col("e_nrm"))
+    )
+    matches = (
+        nc.join(ec, "cell")
+        .select(F.col("id").alias("n_id"), cos.alias("cosine"), "e_id")
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .groupBy("n_id")
+        .agg(F.min(F.struct("e_id", "cosine")).alias("m"))
+    )
+    return (
+        nc.join(matches, nc.id == matches.n_id, "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell"),
+            F.when(F.col("m").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.col("m.e_id").alias("match_id"),
+            F.col("m.cosine").alias("cosine"),
+        )
+    )

@@ -3094,6 +3094,102 @@ def _semdedup_sql(threshold=0.9, num_cells=8, iters=2, dim=64,
     """
 
 
+_SEM_NEW_SRC = """
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) AS vec
+      FROM embeddings WHERE vec_id < 30
+      UNION ALL
+      SELECT vec_id + 20000,
+             list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      FROM embeddings WHERE vec_id >= 30 AND vec_id < 60
+"""
+
+
+def _sem_match_sql(threshold=0.9, num_cells=8, iters=2, dim=64) -> str:
+    """Cross-set SemDeDup oracle: Lloyd index built over the EXISTING
+    side only, NEW vectors assigned to those (frozen) centroids, then
+    the min-id existing-cellmate cosine match."""
+    d2 = ("list_sum(list_transform(range(1, {d}), "
+          "i -> (nsv.s[i]-c.cs[i])*(nsv.s[i]-c.cs[i])))").format(d=dim + 1)
+    return _lloyd_cells_ctes(num_cells, iters, dim) + f"""
+    , nv AS (
+      {_SEM_NEW_SRC}
+    ), nn AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM nv
+    ), nsv AS (
+      SELECT vec_id,
+             list_transform(vec, x -> CAST(round(x / nrm * 1000000.0, 0) AS BIGINT)) AS s
+      FROM nn WHERE nrm > 0
+    ), naf AS (
+      SELECT nsv.vec_id, c.cell,
+        row_number() OVER (PARTITION BY nsv.vec_id ORDER BY {d2}, c.cell) AS rk
+      FROM nsv CROSS JOIN c{iters} c
+    ), ncells AS (
+      SELECT vec_id, cell FROM naf WHERE rk = 1
+    ), pr AS (
+      SELECT w.vec_id AS n_id, e.vec_id AS e_id,
+             round(list_dot_product(na.vec, nb.vec) / (na.nrm * nb.nrm), 6) AS cos
+      FROM ncells w JOIN cells e USING (cell)
+      JOIN nn na ON na.vec_id = w.vec_id
+      JOIN n nb ON nb.vec_id = e.vec_id
+    ), mt AS (
+      SELECT n_id, e_id AS match_id, cos AS cosine FROM (
+        SELECT n_id, e_id, cos,
+               row_number() OVER (PARTITION BY n_id ORDER BY e_id) AS rk
+        FROM pr WHERE cos >= {threshold}
+      ) WHERE rk = 1
+    )
+    SELECT w.vec_id, w.cell,
+           CASE WHEN m.n_id IS NULL THEN 'kept' ELSE 'near_dup' END AS status,
+           m.match_id, m.cosine
+    FROM ncells w LEFT JOIN mt m ON m.n_id = w.vec_id
+    """
+
+
+@register("incremental_semantic_dedup", sql=_sem_match_sql())
+def q_incremental_semantic_dedup(spark, sf_dir):
+    """Cross-set SemDeDup — the SEMANTIC tier of the daily-ingest dedup
+    pattern, completing the incremental family (md5 exact / MinHash band
+    index / banded-hamming simhash / THIS): the Lloyd quantizer is
+    trained on the EXISTING corpus only (the persisted index — new data
+    must not move the centroids), each snapshot vector is assigned to
+    its frozen cell and compared against existing cellmates only.
+    Planted +0.05 twins must match their base (when they land in its
+    cell — cell-straddling misses are the algorithm's honest recall
+    loss, replayed by the oracle), reversed decoys must all come back
+    'kept'. The oracle replays the index build AND the frozen-centroid
+    assignment of the new side, so index drift, assignment drift, or
+    match-rule drift all fail the hash. Cost is O(snapshot × cell-size)
+    — the existing side is the partitionBy(cell) store and the join
+    reads only the snapshot's cells
+    (operators/similarity.py:semantic_match_existing)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids, semantic_match_existing,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    tw = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    dc = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60)).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.reverse(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("embedding"),
+    )
+    cents = ivf_lloyd_centroids(dbl, num_cells=8, iters=2)
+    return semantic_match_existing(
+        dbl, tw.unionByName(dc), cents, threshold=0.9
+    )
+
+
 @register("semantic_dedup", sql=_semdedup_sql())
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) — cluster-scoped SEMANTIC dedup, the
@@ -7258,7 +7354,7 @@ _FRONT = [
     # period 3 rounds; invariant is now "driver-green within the last
     # THREE rounds, SELFCHECK-green every round". Ages entering r6:
     # 11 never-driver-checked (r5-NEW), 46 r4-checked, 50 r5-checked.
-    # r6 prefix = 8 r6-NEW, the 11 never-checked, then 31 of the 46 r4-aged.
+    # r6 prefix = 9 r6-NEW, the 11 never-checked, then 30 of the 46 r4-aged.
     # The 7 deferred r4-aged queries are each subsumed by a sibling that
     # IS in a recent prefix (simhash_values / minhash_signatures /
     # word_jaccard_pairs by the near-dup pair queries, pack_sequences by
@@ -7268,10 +7364,13 @@ _FRONT = [
     # r7 NOTE: prefix = the 7 deferred r4-aged + structure_breaks_hourly
     # + calendar_weekly_ohlcv + point_lookup_neighbors + scrub_ffill_gates
     # + ml_forward_labels + case_label_ladder + brand_volume +
-    # doc_token_stats (each bumped from this prefix for one r6-NEW query:
-    # streaming_simhash_dedup / semantic_dedup / c4_quality_flags /
-    # temperature_mixture / bm25_topk / dsir_select / bloom_decontam /
-    # hard_negative_mining; any further r6-NEW query bumps one more
+    # doc_token_stats + ann_ivf_seeded_topk (each bumped from this
+    # prefix for one r6-NEW query: streaming_simhash_dedup /
+    # semantic_dedup / c4_quality_flags / temperature_mixture /
+    # bm25_topk / dsir_select / bloom_decontam / hard_negative_mining /
+    # incremental_semantic_dedup — ann_ivf_seeded_topk's full CTE chain
+    # is replayed inside retrieval_eval_ivf AND hard_negative_mining,
+    # both in this prefix; any further r6-NEW query bumps one more
     # r4-aged entry onto this list) first, then the r5-checked block up
     # to 50;
     # r8 sweeps the remaining r5-checked plus the then-aged r6 block.
@@ -7279,13 +7378,13 @@ _FRONT = [
     # --- r6-NEW ---
     "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
     "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
-    "hard_negative_mining",
+    "hard_negative_mining", "incremental_semantic_dedup",
     # --- the 11 never-driver-checked (r5-NEW) ---
     "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "retrieval_eval_ivf", "ann_ivf_topk", "kmv_quantile_value_by_type",
-    # --- 31 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
+    # --- 30 of the 46 r4-aged (latest driver row = CORRECTNESS_r04) ---
     "priority_ship_exists", "backtest_range_kernel", "backtest_equity_curve",
     "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
     "quality_classifier_train_score", "pack_manifest",
@@ -7296,7 +7395,7 @@ _FRONT = [
     "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
     "doc_repetition", "gopher_quality_flags", "cluster_split",
     "retention_cohorts", "top_ngrams", "export_shard_manifest",
-    "mixture_sample_sources", "ann_ivf_seeded_topk",
+    "mixture_sample_sources",
     "rma_atr_hourly",
 ]
 _ORACLE_TAIL = [

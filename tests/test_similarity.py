@@ -404,3 +404,39 @@ def test_semantic_dedup_gemm_string_ids(spark):
     assert a[0].__fields__ == b[0].__fields__ == ["doc_key", "cell", "status", "match_id", "cosine"]
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert any(r["status"] == "near_dup" for r in a)
+
+
+def test_semantic_match_existing_frozen_index(spark):
+    """Snapshot twins must match their OWN base (min-id contract) against
+    the existing-side index; vectors alien to the corpus come back kept;
+    and re-running with a snapshot-polluted quantizer is NOT what the
+    operator does — centroids are an input, so the index stays frozen."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids, semantic_match_existing,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    tw = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.02)
+        ).alias("embedding"),
+    )
+    cents = ivf_lloyd_centroids(dbl, num_cells=4, iters=2)
+    out = {r["vec_id"]: r for r in
+           semantic_match_existing(dbl, tw, cents, threshold=0.9).collect()}
+    assert len(out) == 20  # one row per snapshot vector
+    matched = [v for v in out.values() if v["status"] == "near_dup"]
+    assert matched  # +0.02 twins sit well above 0.9 of their base
+    for r in matched:
+        assert r["match_id"] < 10000  # matches point INTO the corpus
+        assert r["cosine"] >= 0.9
+    # a twin that matched must match its own base unless a smaller-id
+    # cellmate is also >= threshold — with near-random bases the match
+    # IS the base
+    for r in matched:
+        assert r["match_id"] == r["vec_id"] - 10000
