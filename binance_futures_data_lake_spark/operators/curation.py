@@ -734,7 +734,11 @@ def dsir_logweights(
     n_buckets = len(lam_u)
     if n_buckets < 2:
         raise ValueError("lam_u must hold >= 2 buckets (see dsir_fit)")
-    lam_lit = F.array([F.lit(int(v)).cast("long") for v in lam_u])
+    # ONE array Literal, not F.array(8192 lits): a CreateArray captured
+    # inside a higher-order lambda is re-evaluated PER ELEMENT (lambdas
+    # don't CSE captured expressions — measured 100x on the 1M probe);
+    # Literal.create is a single folded value
+    lam_lit = F.lit([int(v) for v in lam_u]).cast("array<long>")
     toks = words(F.col(text_col))
     grams = _dsir_grams(toks, bigram)
     w_u = F.aggregate(

@@ -919,7 +919,9 @@ def bloom_decontam(
         raise ValueError(
             f"bloom_words has {len(bloom_words)} words, expected {n_words}"
         )
-    words_lit = F.array([F.lit(int(w)).cast("long") for w in bloom_words])
+    # single array Literal — see dsir_logweights: CreateArray inside a
+    # lambda re-evaluates per element, a Literal does not
+    words_lit = F.lit([int(w) for w in bloom_words]).cast("array<long>")
     sh = shingles_of_tokens(words(F.col(text_col)), shingle_n)
 
     def _allset(h):

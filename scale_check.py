@@ -369,6 +369,59 @@ def main() -> None:
     )
     corpus.unpersist()
 
+    # corpus-selection probe (r6): DSIR importance scoring and Bloom
+    # decontamination at 1M docs (~25M gram instances). Both scoring
+    # passes are ZERO-exchange map-only plans (λ table / bitset as plan
+    # literals); the stage records the exchange counts to prove it.
+    from binance_futures_data_lake_spark.operators.curation import (
+        dsir_fit,
+        dsir_logweights,
+    )
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        bloom_bitset,
+        bloom_decontam,
+    )
+
+    n_sel = max(100_000, total_rows // 10)
+    sel = (
+        spark.range(n_sel)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 50).cast("string").alias("source"),
+            F.concat_ws(
+                " ",
+                *[F.md5((F.col("id") * 17 + i).cast("string")) for i in range(12)],
+            ).alias("text"),
+        )
+        .cache()
+    )
+    sel.count()
+    t0 = time.perf_counter()
+    lam = dsir_fit(sel, F.col("source") < "2", n_buckets=8192)
+    dsir_fit_sec = round(time.perf_counter() - t0, 2)
+    dsir_scored = dsir_logweights(sel, lam)
+    stage("dsir_score_1m_docs", lambda: force(dsir_scored))
+    stages["dsir_score_1m_docs"].update(
+        n_buckets=8192,
+        fit_sec=dsir_fit_sec,
+        scoring_shuffle_exchanges=exchange_count(dsir_scored),
+    )
+    t0 = time.perf_counter()
+    bloom_words = bloom_bitset(
+        sel.filter(F.col("doc_id") % 97 == 0), m_bits=1 << 19, k=4
+    )
+    bloom_build_sec = round(time.perf_counter() - t0, 2)
+    bl = bloom_decontam(
+        sel.filter(F.col("doc_id") % 97 != 0), bloom_words, m_bits=1 << 19, k=4
+    )
+    stage("bloom_decontam_1m_docs", lambda: force(bl))
+    stages["bloom_decontam_1m_docs"].update(
+        m_bits=1 << 19,
+        bitset_build_sec=bloom_build_sec,
+        scoring_shuffle_exchanges=exchange_count(bl),
+    )
+    sel.unpersist()
+
     # ANN probe (r5, VERDICT next-steps #5): the similarity tier at probe
     # scale — 1M x 64d clustered corpus, 100 queries, k=10. Brute force is
     # the exact baseline AND the ground truth for the approximate tiers'
