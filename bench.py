@@ -84,6 +84,15 @@ LLM_PIPELINE = [
     "media_image_near_dup",
     "media_audio_near_dup",
     "curation_planning_pipeline",
+    # r6 additions: selection / retrieval / incremental-semantic family
+    "semantic_dedup",
+    "incremental_semantic_dedup",
+    "dsir_select",
+    "bloom_decontam",
+    "bm25_topk",
+    "hard_negative_mining",
+    "c4_quality_flags",
+    "temperature_mixture",
 ]
 
 

@@ -734,10 +734,11 @@ def dsir_logweights(
     n_buckets = len(lam_u)
     if n_buckets < 2:
         raise ValueError("lam_u must hold >= 2 buckets (see dsir_fit)")
-    # ONE array Literal, not F.array(8192 lits): a CreateArray captured
-    # inside a higher-order lambda is re-evaluated PER ELEMENT (lambdas
-    # don't CSE captured expressions — measured 100x on the 1M probe);
-    # Literal.create is a single folded value
+    # lit(list), not F.array(8192 cast lits): Catalyst folds BOTH forms
+    # to the identical array Literal (verified: same optimized plan, same
+    # steady-state runtime), but the per-element Cast(Literal) tree costs
+    # ~2.5 s extra one-time analysis at 8192 elements (measured 3.4 s vs
+    # 0.9 s first run, interleaved A/B)
     lam_lit = F.lit([int(v) for v in lam_u]).cast("array<long>")
     toks = words(F.col(text_col))
     grams = _dsir_grams(toks, bigram)

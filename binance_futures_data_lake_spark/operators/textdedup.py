@@ -919,8 +919,9 @@ def bloom_decontam(
         raise ValueError(
             f"bloom_words has {len(bloom_words)} words, expected {n_words}"
         )
-    # single array Literal — see dsir_logweights: CreateArray inside a
-    # lambda re-evaluates per element, a Literal does not
+    # lit(list) — see dsir_logweights: both forms fold to the same
+    # Literal; this one skips ~seconds of one-time analysis of an
+    # 8k-child Cast(Literal) tree
     words_lit = F.lit([int(w) for w in bloom_words]).cast("array<long>")
     sh = shingles_of_tokens(words(F.col(text_col)), shingle_n)
 
