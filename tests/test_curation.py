@@ -481,3 +481,23 @@ def test_dsir_empty_and_unseen_docs(spark):
     rows = {r["doc_id"]: r for r in dsir_logweights(extra, lam).collect()}
     assert rows[900]["n_grams"] == 0 and rows[900]["logw"] == 0.0
     assert rows[901]["n_grams"] == 5 + 4  # unigrams + bigrams
+
+
+def test_dsir_null_target_counts_as_raw(spark):
+    """A NULL target predicate (e.g. null source) must classify the doc
+    as raw-only — F.when(null) falls to otherwise — not poison the fit."""
+    from binance_futures_data_lake_spark.operators.curation import (
+        dsir_fit, dsir_logweights,
+    )
+
+    pool = spark.createDataFrame(
+        [(1, "alpha beta gamma", "t"), (2, "alpha beta gamma", None),
+         (3, "zzz qqq www", "r")],
+        "doc_id long, text string, grp string",
+    )
+    lam = dsir_fit(pool, F.col("grp") == "t", n_buckets=64)
+    out = dsir_logweights(pool, lam).collect()
+    assert len(out) == 3  # null-target doc scored like any other
+    w = {r["doc_id"]: r["logw"] for r in out}
+    assert w[1] == w[2]  # identical text -> identical weight
+    assert w[1] > w[3]   # target vocab outweighs junk

@@ -724,3 +724,18 @@ def test_bloom_bitset_self_membership_and_word_edges(spark):
     for r in out:
         assert r["n_hits"] == r["n_shingles"], r  # self-membership exact
         assert r["contaminated"] == 1
+
+
+def test_bloom_empty_benchmark_flags_nothing(spark):
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        bloom_bitset, bloom_decontam,
+    )
+
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "some perfectly ordinary text here")], "doc_id long, text string"
+    )
+    wordsv = bloom_bitset(bench, m_bits=256, k=3)
+    assert all(w == 0 for w in wordsv)
+    out = bloom_decontam(corpus, wordsv, m_bits=256, k=3).collect()
+    assert out[0]["n_hits"] == 0 and out[0]["contaminated"] == 0
