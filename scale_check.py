@@ -125,6 +125,47 @@ def flagship_main() -> None:
         hamming_near_pairs(fps, "fp", max_hamming=3, bits=64, n_bands=4),
     )
 
+    # DSIR scoring at 100M docs (r6): the selection tier's flagship shape.
+    # Generation is in-plan (range + md5 tokens, ~6 unigrams + 5 bigrams
+    # per doc ≈ 1.1B gram instances); the fit is one corpus scan ending
+    # in an 8192-row aggregate, scoring is the zero-exchange map-only
+    # literal-table pass — the claim under test is that BOTH plans keep
+    # their exchange counts from the 1M probe while rows scale 100×.
+    from binance_futures_data_lake_spark.operators.curation import (
+        dsir_fit, dsir_logweights,
+    )
+
+    # materialize the corpus to parquet first — that's the production
+    # shape (fit and scoring each scan storage once), and it keeps the
+    # gram expressions from re-inlining the md5 text generation on every
+    # reference (tokenizer expressions are evaluated per reference; a
+    # stored column is read once)
+    import shutil
+    import tempfile
+
+    sel_dir = tempfile.mkdtemp(prefix="bfdl_dsir_")
+    try:
+        t0 = time.perf_counter()
+        spark.range(total_rows).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 50).cast("string").alias("source"),
+            F.concat_ws(
+                " ",
+                *[F.md5((F.col("id") * 17 + i).cast("string")) for i in range(6)],
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(sel_dir)
+        gen_sec = round(time.perf_counter() - t0, 2)
+        sel_docs = spark.read.parquet(sel_dir)
+        t0 = time.perf_counter()
+        lam = dsir_fit(sel_docs, F.col("source") < "2", n_buckets=8192)
+        fit_sec = round(time.perf_counter() - t0, 2)
+        stage("flagship_dsir_score", dsir_logweights(sel_docs, lam))
+        stages["flagship_dsir_score"].update(
+            fit_sec=fit_sec, gen_write_sec=gen_sec, n_buckets=8192
+        )
+    finally:
+        shutil.rmtree(sel_dir, ignore_errors=True)
+
     print(json.dumps({
         "mode": "flagship", "rows": total_rows, "n_symbols": n_symbols,
         "stages": stages,
