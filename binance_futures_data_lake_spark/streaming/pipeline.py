@@ -384,7 +384,13 @@ def _state_batch_dirs(
     """List the batch-addressed state dirs under ``root`` (``b-base`` plus
     ``b-%05d`` siblings), keeping only tags strictly before
     ``before_batch``. Uses the Hadoop FileSystem API so the listing works
-    on any supported store, not just the local FS."""
+    on any supported store, not just the local FS.
+
+    A ``b-*`` name whose tag is neither ``base`` nor an integer is a
+    corrupted or foreign directory: reading it could silently violate the
+    crash-replay exclusion guarantee (a replayed batch must classify
+    against exactly the state its first attempt saw), so it raises
+    instead of being included."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(root)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -395,12 +401,17 @@ def _state_batch_dirs(
         name = st.getPath().getName()
         if not name.startswith("b-"):
             continue
-        if before_batch is not None and name != "b-base":
+        if name != "b-base":
             try:
-                if int(name[2:]) >= before_batch:
-                    continue
+                tag = int(name[2:])
             except ValueError:
-                pass
+                raise ValueError(
+                    f"unrecognized state dir {name!r} under {root}: expected "
+                    "'b-base' or 'b-<int>'; refusing to read state whose "
+                    "batch tag cannot be ordered against a replay boundary"
+                ) from None
+            if before_batch is not None and tag >= before_batch:
+                continue
         out.append(st.getPath().toString())
     return sorted(out)
 
