@@ -803,3 +803,114 @@ def dsir_select(
         .orderBy(F.desc("gumbel_key"), "doc_id")
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, simplified): multiplicative
+# -weights updates over per-domain excess loss, as fixed unrolled relational
+# iterations — the same oracle-replayable discipline as ml.lr_gd_weights.
+# ---------------------------------------------------------------------------
+
+
+def domain_unigram_loss(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain proxy loss for mixture optimization: the negated mean of
+    the per-document unigram log-probabilities (textquality.unigram_logprob
+    — the cheap stand-in for a proxy model's per-domain loss). The per-doc
+    6-dp scores are lifted onto the 1e-6 integer grid and summed as LONGs,
+    so the domain mean is exact and shuffle-order-free. Output:
+    ``domain_col, n_docs, loss`` (positive; higher = harder domain)."""
+    from binance_futures_data_lake_spark.functions.scalars import round6
+    from binance_futures_data_lake_spark.operators.textquality import unigram_logprob
+
+    lp = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    li = (
+        F.signum(F.col("logprob_avg") * F.lit(1_000_000.0))
+        * F.floor(F.abs(F.col("logprob_avg") * F.lit(1_000_000.0)) + F.lit(0.5))
+    ).cast("long")
+    per = lp.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(domain_col)), "doc_id"
+    ).select(domain_col, li.alias("__li"))
+    return per.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(
+            -F.sum("__li").cast("long")
+            / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+        ).alias("loss"),
+    )
+
+
+def doremi_weights(
+    losses: DataFrame,
+    eta: float = 0.5,
+    iters: int = 4,
+    domain_col: str = "source",
+    loss_col: str = "loss",
+) -> DataFrame:
+    """Exponentiated-gradient domain-weight optimization on a per-domain
+    loss table: ``α ← normalize(α · exp(η · (ℓ_d − Σ_e α_e ℓ_e)))`` for a
+    FIXED number of unrolled iterations, starting uniform. Domains whose
+    loss exceeds the current weighted mean gain weight — the DoReMi
+    update with static per-domain excess loss.
+
+    Everything runs on the 1e-6 integer grid: weights and losses are
+    scaled LONGs, the weighted mean is Σ aᵢ·lᵢ (exact 1e-12-grid longs,
+    order-free), and each update's ``α·exp(·)`` double is re-gridded with
+    the half-away floor formula before normalizing — so all four
+    iterations consume bit-identical inputs in any engine and summation
+    order never compounds. (Residual exposure: Java vs DuckDB ``exp``
+    could differ in the last ulp and land a product on a .5 grid
+    boundary — the same accepted exposure as lr_gd_weights' sigmoid,
+    oracle-green since r4.)
+
+    The frame is |domains| rows; iterations chain windows with no
+    partition key, so the whole optimization is one tiny single-partition
+    linear plan — the 100 TB cost lives upstream in the loss aggregation,
+    never here. Output: ``domain_col, loss, weight`` (weights 6-dp,
+    Σ ≈ 1)."""
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w_all = Window.partitionBy()
+    li = (
+        F.signum(F.col(loss_col) * F.lit(1_000_000.0))
+        * F.floor(F.abs(F.col(loss_col) * F.lit(1_000_000.0)) + F.lit(0.5))
+    ).cast("long")
+    cur = losses.select(
+        F.col(domain_col), li.alias("__li")
+    ).withColumn(
+        "__ai",
+        F.floor(
+            F.lit(1_000_000.0) / F.count(F.lit(1)).over(w_all) + F.lit(0.5)
+        ).cast("long"),
+    )
+    for _ in range(iters):
+        m12 = F.sum(F.col("__ai") * F.col("__li")).over(w_all)
+        u = (
+            F.col("__ai") / F.lit(1_000_000.0)
+            * F.exp(
+                F.lit(float(eta))
+                * (F.col("__li") / F.lit(1_000_000.0)
+                   - m12 / F.lit(1_000_000_000_000.0))
+            )
+            * F.lit(1_000_000.0)
+        )
+        cur = cur.withColumn("__ui", F.floor(u + F.lit(0.5)).cast("long"))
+        cur = cur.withColumn(
+            "__ai",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("__ui")
+                / F.sum("__ui").over(w_all)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).drop("__ui")
+    return cur.select(
+        F.col(domain_col),
+        round6(F.col("__li") / F.lit(1_000_000.0)).alias("loss"),
+        round6(F.col("__ai") / F.lit(1_000_000.0)).alias("weight"),
+    )

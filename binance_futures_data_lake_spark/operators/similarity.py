@@ -30,6 +30,7 @@ pytest-checked (tests/test_similarity.py).
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -238,7 +239,17 @@ def lsh_topk(
     so the recompute fires for ``|dot| < 1e-9 · max(1, ‖x‖·max‖p‖)`` —
     the unit-scale behavior unchanged, large-scale embeddings safe.
     Scoring uses the 6-dp-rounded cosine with an id tiebreak, as in
-    every other tier.
+    every other tier, and is ALSO boundary-proofed (unlike
+    :func:`brute_force_topk` / :func:`semantic_dedup_gemm`, which
+    document the residual exposure): a GEMM-reassociated dot landing
+    within ~1 ulp of a ``round6`` half-boundary could round differently
+    from the oracle's sequential ``list_dot_product`` fold, so any
+    candidate whose scaled cosine falls within 1e-5 of a ``.5``
+    boundary (~2e-5 of candidates, error bound ≈ dim·eps·1e6 ≈ 1e-7)
+    has its three folds — a·b, a·a, b·b — recomputed with the exact
+    sequential per-dim order before rounding. The pre-r6 SQL-fold
+    scoring was boundary-proof by construction; this preserves that
+    guarantee at GEMM speed.
     """
     import numpy as np
     import pyarrow as pa
@@ -334,6 +345,21 @@ def lsh_topk(
             nrm = np.sqrt(np.einsum("ij,ij->i", sub, sub))
             dots = np.einsum("ij,ij->i", sub, q_mat[qq])
             scaled = dots / (nrm * q_nrm[qq]) * 1e6
+            # round6 boundary guard: recompute every fold sequentially
+            # (identical IEEE op order to DuckDB list_dot_product) for
+            # candidates within 1e-5 of a half-boundary, so GEMM
+            # reassociation can never flip the rounded cosine.
+            frac = np.abs(scaled) % 1.0
+            near = np.abs(frac - 0.5) < 1e-5
+            if near.any():
+                for i in np.flatnonzero(near).tolist():
+                    a, b = sub[i], q_mat[qq[i]]
+                    dab = daa = dbb = 0.0
+                    for d in range(a.size):
+                        dab = dab + float(a[d]) * float(b[d])
+                        daa = daa + float(a[d]) * float(a[d])
+                        dbb = dbb + float(b[d]) * float(b[d])
+                    scaled[i] = dab / (np.sqrt(daa) * np.sqrt(dbb)) * 1e6
             cos = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6  # round6
             q_out, n_out, c_out = [], [], []
             for j in np.unique(qq):
@@ -1068,5 +1094,71 @@ def semantic_match_existing(
             .alias("status"),
             F.col("m.e_id").alias("match_id"),
             F.col("m.cosine").alias("cosine"),
+        )
+    )
+
+
+def rrf_fuse(
+    scored_lists: Sequence[DataFrame],
+    k: int = 10,
+    kappa: int = 60,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    retrieval lists — the standard hybrid-retrieval combiner (lexical
+    BM25 + dense ANN) because it needs no score calibration across
+    systems, only ranks: ``rrf(d) = Σ_lists 1/(κ + rank_list(d))``.
+
+    Inputs are ``(q_id, item_id, score)`` frames (higher score = better);
+    each list is (optionally self-excluded then) re-ranked internally by
+    ``(score desc, item_id)`` so fusion never trusts upstream rank
+    columns across the exclusion boundary. Per-list contributions land
+    on the 1e-6 integer grid BEFORE the per-item sum (house float
+    discipline — a double Σ would be union-order-dependent), and the
+    final top-k orders by the integer. ``n_lists`` reports how many
+    systems surfaced the item.
+
+    Scale shape: every input is already top-k-bounded by its retriever
+    (|Q|·k rows), so the union, groupBy, and windows here shuffle
+    O(|Q|·k·N) narrow rows — fusion cost is independent of corpus size
+    by construction.
+
+    Output: ``q_id, item_id, rrf_score, n_lists, rnk``.
+    """
+    if not scored_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if kappa < 1 or k < 1:
+        raise ValueError(f"invalid rrf params kappa={kappa} k={k}")
+    ranked = []
+    for df in scored_lists:
+        part = df.select("q_id", "item_id", "score")
+        if exclude_self:
+            part = part.filter(F.col("item_id") != F.col("q_id"))
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("score").desc(), F.col("item_id")
+        )
+        contrib = F.round(
+            F.lit(1_000_000.0) / (F.lit(int(kappa)) + F.row_number().over(w)), 0
+        ).cast("long")
+        ranked.append(part.select("q_id", "item_id", contrib.alias("ci")))
+    allc = ranked[0]
+    for r in ranked[1:]:
+        allc = allc.unionByName(r)
+    fused = allc.groupBy("q_id", "item_id").agg(
+        F.sum("ci").cast("long").alias("rrf_int"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_int").desc(), F.col("item_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "item_id",
+            round6(F.col("rrf_int") / F.lit(1_000_000.0)).alias("rrf_score"),
+            "n_lists",
+            "rnk",
         )
     )

@@ -124,3 +124,128 @@ def kmv_quantiles(
             round6(F.expr(f"percentile(__v, {q})")).alias(f"p{int(round(q * 100))}")
         )
     return s.groupBy(*by).agg(*aggs)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count–Min sketch build: a ``depth × width`` counter table over the
+    value stream, as one relational pass.
+
+    Same design bargain as KMV above: production Spark would reach for a
+    mergeable binary sketch state, but a CMS built from md5-derived row
+    hashes is a PURE FUNCTION of the data — two engines that agree on
+    ``bucket(seed, v) = md5-60bit(seed||':'||v) mod width`` agree on every
+    counter, so the driver's DuckDB comparison checks the SKETCH
+    SEMANTICS exactly (point estimates obey est ≥ true with
+    P[est > true + εN] ≤ δ at ε = e/width, δ = exp(−depth)).
+
+    Shape: each row explodes into ``depth`` (seed, bucket) pairs; the
+    groupBy map-side-combines, so the only exchange carries at most
+    ``depth·width`` rows PER PARTITION regardless of row count — the
+    sketch property (constant memory) is also the shuffle property.
+    Output: ``seed, bucket, cnt`` (``≤ depth·width`` rows total).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"invalid CMS shape {depth}x{width}")
+    v = F.col(value_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{s}:"), v)), 1, 15),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for s in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.seed", "p.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query a CMS built by :func:`cms_build` for a (small) probe
+    item set: estimate = min over the ``depth`` rows of the item's bucket
+    counter. The probe side explodes to ``|items|·depth`` rows and joins
+    the ≤ ``depth·width``-row sketch — both tiny; the sketch side
+    broadcasts. Output: ``item, cms_estimate`` (LONG; ≥ the true count
+    by construction, = 0 only for items the stream never hashed near).
+    """
+    v = F.col(item_col).cast("string")
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{s}:"), v)), 1, 15
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "p.seed", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .fillna({"cnt": 0})
+        .groupBy("item")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    items: DataFrame,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """CMS point estimates for a probe set next to the true counts —
+    the heavy-hitter report form (est ≥ true always; the gap is the
+    collision noise the width buys down). The exact side restricts to
+    the probe items BEFORE its groupBy (a leftsemi against the broadcast
+    probe list), so its shuffle carries probe-item rows only.
+    Output: ``item, n_exact, cms_estimate``."""
+    sk = cms_build(df, value_col, depth, width)
+    est = cms_estimate(sk, items, items.columns[0], depth, width)
+    exact = (
+        df.select(F.col(value_col).alias("item"))
+        .join(F.broadcast(items.select(F.col(items.columns[0]).alias("item"))),
+              "item", "leftsemi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        est.join(exact, "item", "left")
+        .fillna({"n_exact": 0})
+        .select("item", "n_exact", "cms_estimate")
+    )

@@ -774,3 +774,73 @@ def bm25_topk(
             "rnk",
         )
     )
+
+
+# Stand-in toxicity lexicon over the synthetic vocabulary: the operator
+# owns the RULE FORM (weighted token-lexicon density scoring, the
+# standard pre-classifier toxicity gate in crawl pipelines); real
+# deployments pass their own term->weight map.
+TOXICITY_LEXICON = {"slow": 3, "big": 2, "fat": 2, "hash": 1}
+
+
+def toxicity_score(
+    docs: DataFrame,
+    lexicon: dict[str, int] | None = None,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted lexicon-density toxicity scoring — the lexicon gate that
+    runs BEFORE any classifier in a crawl-filter stack (cheap, columnar,
+    no model): ``score = Σ weight(t)·count(t) / n_tokens`` over exact
+    lowercased whitespace tokens, flagged at ``score >= threshold``.
+
+    Shape: tokens explode once and broadcast-hash-join the |lexicon|-row
+    weight table (inner join — non-lexicon tokens die map-side, so the
+    groupBy shuffles only lexicon-term instances, the same prune as
+    bm25_topk's query-vocabulary semi-join); zero-hit documents come
+    back via a left join from the map-only (doc, n_tokens) base. Per
+    the module header, NO interpreted per-element array lambdas — the
+    F.filter-per-term formulation walks every token |lexicon| times in
+    the interpreter. Integer hit weights keep the score a single exact
+    division, 6-dp rounded in both engines.
+
+    Output: ``doc_id, n_tokens, tox_hits, tox_weighted, tox_score,
+    is_toxic`` (empty docs score 0.0).
+    """
+    lex = TOXICITY_LEXICON if lexicon is None else lexicon
+    if not lex:
+        raise ValueError("toxicity lexicon must be non-empty")
+    spark = docs.sparkSession
+    lex_df = spark.createDataFrame(
+        sorted(lex.items()), "term string, weight int"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
+    )
+    base = toks.select("doc_id", F.size("__toks").cast("long").alias("n_tokens"))
+    hits = (
+        toks.select("doc_id", F.explode("__toks").alias("term"))
+        .join(F.broadcast(lex_df), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tox_hits"),
+            F.sum("weight").cast("long").alias("tox_weighted"),
+        )
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        round6(F.col("tox_weighted") / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(hits, "doc_id", "left")
+        .fillna({"tox_hits": 0, "tox_weighted": 0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tox_hits",
+            "tox_weighted",
+            score.alias("tox_score"),
+            (score >= F.lit(float(threshold))).alias("is_toxic"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Round-7 operators: lexicon toxicity gate, CMS heavy hitters, RRF
+fusion, DoReMi domain reweighting, PQ-ADC ANN, mutual-kNN components."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_data_lake_spark.operators.textquality import toxicity_score
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_toxicity_score_counts_and_flag(spark):
+    d = _docs(
+        spark,
+        [
+            "slow slow big table",          # w = 3+3+2 = 8 over 4 tokens -> 2.0
+            "clean text only here",         # zero hits
+            "",                             # empty doc -> score 0, not toxic
+            "hash",                         # 1/1 = 1.0 -> toxic
+        ],
+    )
+    rows = {r.doc_id: r for r in toxicity_score(d, threshold=0.3).collect()}
+    assert rows[1].tox_hits == 3 and rows[1].tox_weighted == 8
+    assert rows[1].tox_score == pytest.approx(2.0) and rows[1].is_toxic
+    assert rows[2].tox_hits == 0 and rows[2].tox_weighted == 0
+    assert rows[2].tox_score == 0.0 and not rows[2].is_toxic
+    assert rows[3].n_tokens == 0 and rows[3].tox_score == 0.0
+    assert not rows[3].is_toxic
+    assert rows[4].is_toxic
+
+
+def test_toxicity_custom_lexicon_and_threshold(spark):
+    d = _docs(spark, ["alpha beta beta gamma"])
+    out = toxicity_score(
+        d, lexicon={"beta": 5}, threshold=2.4
+    ).collect()[0]
+    # 2*5 / 4 = 2.5 >= 2.4
+    assert out.tox_weighted == 10 and out.is_toxic
+    with pytest.raises(ValueError):
+        toxicity_score(d, lexicon={})
+
+
+def test_cms_estimate_dominates_exact(spark):
+    from binance_futures_data_lake_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(1000)] + [(99,)] * 50, "user_id long"
+    )
+    items = spark.range(0, 8).select(F.col("id").alias("user_id"))
+    rows = {r.item: r for r in cms_heavy_hitters(df, "user_id", items, width=8).collect()}
+    # CMS guarantee: estimate >= truth, always
+    for r in rows.values():
+        assert r.cms_estimate >= r.n_exact
+    # heavy item 0 appears ceil(1000/7)=143 times
+    assert rows[0].n_exact == 143
+    # probe item 7 never occurs; estimate may be >0 (collisions) but n=0
+    assert rows[7].n_exact == 0
+
+
+def test_cms_shape_validation(spark):
+    import pytest as _pt
+    from binance_futures_data_lake_spark.operators.sketch import cms_build
+
+    df = spark.range(3)
+    with _pt.raises(ValueError):
+        cms_build(df, "id", depth=0)
+
+
+def test_rrf_fuse_math_and_exclusion(spark):
+    from binance_futures_data_lake_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 9.0), (1, 10, 5.0), (1, 11, 3.0)],
+        "q_id long, item_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 0.9), (1, 12, 0.8)], "q_id long, item_id long, score double"
+    )
+    rows = {r.item_id: r for r in rrf_fuse([a, b], k=10, exclude_self=True).collect()}
+    # self match (1,1) dropped BEFORE ranking: item 10 is rank 1 in list a
+    assert 1 not in rows
+    # item 11: rank 2 in a (after exclusion), rank 1 in b
+    exp11 = round(1e6 / 62) + round(1e6 / 61)
+    assert rows[11].rrf_score == pytest.approx(exp11 / 1e6)
+    assert rows[11].n_lists == 2 and rows[11].rnk == 1
+    assert rows[10].n_lists == 1
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_doremi_weights_favor_hard_domains(spark):
+    from binance_futures_data_lake_spark.operators.curation import doremi_weights
+
+    losses = spark.createDataFrame(
+        [("easy", 3.0), ("mid", 3.5), ("hard", 4.0)], "source string, loss double"
+    )
+    rows = {r.source: r for r in doremi_weights(losses, eta=0.5, iters=4).collect()}
+    assert rows["hard"].weight > rows["mid"].weight > rows["easy"].weight
+    assert sum(r.weight for r in rows.values()) == pytest.approx(1.0, abs=1e-4)
+    # uniform loss -> weights stay uniform
+    flat = spark.createDataFrame(
+        [("a", 2.0), ("b", 2.0)], "source string, loss double"
+    )
+    out = {r.source: r.weight for r in doremi_weights(flat, iters=2).collect()}
+    assert out["a"] == pytest.approx(0.5) and out["b"] == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        doremi_weights(losses, iters=0)
