@@ -1162,3 +1162,347 @@ def rrf_fuse(
             "rnk",
         )
     )
+
+
+def knn_graph_mutual_edges(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    kk: int = 3,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN graph construction, cell-scoped: assign every vector to
+    its cell in the deterministic fixed-point quantizer (the
+    :func:`semantic_dedup` index), take each vector's top-``kk``
+    highest-cosine cellmates at cosine ≥ ``threshold``, and keep an edge
+    only when BOTH endpoints list each other (the mutual-kNN rule that
+    makes the graph sparse and symmetric — the standard construction for
+    clustering / diversity analysis over embedding corpora).
+
+    Scale shape: candidate pairs never leave a cell (Σ|cell|², the
+    SemDeDup contract) and the directed lists are top-``kk``-bounded
+    before the mutual self-join, so that join handles ≤ kk·|corpus|
+    narrow rows. Cosines are 6-dp rounded before the rank, the
+    threshold, and the mutual test — and cos(a,b) = cos(b,a) exactly
+    (same per-dim fold order), so mutuality is engine-stable.
+
+    Output: undirected edges ``u, v, cosine`` with ``u < v``.
+    """
+    if kk < 1:
+        raise ValueError(f"kk must be >= 1, got {kk}")
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    sb = base.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
+    cells = sb.withColumn(
+        "cell", _nearest_cells_int(F.col("s"), cents, 1)[0]
+    ).select("id", "cell", "vec", "nrm")
+    a = cells.select(
+        F.col("id").alias("a_id"), "cell",
+        F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
+    )
+    b = cells.select(
+        F.col("id").alias("b_id"), "cell",
+        F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
+    )
+    cos = round6(
+        _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
+    direct = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kk)
+        .select("a_id", "b_id", "cosine")
+    )
+    d2 = direct.select(
+        F.col("a_id").alias("r_a"), F.col("b_id").alias("r_b")
+    )
+    return (
+        direct.join(
+            d2,
+            (F.col("a_id") == F.col("r_b")) & (F.col("b_id") == F.col("r_a")),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"), "cosine")
+    )
+
+
+def knn_graph_components(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    kk: int = 3,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN graph + connected components over an embedding corpus:
+    the cluster-discovery composition (mutual edges from
+    :func:`knn_graph_mutual_edges`, min-label components from
+    graph.connected_components — O(diameter) rounds, diameter bounded by
+    the kk-sparse mutual graph). Every vector gets a row; isolated
+    vectors are their own singleton component with degree 0.
+
+    Output: ``vec_id, component, degree``.
+    """
+    from binance_futures_data_lake_spark.operators.graph import connected_components
+
+    edges = knn_graph_mutual_edges(
+        corpus, cents, kk=kk, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    comp = connected_components(edges, src="u", dst="v")
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .join(deg.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("vec_id")).alias("component"),
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        )
+    )
+
+
+def _fold_sq_norms(mat):
+    """Sequential left fold of Σx² column-by-column — the exact rounding
+    order of the SQL ``aggregate`` in :func:`_norm`, shared by every
+    kernel that must scale vectors bit-identically to the expression
+    path (see semantic_dedup_gemm's fine print)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for jj in range(mat.shape[1]):
+        acc = acc + mat[:, jj] * mat[:, jj]
+    return np.sqrt(acc)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks on the 1e-6 unit grid, seeded RNG-
+    free: the ``ks`` corpus vectors with the smallest md5-derived id
+    hashes (the :func:`ivf_seed_centroids` draw) are grid-scaled and
+    split into ``n_sub`` contiguous sub-vectors — codeword j of subspace
+    m is seed j's m-th slice. Seed-sampled codebooks trade a little
+    quantization error for a deterministic, SQL-replayable index build
+    (k-means codebooks are the library path when bit-replay doesn't
+    matter — same trade as the IVF tiers). The collect is ``ks`` rows,
+    bounded by contract: codebooks must ship as plan literals.
+
+    Returns ``books[m][j] = list[int]`` of length dim // n_sub.
+    """
+    import math
+
+    from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    rows = (
+        base.withColumn("hv", uniform_hash(F.col("id")))
+        .orderBy("hv", "id")
+        .limit(ks)
+        .select("vec", "nrm")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(rows[0].vec)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    books: list[list[list[int]]] = [[] for _ in range(n_sub)]
+    for r in rows:
+        s = [
+            int(math.copysign(math.floor(abs(x / r.nrm * 1e6) + 0.5), x))
+            for x in r.vec
+        ]
+        for m in range(n_sub):
+            books[m].append(s[m * sub : (m + 1) * sub])
+    return books
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011): corpus vectors are encoded to ``n_sub`` 1-byte
+    codes (nearest codeword per subspace, exact integer squared-L2 on
+    the 1e-6 unit grid, code-id tiebreak); a query precomputes its
+    ``n_sub × ks`` distance table once and every corpus vector's
+    approximate distance is ``Σ_m table[m][code_m]`` — table lookups,
+    never a dim-length dot. THE memory-compression scale path: 64-dim
+    float64 vectors become n_sub bytes (64× smaller), so a 100 TB
+    corpus's codes fit a fraction of executor memory and the ADC scan
+    is one zero-shuffle ``mapInArrow`` pass (encode + lookup + per-batch
+    partial top-k fused; only ≈ #batches·|Q|·k triples reach the final
+    ranking window).
+
+    Bit-exactness: grid values ≤ 1e6 keep every d² product ≤ 4e12 and
+    every 16-term sum ≤ 6.4e13 — below 2^53, so the kernel's float64
+    arithmetic IS the BIGINT arithmetic the DuckDB oracle runs; norms
+    use the sequential fold (``_fold_sq_norms``) and ``np.argmin``'s
+    first-min matches the smallest-code-id tiebreak. ADC distances are
+    exact integers — no rounding boundary exists anywhere in this tier.
+
+    Output: ``q_id, neighbor_id, adc_dist (BIGINT), rnk`` (ascending
+    distance, neighbor-id tiebreak; self-matches excluded).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_sub = len(books)
+    ks = len(books[0])
+    sub = len(books[0][0])
+    dim = n_sub * sub
+    C = [np.array(b, dtype=np.float64) for b in books]  # ks × sub each
+    id_type = dict(corpus.dtypes)[id_col]
+
+    q_pdf = (
+        normalized(queries, id_col, vec_col)
+        .filter(F.col("nrm") > 0)
+        .select("id", "vec")
+        .toPandas()
+    )
+    if q_pdf.empty:
+        return corpus.sparkSession.createDataFrame(
+            [], f"q_id {id_type}, neighbor_id {id_type}, adc_dist long, rnk int"
+        )
+    q_ids = q_pdf["id"].to_numpy()
+    qmat = np.array(q_pdf["vec"].tolist(), dtype=np.float64)
+    qn = _fold_sq_norms(qmat)
+    qv = qmat / qn[:, None] * 1e6
+    qs = np.sign(qv) * np.floor(np.abs(qv) + 0.5)
+    # per-subspace query distance tables, |Q| × ks exact ints in float64
+    qdt = [
+        ((qs[:, m * sub : (m + 1) * sub][:, None, :] - C[m][None, :, :]) ** 2).sum(
+            axis=2
+        )
+        for m in range(n_sub)
+    ]
+    nq = q_ids.size
+    chunk = max(256, int(4_000_000 / (8 * max(1, ks))))
+
+    def _kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat = np.asarray(rb.column(1).flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"ragged embedding column: {flat.size} values for "
+                    f"{n} rows × dim {dim}"
+                )
+            mat = flat.reshape(n, dim)
+            nrm = _fold_sq_norms(mat)
+            live = np.flatnonzero(nrm > 0)
+            for s0 in range(0, live.size, chunk):
+                sel = live[s0 : s0 + chunk]
+                v = mat[sel] / nrm[sel, None] * 1e6
+                s = np.sign(v) * np.floor(np.abs(v) + 0.5)
+                ad = np.zeros((nq, sel.size))
+                for m in range(n_sub):
+                    sm = s[:, m * sub : (m + 1) * sub]
+                    d2 = (
+                        np.einsum("ij,ij->i", sm, sm)[:, None]
+                        - 2.0 * (sm @ C[m].T)
+                        + np.einsum("ij,ij->i", C[m], C[m])[None, :]
+                    )
+                    codes = np.argmin(d2, axis=1)  # first-min = smallest j
+                    ad += qdt[m][:, codes]
+                cids = ids[sel]
+                q_out, n_out, d_out = [], [], []
+                for i in range(nq):
+                    row = ad[i]
+                    keep = cids != q_ids[i]
+                    cand_d, cand_id = row[keep], cids[keep]
+                    if cand_d.size > k:
+                        thr = np.partition(cand_d, k - 1)[k - 1]
+                        kp = cand_d <= thr  # k-th ties kept; window breaks
+                        cand_d, cand_id = cand_d[kp], cand_id[kp]
+                    q_out.append(np.full(cand_id.size, q_ids[i]))
+                    n_out.append(cand_id)
+                    d_out.append(cand_d.astype(np.int64))
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(q_out)),
+                        pa.array(np.concatenate(n_out)),
+                        pa.array(np.concatenate(d_out)),
+                    ],
+                    names=["q_id", "neighbor_id", "adc_dist"],
+                )
+
+    partial = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInArrow(_kernel, f"q_id {id_type}, neighbor_id {id_type}, adc_dist long")
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ recipe (Jégou et al. 2011 §V): ADC ranks a
+    ``shortlist`` of candidates from the compressed codes
+    (:func:`pq_adc_topk` — one zero-shuffle scan of 4-byte codes), then
+    EXACT cosine re-ranks only those |Q|·shortlist survivors. Re-rank
+    cost is corpus-size-independent: the shortlist broadcasts back onto
+    the corpus scan (map-side semi-join, no corpus shuffle) and the
+    exact dots run on shortlist rows only — so the tier keeps PQ's 64×
+    memory compression while recovering exact-scoring precision on
+    everything the codes surface. Scoring matches the other ANN tiers:
+    SQL-fold dots (boundary-safe by construction), round6, id tiebreak.
+
+    Output: ``q_id, neighbor_id, cosine, rnk``.
+    """
+    cand = pq_adc_topk(
+        corpus, queries, books, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "neighbor_id")
+    nb = normalized(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("n_vec"), F.col("nrm").alias("n_nrm"),
+    )
+    qn = normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
+    )
+    sim = _dot(F.col("n_vec"), F.col("q_vec")) / (F.col("n_nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        nb.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qn), "q_id")
+        .select("q_id", "neighbor_id", round6(sim).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -233,6 +233,68 @@ def run_ohlcv_ingest(
     return q
 
 
+def session_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked session-window aggregation — the streaming twin of the
+    batch ``user_sessions`` query (same native ``session_window``
+    operator, so gap semantics are identical by construction: windows
+    merge while inter-event gaps stay strictly under ``gap``). Append
+    mode emits a session only once the watermark passes its gap-padded
+    window end — emit-on-close for dynamically-sized windows. State per
+    key is one open session; the watermark bounds how long it can stay
+    open after the last event, so state size is (active keys), not
+    history. Emitted bounds are min/max EVENT time (not the padded
+    window end), matching the batch twin bit-for-bit."""
+    v = F.col(value_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(ts_col, gap).alias("win"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).alias("sum_value"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def run_session_ingest(
+    spark: SparkSession,
+    source_path: str,
+    sink_root: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+):
+    """File stream → watermarked session windows → foreachBatch keyed
+    upsert ((user_id, session_start) — a closed session emits once, and a
+    replayed micro-batch upserts the same keys to the same values), with
+    the availableNow cron-job trigger, mirroring run_ohlcv_ingest."""
+    sess = session_stream(
+        stream_events(spark, source_path), gap=gap, watermark=watermark
+    )
+    return (
+        sess.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(
+            foreach_batch_upsert(
+                sink_root,
+                keys=("user_id", "session_start"),
+                part_ts_col="session_start",
+            )
+        )
+        .start()
+    )
+
+
 def sticky_counter_stream(
     events: DataFrame,
     key_cols: Sequence[str],

@@ -109,3 +109,66 @@ def test_doremi_weights_favor_hard_domains(spark):
     assert out["a"] == pytest.approx(0.5) and out["b"] == pytest.approx(0.5)
     with pytest.raises(ValueError):
         doremi_weights(losses, iters=0)
+
+
+def test_knn_graph_mutual_edges_are_mutual_and_undirected(spark):
+    from binance_futures_data_lake_spark.operators.similarity import (
+        knn_graph_components, knn_graph_mutual_edges,
+    )
+
+    # 2 tight pairs + 1 outlier, all in one cell (single centroid)
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),   # ~cos 0.9992 with 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.03, 0.999, 0.0]),   # ~cos 0.9995 with 3
+        (5, [0.6, 0.6, 0.52]),     # closest to others but below mutual top-1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [(0, [1_000_000, 0, 0])]
+    edges = knn_graph_mutual_edges(df, cents, kk=1, threshold=0.5).collect()
+    got = {(r.u, r.v) for r in edges}
+    assert got == {(1, 2), (3, 4)}          # u < v, mutual top-1 only
+    comp = {r.vec_id: r for r in knn_graph_components(df, cents, kk=1, threshold=0.5).collect()}
+    assert comp[2].component == 1 and comp[4].component == 3
+    assert comp[5].component == 5 and comp[5].degree == 0
+    assert comp[1].degree == 1
+
+
+def test_pq_adc_recall_and_contract(spark):
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk, pq_adc_topk, pq_codebooks, pq_rerank_topk,
+    )
+    from binance_futures_data_lake_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").cache()
+    emb.count()
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r.q_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    books = pq_codebooks(emb, n_sub=4, ks=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+    out = pq_adc_topk(emb, q, books, k=5).collect()
+    # raw ADC on STRUCTURELESS near-random embeddings is the worst case
+    # (all pairwise distances concentrate; 8 codewords can't separate
+    # them) — it must still beat the ~0.05 random-pick baseline, while
+    # the production shortlist+exact-re-rank tier below carries the real
+    # recall bar.
+    found = {(r.q_id, r.neighbor_id) for r in out}
+    assert len(found & truth) / len(truth) > 0.05
+    rr = pq_rerank_topk(emb, q, books, k=5, shortlist=100).collect()
+    rfound = {(r.q_id, r.neighbor_id) for r in rr}
+    assert len(rfound & truth) / len(truth) >= 0.3
+    # contract: exactly k rows per query, integer distances, ranked ascending
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert len(rows) == 5
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)
+        assert all(isinstance(d, int) for d in dists)
+    # determinism: a second build returns identical codebooks
+    assert books == pq_codebooks(emb, n_sub=4, ks=8)
+    with pytest.raises(ValueError):
+        pq_codebooks(emb, n_sub=5)  # 64 % 5 != 0
