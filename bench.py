@@ -93,6 +93,24 @@ LLM_PIPELINE = [
     "hard_negative_mining",
     "c4_quality_flags",
     "temperature_mixture",
+    # r7 additions: toxicity gate, CMS, hybrid fusion, mixture optimization,
+    # PQ tiers, kNN-graph clustering, and the pretraining funnel capstone
+    # (streaming_sessionization is excluded like every streaming query —
+    # it runs a real stream + temp staging per call)
+    "toxicity_lexicon_score",
+    "cms_heavy_hitters",
+    "hybrid_rrf_topk",
+    "doremi_domain_weights",
+    "pq_ann_topk",
+    "pq_rerank_topk",
+    "knn_graph_components",
+    "pretrain_data_pipeline",
+    # r7 batch 4: HLL sketch, ES weighted sampling, integer PageRank,
+    # release diff
+    "hll_distinct_users",
+    "token_weighted_sample",
+    "user_interaction_pagerank",
+    "corpus_release_diff",
 ]
 
 

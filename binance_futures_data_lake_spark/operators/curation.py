@@ -914,3 +914,57 @@ def doremi_weights(
         round6(F.col("__li") / F.lit(1_000_000.0)).alias("loss"),
         round6(F.col("__ai") / F.lit(1_000_000.0)).alias("weight"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — ``k`` rows per group drawn
+    with probability proportional to ``weight_col`` — via the
+    Efraimidis–Spirakis A-Res reservoir keys (Inf. Proc. Letters 2006):
+    rank every row by ``key = ln(u)^(1/w)``-equivalent log-form
+    ``ln(u) / w`` (u uniform, w > 0) and keep the ``k`` largest per
+    group. One pass, no RNG state, trivially distributed: the rank is a
+    per-group top-k window (TakeOrderedAndProject shape when ungrouped).
+
+    This is the pretraining sampler for "draw a token-budget-sized
+    subset proportional to document length/quality" — unlike the
+    hash-threshold mixture sampler (:func:`mixture_sample`) the draw is
+    exactly-k and weight-proportional, not Bernoulli.
+
+    Determinism contract (the usual grid discipline): ``u = (h60 + 1) /
+    2^60`` from the md5-derived 60-bit hash of the key (+1 keeps u in
+    (0, 1] so ln is total; u = 1 → key 0, the maximum — a 2^-60 corner
+    both engines share deterministically). ``ln(u)`` is the operator's
+    one libm call and is 6-dp rounded BEFORE the division by the weight,
+    so the ranking key is an exact grid-value / weight quotient — the
+    same two IEEE operands in both engines, bit-identical; ties broken
+    by key id. The residual exposure is a ln() result within an ulp of a
+    0.5e-6 boundary (the lsh_topk/semantic_dedup_gemm residual class).
+
+    Output: by-cols + the row's columns + ``es_key`` (6-dp) + ``rk``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(TWO_POW_60)
+    es = round6(F.log(u)) / F.col(weight_col)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("__es").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es", es)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("es_key", round6(F.col("__es")))
+        .drop("__es")
+    )

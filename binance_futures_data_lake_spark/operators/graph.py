@@ -8,19 +8,20 @@ A~B and B~C, keeping "one of each pair" would keep two of {A,B,C}. The
 standard fix is connected components with the min id as the cluster
 label, then keep ``doc_id == cluster_id``.
 
-Algorithm: min-label propagation as iterative DataFrame joins —
-every node takes the min label among itself and its neighbors until no
-label changes. Convergence is O(graph diameter) rounds; dedup graphs are
-unions of small near-clique components (duplicates of one underlying
-document), so the diameter is tiny (2-4) regardless of corpus size —
-the iteration count does NOT grow with data volume. Each round is one
-shuffle join on the edge list plus a min-aggregate; lineage is truncated
-per round with ``localCheckpoint`` so the plan does not grow with the
-iteration count (the classic iterative-Spark failure mode). For graphs
-with genuinely large diameters (not dedup), the two-phase large-star/
-small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond") converges in O(log n) rounds with the same
-join-per-round shape.
+Algorithm: min-label propagation WITH PATH-HALVING as iterative
+DataFrame joins — every node takes the min label among itself, its
+neighbors, and its label's label. The halving step (r7) makes
+convergence O(log diameter) rounds instead of O(diameter) — dedup
+graphs are near-cliques (diameter 2-4) where it's moot, but mutual-kNN
+graphs chain into long paths (a 62-node chain at sf0.1 ran all 25
+propagation-only rounds). Each round is one edge join + one label
+self-join + a min-aggregate; lineage is truncated per round with
+``localCheckpoint`` so the plan does not grow with the iteration count
+(the classic iterative-Spark failure mode). Edge lists small enough to
+collect short-circuit to a driver union-find — see
+``connected_components``. The two-phase large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond")
+remains the alternative for adversarial diameters at extreme scale.
 
 The result is deterministic — min id per component — regardless of
 iteration schedule or partitioning, which is what makes it
@@ -38,23 +39,63 @@ def connected_components(
     dst: str = "doc_b",
     max_iters: int = 25,
     check_every: int = 2,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the min node id
     of its component. Output: ``id, comp`` — one row per node that
     appears in at least one edge (callers union in isolated nodes).
 
-    Convergence is tested every ``check_every`` rounds (plus the last):
-    the changed-count is a driver-synchronizing join + count job on top
-    of the round's own checkpoint action, so on very large edge lists
-    halving the checks matters more than the ≤ ``check_every − 1`` extra
-    propagation rounds a late detection costs (propagation past the
-    fixed point is a no-op on the labels). ``check_every=1`` restores
-    the per-round check.
+    Graphs whose distinct edge list fits ``driver_max_edges`` short-
+    circuit to a DRIVER union-find: at local job-floor economics a
+    multi-round distributed loop costs seconds for work one core does in
+    milliseconds (measured 11 s → 0.2 s for 1.2k edges at sf0.1), and a
+    near-dup pair list is ~always orders smaller than its corpus. The
+    threshold bounds the collect (~tens of MB); the result — min id per
+    component — is identical by construction. Set it to 0 to force the
+    distributed path; that path is the 100 TB contract: min-label
+    propagation with PATH-HALVING (each node also adopts its label's
+    label), O(log diameter) rounds instead of O(diameter), one edge join
+    + one label self-join + min-aggregate per round, lineage truncated
+    with localCheckpoint. Convergence is tested every ``check_every``
+    rounds (plus the last): the changed-count is a driver-synchronizing
+    join + count job on top of the round's own checkpoint action, so on
+    very large edge lists halving the checks matters more than the
+    ≤ ``check_every − 1`` extra propagation rounds a late detection
+    costs. ``check_every=1`` restores the per-round check.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.distinct().localCheckpoint(eager=False)
+    if driver_max_edges > 0 and sym.count() <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sym.toLocalIterator():
+            u, v = r.u, r.v
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = comp_min.get(root)
+            if cur is None or node < cur:
+                comp_min[root] = node
+        rows = [(node, comp_min[find(node)]) for node in parent]
+        schema = sym.select(
+            F.col("u").alias("id"), F.col("u").alias("comp")
+        ).schema
+        return sym.sparkSession.createDataFrame(rows, schema)
     labels = (
         sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
@@ -62,8 +103,19 @@ def connected_components(
         nb = sym.join(labels, sym.v == labels.id).select(
             F.col("u").alias("id"), F.col("comp")
         )
+        prop = labels.union(nb).groupBy("id").agg(F.min("comp").alias("comp"))
+        # Path-halving (pointer doubling): each node also adopts its
+        # label's label — min-label propagation alone needs O(diameter)
+        # rounds (a 62-node chain at sf0.1 ran all 25), with halving
+        # O(log diameter). Every comp value is itself a node id present
+        # in the label table, so the self-join always resolves; the
+        # fixed point (min id of the component) is unchanged.
+        half = prop.select(F.col("comp").alias("h_id"), F.col("id")).join(
+            prop.select(F.col("id").alias("h_id"), F.col("comp").alias("h_comp")),
+            "h_id",
+        ).select("id", F.col("h_comp").alias("comp"))
         new = (
-            labels.union(nb).groupBy("id").agg(F.min("comp").alias("comp"))
+            prop.union(half).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
         if (it + 1) % max(1, check_every) == 0 or it == max_iters - 1:
             changed = (
@@ -139,3 +191,100 @@ def cluster_holdout_split(
         .otherwise(F.lit("train"))
     )
     return clustered.withColumn("split_bucket", bucket.cast("int")).withColumn("split", split)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 3,
+    damping_pct: int = 85,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Weighted PageRank with EXACT-INTEGER arithmetic — the graph
+    centrality pass of a crawl-quality stack (OPIC/harmonic-centrality
+    style source weighting), unrolled to a fixed ``iters`` so the whole
+    computation is replayable relational algebra.
+
+    Everything runs in integer micro-units (1e-6 of probability mass):
+    ``rank0 = micro div n``; each iteration moves
+    ``(rank·damping_pct·w) div (100·W_u)`` along every edge (W_u = the
+    source's total out-weight), redistributes dangling mass
+    ``(D·damping_pct) div (100·n)`` uniformly, and adds the teleport
+    ``(micro·(100−damping_pct)) div (100·n)``. Integer division makes
+    every iteration order-INDEPENDENT and engine-exact — no float sum
+    anywhere, so (unlike float PageRank) the result is bit-identical
+    across engines, partitionings and aggregation orders by
+    construction; the ≤ n·iters micro-units lost to div-flooring are
+    part of the operator's defined semantics, not error.
+
+    Scale shape: per iteration ONE shuffle join of the edge list against
+    the |nodes|-row rank table plus a groupBy-sum (partial-aggregated
+    map-side); the dangling scalar rides a broadcast of a 1-row
+    aggregate, never a driver collect. ``iters`` is a constant — plan
+    depth does not grow with data.
+
+    Output: ``id, rank_micro`` (LONG) + ``rank`` (6-dp float view).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not (0 < damping_pct < 100):
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # one bounded driver scalar (|nodes| is the contract)
+    # Barrier the loop inputs and each iteration's rank table: a Spark
+    # plan is a TREE, so the three references to r per iteration (edge
+    # join, dangling anti-join, next-rank assembly) would re-evaluate
+    # the whole previous iteration ~3^iters times without a checkpoint
+    # (measured 98 exchanges at iters=3 -> 20 with barriers; the
+    # curation_planning_pipeline lesson applied to iteration).
+    ew = e.join(outw := e.groupBy("u").agg(
+        F.sum("w").cast("long").alias("w_out")), "u").localCheckpoint(eager=False)
+    outw = outw.localCheckpoint(eager=False)
+    tele = (micro * (100 - damping_pct)) // (100 * n)
+    r = nodes.withColumn("r", F.lit(micro // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(r.withColumnRenamed("id", "u"), "u")
+            .select(
+                F.col("v").alias("id"),
+                F.expr(f"CAST((r * {damping_pct} * w) div (100 * w_out) AS LONG)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast("long").alias("cs"))
+        )
+        dang = (
+            r.join(outw.select(F.col("u").alias("id")), "id", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dmass"))
+        )
+        r = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit(tele)
+                    + F.expr(f"CAST((dmass * {damping_pct}) div (100 * {n}) AS LONG)")
+                    + F.coalesce(F.col("cs"), F.lit(0))
+                ).cast("long").alias("r"),
+            )
+        ).localCheckpoint(eager=False)
+    return r.select(
+        "id",
+        F.col("r").alias("rank_micro"),
+        round6(F.col("r") / F.lit(1e6)).alias("rank"),
+    )

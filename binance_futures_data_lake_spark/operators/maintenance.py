@@ -190,3 +190,47 @@ def fix_meta(
     if repaired:
         lake.write_meta(root, meta)
     return {"ok": True, "repaired": repaired, "missing_before": missing, "meta": meta}
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Release-to-release corpus diff — the lake-versioning audit between
+    two snapshots of the same logical table (v_N parquet vs v_N+1 after a
+    cleaning/dedup/redaction pass): which keys were ``added``,
+    ``removed``, ``changed``, ``unchanged``?
+
+    Comparison is by md5 content hash over ``content_cols`` (null-safe:
+    each column is cast to string with a NULL sentinel and
+    length-prefixed — ``concat_ws`` alone would collide ``('ab','c')``
+    with ``('a','bc')`` and drop NULLs), so the shuffle carries ``key +
+    one 32-char hash`` per row, never the payload — at 100 TB the diff
+    moves ~50 bytes/row regardless of document size. One full outer join
+    on the key (the only exchange on each side beyond the scan).
+
+    Output: ``key_col, status`` — one row per key in either snapshot.
+    """
+    if not content_cols:
+        raise ValueError("content_cols must be non-empty")
+
+    def fingerprint(df: DataFrame, out: str) -> DataFrame:
+        parts = []
+        for c in content_cols:
+            s = F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            parts.append(F.concat(F.length(s).cast("string"), F.lit(":"), s))
+        return df.select(F.col(key_col), F.md5(F.concat(*parts)).alias(out))
+
+    o = fingerprint(old, "__h_old")
+    n = fingerprint(new, "__h_new")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, key_col, "full_outer").select(
+        F.col(key_col), status.alias("status")
+    )

@@ -543,6 +543,9 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
     like the other tiers."""
     from binance_futures_data_lake_spark.operators.sketch import uniform_hash
 
+    import numpy as np
+    import pyarrow as pa
+
     base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
     sv = base.select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
     seeds = (
@@ -551,19 +554,78 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
     )
     cents = [(i, [int(x) for x in r.s]) for i, r in enumerate(seeds)]
     dim = len(cents[0][1])
-    svc = sv.cache()  # id + 64 longs, reused ``iters`` times
+    svc = sv.select("s").cache()  # 64 longs/row, reused ``iters`` times
     try:
         for _ in range(iters):
-            asg = svc.withColumn("cell", _nearest_cells_int(F.col("s"), cents, 1)[0])
-            sums = asg.groupBy("cell").agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
-            ).collect()
+            # Assignment + per-batch partial sums as ONE mapInArrow kernel:
+            # the expression form (_nearest_cells_int + 64 per-dim sum
+            # columns) is bit-identical but costs seconds of Catalyst
+            # ANALYSIS per iteration — the num_cells × dim literal tree is
+            # rebuilt every step because the centroids are new literals.
+            # Grid values ≤ 1e6 keep every d² term and every per-batch
+            # partial sum far below 2^53, so the kernel's float64 IS the
+            # integer arithmetic the SQL oracle replays (the
+            # semantic_dedup_gemm argument); np.argmin's first-min matches
+            # the min-cell-id tiebreak because cents stay sorted.
+            cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+            c_mat = np.array([v for _, v in cents], dtype=np.float64)
+            c2 = np.einsum("ij,ij->i", c_mat, c_mat)
+
+            def _partials(batches, _ct=c_mat.T, _c2=c2, _ids=cell_ids):
+                n_c = _ids.size
+                for rb in batches:
+                    n = rb.num_rows
+                    if n == 0:
+                        continue
+                    flat = np.asarray(rb.column(0).flatten(), dtype=np.float64)
+                    mat = flat.reshape(n, dim)
+                    d2 = (
+                        np.einsum("ij,ij->i", mat, mat)[:, None]
+                        - 2.0 * (mat @ _ct)
+                        + _c2[None, :]
+                    )
+                    code = np.argmin(d2, axis=1)
+                    cnt = np.bincount(code, minlength=n_c)
+                    sums = np.zeros((n_c, dim))
+                    np.add.at(sums, code, mat)
+                    live = np.flatnonzero(cnt)
+                    yield pa.record_batch(
+                        [
+                            pa.array(_ids[live]),
+                            pa.array(cnt[live].astype(np.int64)),
+                            pa.array(
+                                [r.astype(np.int64) for r in sums[live]],
+                                type=pa.list_(pa.int64()),
+                            ),
+                        ],
+                        names=["cell", "cnt", "sums"],
+                    )
+
+            partials = svc.mapInArrow(
+                _partials, "cell long, cnt long, sums array<long>"
+            )
+            rows = (
+                partials.select(
+                    "cell", "cnt", F.posexplode("sums").alias("pos", "val")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.sum("cnt").alias("cnt_d"), F.sum("val").alias("ssum"))
+                .collect()
+            )
+            acc: dict[int, tuple[int, list[int]]] = {}
+            for r in rows:
+                cell = int(r["cell"])
+                if cell not in acc:
+                    acc[cell] = (0, [0] * dim)
+                acc[cell][1][int(r["pos"])] = int(r["ssum"])
+            # cnt_d summed per (cell, pos) duplicates cnt across dims —
+            # every pos carries the same per-cell total, so take pos 0's
+            cnts = {
+                int(r["cell"]): int(r["cnt_d"]) for r in rows if r["pos"] == 0
+            }
             cents = sorted(
-                (int(r["cell"]),
-                 [_round_half_away_int(int(r[f"s{i}"]), int(r["cnt"]))
-                  for i in range(dim)])
-                for r in sums
+                (cell, [_round_half_away_int(s, cnts[cell]) for s in sums])
+                for cell, (_, sums) in acc.items()
             )
     finally:
         svc.unpersist()
@@ -1181,41 +1243,84 @@ def knn_graph_mutual_edges(
     clustering / diversity analysis over embedding corpora).
 
     Scale shape: candidate pairs never leave a cell (Σ|cell|², the
-    SemDeDup contract) and the directed lists are top-``kk``-bounded
-    before the mutual self-join, so that join handles ≤ kk·|corpus|
-    narrow rows. Cosines are 6-dp rounded before the rank, the
-    threshold, and the mutual test — and cos(a,b) = cos(b,a) exactly
-    (same per-dim fold order), so mutuality is engine-stable.
+    SemDeDup contract) — ONE shuffle by cell into a grouped GEMM kernel
+    that scores the |cell|² block and keeps each row's top-``kk``
+    (threshold first, then rank, cosine-desc/id-asc) — so the mutual
+    self-join sees only ≤ kk·|corpus| narrow rows. The expression-join
+    formulation (pair join + interpreted per-dim dot folds + rank
+    window) costs 52 s at sf0.1's 4M within-cell pairs; the kernel is
+    the semantic_dedup_gemm move and runs the same block in well under
+    a second. Cosines are 6-dp rounded before the rank, the threshold,
+    and the mutual test; GEMM entries within 1e-5 of a round6
+    half-boundary are recomputed with the exact sequential fold (norms
+    already are), so the ranking is boundary-proof AND cos(a,b) =
+    cos(b,a) exactly — mutuality is engine-stable.
 
     Output: undirected edges ``u, v, cosine`` with ``u < v``.
     """
+    import numpy as np
+
     if kk < 1:
         raise ValueError(f"kk must be >= 1, got {kk}")
     base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
     sb = base.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
     cells = sb.withColumn(
         "cell", _nearest_cells_int(F.col("s"), cents, 1)[0]
-    ).select("id", "cell", "vec", "nrm")
-    a = cells.select(
-        F.col("id").alias("a_id"), "cell",
-        F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
-    )
-    b = cells.select(
-        F.col("id").alias("b_id"), "cell",
-        F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
-    )
-    cos = round6(
-        _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
-    )
-    w = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
-    direct = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", cos.alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= kk)
-        .select("a_id", "b_id", "cosine")
+    ).select("id", "cell", "vec")
+    id_type = dict(corpus.dtypes)[id_col]
+    thr = float(threshold)
+
+    def _directed(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        n = ids.size
+        if n < 2:
+            return pd.DataFrame({"a_id": ids[:0], "b_id": ids[:0],
+                                 "cosine": np.zeros(0)})
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        nrm = _fold_sq_norms(mat)
+        scaled = (mat @ mat.T) / (nrm[:, None] * nrm[None, :]) * 1e6
+        # round6 boundary guard: exact sequential fold for entries within
+        # 1e-5 of a half-boundary (same discipline as lsh_topk scoring)
+        frac = np.abs(scaled) % 1.0
+        near = np.abs(frac - 0.5) < 1e-5
+        np.fill_diagonal(near, False)
+        if near.any():
+            for i, j in zip(*map(np.ndarray.tolist, np.nonzero(near))):
+                a, b = mat[i], mat[j]
+                dab = 0.0
+                for d in range(a.size):
+                    dab = dab + float(a[d]) * float(b[d])
+                scaled[i, j] = dab / (nrm[i] * nrm[j]) * 1e6
+        cos = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6
+        np.fill_diagonal(cos, -2.0)  # exclude self before threshold/rank
+        a_out, b_out, c_out = [], [], []
+        for i in range(n):
+            row = cos[i]
+            cand = np.flatnonzero(row >= thr)
+            if cand.size == 0:
+                continue
+            # top-kk by (cosine desc, id asc): ids are ascending, so a
+            # stable sort on -cosine preserves the id tiebreak
+            order = cand[np.argsort(-row[cand], kind="stable")][:kk]
+            a_out.append(np.full(order.size, ids[i]))
+            b_out.append(ids[order])
+            c_out.append(row[order])
+        if not a_out:
+            return pd.DataFrame({"a_id": ids[:0], "b_id": ids[:0],
+                                 "cosine": np.zeros(0)})
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(a_out),
+                "b_id": np.concatenate(b_out),
+                "cosine": np.concatenate(c_out),
+            }
+        )
+
+    direct = cells.groupBy("cell").applyInPandas(
+        _directed, f"a_id {id_type}, b_id {id_type}, cosine double"
     )
     d2 = direct.select(
         F.col("a_id").alias("r_a"), F.col("b_id").alias("r_b")

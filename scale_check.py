@@ -597,6 +597,48 @@ def main() -> None:
         n_near_dup=sd.filter(F.col("status") == "near_dup").count(),
         shuffle_exchanges=exchange_count(sd),
     )
+
+    # PQ-ADC probe (r7): the compressed-ANN tier at 1M vectors. 8
+    # subspaces × 64 seeded codewords → 8 one-byte codes/vector (64×
+    # compression vs float64); the ADC scan is one zero-shuffle kernel
+    # pass. On the CLUSTERED corpus (the realistic case — the sf-scale
+    # registry query measures the structureless worst case) the shortlist
+    # + exact re-rank tier should recover high recall.
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+
+    t0 = time.perf_counter()
+    books = pq_codebooks(ann, n_sub=8, ks=64)
+    pq_train_sec = round(time.perf_counter() - t0, 2)
+    pq = pq_adc_topk(ann, annq, books, k=ann_k)
+    stage("pq_adc_topk_100q", lambda: force(pq))
+    stages["pq_adc_topk_100q"].update(
+        codebook_sec=pq_train_sec,
+        recall_at_10=_recall(pq),
+        shuffle_exchanges=exchange_count(pq),
+    )
+    pqr = pq_rerank_topk(ann, annq, books, k=ann_k, shortlist=100)
+    stage("pq_rerank_topk_100q", lambda: force(pqr))
+    stages["pq_rerank_topk_100q"]["recall_at_10"] = _recall(pqr)
+    stages["pq_rerank_topk_100q"]["shuffle_exchanges"] = exchange_count(pqr)
+
+    # mutual-kNN graph + components probe (r7): cell-scoped grouped-GEMM
+    # top-kk lists over the 512-cell index, mutual filter, then
+    # connected components — the edge list at this scale exceeds the
+    # driver short-circuit, so this exercises the DISTRIBUTED
+    # path-halving loop end to end.
+    from binance_futures_data_lake_spark.operators.similarity import (
+        knn_graph_components,
+    )
+
+    kg = knn_graph_components(ann, sd_cents, kk=2, threshold=0.92)
+    stage("knn_graph_components_1m", lambda: force(kg))
+    stages["knn_graph_components_1m"].update(
+        n_clustered=kg.filter(F.col("component") != F.col("vec_id")).count(),
+    )
     ann.unpersist()
 
     # banded-hamming near-dup probe (r5): 10M 64-bit fingerprints through

@@ -172,3 +172,101 @@ def test_pq_adc_recall_and_contract(spark):
     assert books == pq_codebooks(emb, n_sub=4, ks=8)
     with pytest.raises(ValueError):
         pq_codebooks(emb, n_sub=5)  # 64 % 5 != 0
+
+
+def test_connected_components_driver_vs_distributed_parity(spark):
+    from binance_futures_data_lake_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4-5, triangle 10-11-12, pair (20, 21)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    drv = {r.id: r.comp for r in connected_components(edges).collect()}
+    dist = {
+        r.id: r.comp
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert drv == dist
+    assert drv[5] == 1 and drv[12] == 10 and drv[21] == 20
+
+
+def test_hll_distinct_estimate_and_validation(spark):
+    from binance_futures_data_lake_spark.operators.sketch import hll_distinct
+
+    rows = [(g, v) for g in ("a", "b") for v in range(200 if g == "a" else 20)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in hll_distinct(df, "v", by=["grp"], m=64).collect()}
+    assert out["a"].n_exact == 200 and out["b"].n_exact == 20
+    # HLL std error ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(out["a"].hll_estimate - 200) / 200 < 0.4
+    assert abs(out["b"].hll_estimate - 20) / 20 < 0.4
+    # duplicates must not move the estimate (distinct semantics)
+    dup = df.union(df)
+    out2 = {r.grp: r for r in hll_distinct(dup, "v", by=["grp"], m=64).collect()}
+    assert out2["a"].hll_estimate == out["a"].hll_estimate
+    with pytest.raises(ValueError):
+        hll_distinct(df, "v", m=63)
+
+
+def test_weighted_sample_topk_contract(spark):
+    from binance_futures_data_lake_spark.operators.curation import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", 1 + (i % 5)) for i in range(100)] + [(200, "g", 0)],
+        "k long, grp string, w long",
+    )
+    out = weighted_sample_topk(df, "k", "w", k=7, by=["grp"]).collect()
+    assert len(out) == 7
+    assert [r.rk for r in sorted(out, key=lambda r: r.rk)] == list(range(1, 8))
+    assert all(r.k != 200 for r in out)  # zero-weight rows excluded
+    # deterministic: same draw on re-run
+    out2 = weighted_sample_topk(df, "k", "w", k=7, by=["grp"]).collect()
+    assert sorted(r.k for r in out) == sorted(r.k for r in out2)
+    # es_key is monotone non-increasing in rank
+    es = [r.es_key for r in sorted(out, key=lambda r: r.rk)]
+    assert es == sorted(es, reverse=True)
+    with pytest.raises(ValueError):
+        weighted_sample_topk(df, "k", "w", k=0)
+
+
+def test_pagerank_symmetry_and_sink(spark):
+    from binance_futures_data_lake_spark.operators.graph import pagerank
+
+    # 4-cycle: perfect symmetry -> identical ranks
+    ring = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    rr = pagerank(ring, iters=3).collect()
+    assert len({r.rank_micro for r in rr}) == 1
+    # star 1->{2,3,4}, {2,3,4}->1: hub outranks leaves; mass ~conserved
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1)], "src long, dst long"
+    )
+    sr = {r.id: r.rank_micro for r in pagerank(star, iters=4).collect()}
+    assert sr[1] > sr[2] == sr[3] == sr[4]
+    assert abs(sum(sr.values()) - 1_000_000) < 100  # div-floor loss only
+    with pytest.raises(ValueError):
+        pagerank(ring, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(ring, damping_pct=100)
+
+
+def test_snapshot_diff_statuses(spark):
+    from binance_futures_data_lake_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 3), (4, None, 4)],
+        "id long, txt string, n long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2), (3, "C", 3), (4, None, 4), (5, "e", 5)],
+        "id long, txt string, n long",
+    )
+    st = {r.id: r.status for r in snapshot_diff(old, new, "id", ["txt", "n"]).collect()}
+    assert st == {1: "removed", 2: "unchanged", 3: "changed",
+                  4: "unchanged", 5: "added"}
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, "id", [])
