@@ -8,20 +8,22 @@ A~B and B~C, keeping "one of each pair" would keep two of {A,B,C}. The
 standard fix is connected components with the min id as the cluster
 label, then keep ``doc_id == cluster_id``.
 
-Algorithm: min-label propagation WITH PATH-HALVING as iterative
-DataFrame joins — every node takes the min label among itself, its
-neighbors, and its label's label. The halving step (r7) makes
-convergence O(log diameter) rounds instead of O(diameter) — dedup
-graphs are near-cliques (diameter 2-4) where it's moot, but mutual-kNN
-graphs chain into long paths (a 62-node chain at sf0.1 ran all 25
-propagation-only rounds). Each round is one edge join + one label
-self-join + a min-aggregate; lineage is truncated per round with
-``localCheckpoint`` so the plan does not grow with the iteration count
-(the classic iterative-Spark failure mode). Edge lists small enough to
-collect short-circuit to a driver union-find — see
-``connected_components``. The two-phase large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond")
-remains the alternative for adversarial diameters at extreme scale.
+Algorithm (r7 rewrite): ITERATIVE EDGE CONTRACTION. Each round
+hash-partitions the symmetric edge list by source — so every node's
+full neighbor list lands in one partition — and runs an in-partition
+union-find (one ``mapInPandas`` pass, min id as local root), giving a
+strictly-decreasing node→root mapping; edges relabel through the
+mapping and self-loops vanish, so the edge list SHRINKS geometrically
+(a neighborhood contracts to its min in one round — the large-star
+move of Kiveris et al., "Connected Components in MapReduce and
+Beyond", executed as local memory ops instead of joins). As soon as
+the surviving edge list fits ``driver_max_edges`` a driver union-find
+finishes the job; with the short-circuit disabled the loop runs to an
+empty edge list. This replaced min-label propagation + path-halving,
+whose per-round join/agg/checkpoint jobs cost 1013 s at the 1M-node
+mutual-kNN probe — propagation moves labels one hop (log d with
+halving) but never shrinks the data; contraction removes the work
+itself.
 
 The result is deterministic — min id per component — regardless of
 iteration schedule or partitioning, which is what makes it
@@ -37,8 +39,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iters: int = 25,
-    check_every: int = 2,
+    max_iters: int = 15,
     driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the min node id
@@ -46,28 +47,44 @@ def connected_components(
     appears in at least one edge (callers union in isolated nodes).
 
     Graphs whose distinct edge list fits ``driver_max_edges`` short-
-    circuit to a DRIVER union-find: at local job-floor economics a
-    multi-round distributed loop costs seconds for work one core does in
-    milliseconds (measured 11 s → 0.2 s for 1.2k edges at sf0.1), and a
-    near-dup pair list is ~always orders smaller than its corpus. The
-    threshold bounds the collect (~tens of MB); the result — min id per
-    component — is identical by construction. Set it to 0 to force the
-    distributed path; that path is the 100 TB contract: min-label
-    propagation with PATH-HALVING (each node also adopts its label's
-    label), O(log diameter) rounds instead of O(diameter), one edge join
-    + one label self-join + min-aggregate per round, lineage truncated
-    with localCheckpoint. Convergence is tested every ``check_every``
-    rounds (plus the last): the changed-count is a driver-synchronizing
-    join + count job on top of the round's own checkpoint action, so on
-    very large edge lists halving the checks matters more than the
-    ≤ ``check_every − 1`` extra propagation rounds a late detection
-    costs. ``check_every=1`` restores the per-round check.
+    circuit straight to a DRIVER union-find: at local job-floor
+    economics a multi-round distributed loop costs seconds for work one
+    core does in milliseconds (measured 11 s → 0.2 s for 1.2k edges at
+    sf0.1), and a near-dup pair list is ~always orders smaller than its
+    corpus. The threshold bounds the collect (~tens of MB).
+
+    The distributed path (``driver_max_edges=0`` forces it; it also
+    runs automatically above the threshold) is the 100 TB contract —
+    iterative CONTRACTION, see the module docstring: per round, ONE
+    shuffle of the edge list by source + an in-partition union-find
+    (mapInPandas, pure memory ops), a min-resolve of the emitted
+    mapping, and a relabel join; the mapping is strictly decreasing
+    (local roots are tree minima), so progress is guaranteed and the
+    edge list shrinks geometrically — dense dedup components vanish in
+    one round, chains in O(log) rounds. Once the survivor list fits the
+    driver threshold a driver union-find finishes; composition of the
+    per-round label tables recovers every original node's final label.
+    The result — min id per component — is identical on either path and
+    independent of partitioning, which is what keeps the operator
+    DuckDB-oracle-checkable (recursive-CTE transitive closure).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    import pandas as pd
+
+    # checkpoint the directed list BEFORE symmetrizing: the union
+    # references ``edges`` twice, and upstream pair generation (banded
+    # joins, GEMM stages) is usually the expensive part — one barrier
+    # halves it
+    base = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
+    sym = base.union(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     sym = sym.distinct().localCheckpoint(eager=False)
-    if driver_max_edges > 0 and sym.count() <= driver_max_edges:
+    id_type = dict(sym.dtypes)["u"]
+
+    def _driver_uf(edge_df) -> dict:
+        """Union-find over a collected edge list → {node: comp_min}."""
         parent: dict = {}
 
         def find(x):
@@ -78,8 +95,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in sym.toLocalIterator():
-            u, v = r.u, r.v
+        for r in edge_df.toLocalIterator():
+            u, v = r[0], r[1]
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = find(u), find(v)
@@ -91,45 +108,91 @@ def connected_components(
             cur = comp_min.get(root)
             if cur is None or node < cur:
                 comp_min[root] = node
-        rows = [(node, comp_min[find(node)]) for node in parent]
-        schema = sym.select(
-            F.col("u").alias("id"), F.col("u").alias("comp")
-        ).schema
-        return sym.sparkSession.createDataFrame(rows, schema)
-    labels = (
-        sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
-    )
-    for it in range(max_iters):
-        nb = sym.join(labels, sym.v == labels.id).select(
-            F.col("u").alias("id"), F.col("comp")
+        return {node: comp_min[find(node)] for node in parent}
+
+    spark = sym.sparkSession
+    n_edges = sym.count()
+    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+        comp = _driver_uf(sym)
+        return spark.createDataFrame(
+            list(comp.items()), f"id {id_type}, comp {id_type}"
         )
-        prop = labels.union(nb).groupBy("id").agg(F.min("comp").alias("comp"))
-        # Path-halving (pointer doubling): each node also adopts its
-        # label's label — min-label propagation alone needs O(diameter)
-        # rounds (a 62-node chain at sf0.1 ran all 25), with halving
-        # O(log diameter). Every comp value is itself a node id present
-        # in the label table, so the self-join always resolves; the
-        # fixed point (min id of the component) is unchanged.
-        half = prop.select(F.col("comp").alias("h_id"), F.col("id")).join(
-            prop.select(F.col("id").alias("h_id"), F.col("comp").alias("h_comp")),
-            "h_id",
-        ).select("id", F.col("h_comp").alias("comp"))
-        new = (
-            prop.union(half).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        if (it + 1) % max(1, check_every) == 0 or it == max_iters - 1:
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
+
+    def _local_uf(batches):
+        """In-partition union-find; emits (node, root) for root < node.
+        Roots are tree minima, so the mapping is strictly decreasing —
+        no cycles, guaranteed progress."""
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru == rv:
+                    continue
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        nodes = [n for n in parent if find(n) != n]
+        yield pd.DataFrame(
+            {"node": nodes, "root": [parent[n] for n in nodes]}
+        )
+
+    # labels: original node -> current contracted representative
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("cur")
+    ).localCheckpoint(eager=False)
+    cur = sym
+    for _ in range(max_iters):
+        # one shuffle: all of a node's edges land together (sym holds
+        # both directions, so partitioning by u co-locates full
+        # neighborhoods -> whole dense components contract in one pass)
+        m = (
+            cur.repartition("u")
+            .mapInPandas(_local_uf, f"node {id_type}, root {id_type}")
+            .groupBy("node")
+            .agg(F.min("root").alias("root"))
+            .localCheckpoint(eager=False)
+        )
+        labels = (
+            labels.join(m.withColumnRenamed("node", "cur"), "cur", "left")
+            .select("id", F.coalesce("root", "cur").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        ru = m.withColumnRenamed("node", "u").withColumnRenamed("root", "ru")
+        rv = m.select(F.col("node").alias("v"), F.col("root").alias("rv"))
+        cur = (
+            cur.join(ru, "u", "left")
+            .join(rv, "v", "left")
+            .select(
+                F.coalesce("ru", "u").alias("u"),
+                F.coalesce("rv", "v").alias("v"),
             )
-            labels = new
-            if changed == 0:
-                break
-        else:
-            labels = new
-    return labels
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_edges = cur.count()
+        if n_edges == 0 or (0 < driver_max_edges and n_edges <= driver_max_edges):
+            break
+    if n_edges:
+        comp = _driver_uf(cur)
+        fin = spark.createDataFrame(
+            list(comp.items()), f"cur {id_type}, fcomp {id_type}"
+        )
+        return labels.join(F.broadcast(fin), "cur", "left").select(
+            "id", F.coalesce("fcomp", "cur").alias("comp")
+        )
+    return labels.select("id", F.col("cur").alias("comp"))
 
 
 def dedup_clusters(

@@ -601,31 +601,30 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
                         names=["cell", "cnt", "sums"],
                     )
 
-            partials = svc.mapInArrow(
+            # Reduce the per-batch partials ON THE DRIVER: the kernel
+            # emits ≤ num_cells rows per Arrow batch, so the collect is
+            # bounded by batches·num_cells (hundreds of rows at any
+            # corpus size — same bounded-collect contract as the seed
+            # step) and skips the posexplode+groupBy shuffle JOB the
+            # relational reduce paid per iteration (~0.4 s of job floor
+            # per step at local scale). Integer sums in Python are exact
+            # and order-independent — centroids are bit-identical.
+            rows = svc.mapInArrow(
                 _partials, "cell long, cnt long, sums array<long>"
-            )
-            rows = (
-                partials.select(
-                    "cell", "cnt", F.posexplode("sums").alias("pos", "val")
-                )
-                .groupBy("cell", "pos")
-                .agg(F.sum("cnt").alias("cnt_d"), F.sum("val").alias("ssum"))
-                .collect()
-            )
-            acc: dict[int, tuple[int, list[int]]] = {}
+            ).collect()
+            cnts: dict[int, int] = {}
+            acc: dict[int, list[int]] = {}
             for r in rows:
                 cell = int(r["cell"])
+                cnts[cell] = cnts.get(cell, 0) + int(r["cnt"])
                 if cell not in acc:
-                    acc[cell] = (0, [0] * dim)
-                acc[cell][1][int(r["pos"])] = int(r["ssum"])
-            # cnt_d summed per (cell, pos) duplicates cnt across dims —
-            # every pos carries the same per-cell total, so take pos 0's
-            cnts = {
-                int(r["cell"]): int(r["cnt_d"]) for r in rows if r["pos"] == 0
-            }
+                    acc[cell] = [0] * dim
+                dst = acc[cell]
+                for i, v in enumerate(r["sums"]):
+                    dst[i] += int(v)
             cents = sorted(
                 (cell, [_round_half_away_int(s, cnts[cell]) for s in sums])
-                for cell, (_, sums) in acc.items()
+                for cell, sums in acc.items()
             )
     finally:
         svc.unpersist()
@@ -956,46 +955,10 @@ def semantic_dedup_gemm(
         for jj in range(mat.shape[1]):
             acc = acc + mat[:, jj] * mat[:, jj]
         return np.sqrt(acc)
-    vec_type = dict(corpus.dtypes)[vec_col]
-    cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
-    c_mat = np.array([v for _, v in cents], dtype=np.float64)  # cells × dim
-    c2 = np.einsum("ij,ij->i", c_mat, c_mat)
-    c_t = c_mat.T
-    dim = c_t.shape[0]
-    # keep the (chunk × num_cells) float64 distance block ~4 MB
-    chunk = max(256, int(4_000_000 / (8 * max(1, len(cents)))))
-
-    def _assign(batches):
-        for rb in batches:
-            n = rb.num_rows
-            if n == 0:
-                continue
-            ids = rb.column(0).to_numpy(zero_copy_only=False)
-            flat = np.asarray(rb.column(1).flatten(), dtype=np.float64)
-            if flat.size != n * dim:
-                raise ValueError(
-                    f"ragged embedding column: {flat.size} values for "
-                    f"{n} rows × dim {dim}"
-                )
-            mat = flat.reshape(n, dim)
-            nrm = _fold_sq_norm(mat)
-            live = np.flatnonzero(nrm > 0)  # zero-norm out of domain
-            for s0 in range(0, live.size, chunk):
-                sel = live[s0 : s0 + chunk]
-                v = mat[sel] / nrm[sel, None] * 1e6
-                s = np.sign(v) * np.floor(np.abs(v) + 0.5)  # _scaled_unit
-                s2 = np.einsum("ij,ij->i", s, s)
-                d2 = s2[:, None] - 2.0 * (s @ c_t) + c2[None, :]  # exact
-                cell = cell_ids[np.argmin(d2, axis=1)]  # first-min = min id
-                yield pa.record_batch(
-                    [pa.array(ids[sel]), pa.array(cell.astype(np.int32)),
-                     rb.column(1).take(pa.array(sel))],
-                    names=["id", "cell", "vec"],
-                )
-
-    assigned = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInArrow(_assign, f"id {id_type}, cell int, vec {vec_type}")
+    # assignment: the shared zero-shuffle kernel pass (extracted late r7
+    # as assign_cells_arrow so knn_graph_mutual_edges shares it; bit
+    # identity argument in its docstring)
+    assigned = assign_cells_arrow(corpus, cents, id_col=id_col, vec_col=vec_col)
 
     thr = float(threshold)
 
@@ -1262,11 +1225,11 @@ def knn_graph_mutual_edges(
 
     if kk < 1:
         raise ValueError(f"kk must be >= 1, got {kk}")
-    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
-    sb = base.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
-    cells = sb.withColumn(
-        "cell", _nearest_cells_int(F.col("s"), cents, 1)[0]
-    ).select("id", "cell", "vec")
+    # kernel assignment (bit-identical to the _nearest_cells_int
+    # expression; the expression folds an O(num_cells·dim) literal tree
+    # per row — 35.6 s per 200k rows at 128 cells, the dominant cost of
+    # the 1M probe before this change)
+    cells = assign_cells_arrow(corpus, cents, id_col=id_col, vec_col=vec_col)
     id_type = dict(corpus.dtypes)[id_col]
     thr = float(threshold)
 
@@ -1354,10 +1317,16 @@ def knn_graph_components(
     """
     from binance_futures_data_lake_spark.operators.graph import connected_components
 
+    # Barrier the mutual-edge list: it is the expensive stage (cell GEMM
+    # + mutual self-join) and the plan below references it FOUR times
+    # (CC's symmetric union twice, the degree union twice) — as a tree
+    # each reference re-runs the GEMM (the 1M probe measured 1253 s;
+    # ~5 evaluations of a ~4-min stage). One lazy checkpoint makes every
+    # consumer read the materialized ≤ kk·|corpus|-row list instead.
     edges = knn_graph_mutual_edges(
         corpus, cents, kk=kk, threshold=threshold,
         id_col=id_col, vec_col=vec_col,
-    )
+    ).localCheckpoint(eager=False)
     comp = connected_components(edges, src="u", dst="v")
     deg = (
         edges.select(F.col("u").alias("id"))
@@ -1388,6 +1357,79 @@ def _fold_sq_norms(mat):
     for jj in range(mat.shape[1]):
         acc = acc + mat[:, jj] * mat[:, jj]
     return np.sqrt(acc)
+
+
+def assign_cells_arrow(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell assignment as ONE zero-shuffle ``mapInArrow`` pass —
+    the kernel twin of the ``_nearest_cells_int`` SQL expression, and
+    BIT-IDENTICAL to it: grid values ≤ 1e6 keep every d² term exact in
+    float64 (< 2^53), norms use the sequential fold, and ``np.argmin``'s
+    first minimum is the min-cell-id tiebreak (``cents`` sorted here).
+
+    Exists because the expression form folds an O(num_cells · dim)
+    literal tree PER ROW — measured 35.6 s for 200k rows × 128 cells
+    (≈ 5.7 ms·core/row) vs ~1 s for this kernel; past ~tens of cells the
+    expression is not viable, and at the 512-cell probes it was the
+    dominant cost of every consumer. Zero-norm vectors are dropped
+    (out of cosine domain), matching ``normalized().filter(nrm > 0)``.
+
+    Output: ``id, cell (int), vec`` — the grouped-kernel input shape
+    shared by :func:`semantic_dedup_gemm` and
+    :func:`knn_graph_mutual_edges`. The d² chunking keeps the
+    (chunk × num_cells) block a few MB (monolithic blocks page-fault
+    ~100× slower — the semantic_dedup_gemm lesson).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if not cents:
+        raise ValueError("cents must be non-empty")
+    cents = sorted(cents)
+    id_type = dict(corpus.dtypes)[id_col]
+    vec_type = dict(corpus.dtypes)[vec_col]
+    cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    c_mat = np.array([v for _, v in cents], dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", c_mat, c_mat)
+    c_t = c_mat.T
+    dim = c_t.shape[0]
+    chunk = max(256, int(4_000_000 / (8 * max(1, len(cents)))))
+
+    def _assign(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat = np.asarray(rb.column(1).flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"ragged embedding column: {flat.size} values for "
+                    f"{n} rows × dim {dim}"
+                )
+            mat = flat.reshape(n, dim)
+            nrm = _fold_sq_norms(mat)
+            live = np.flatnonzero(nrm > 0)
+            for s0 in range(0, live.size, chunk):
+                sel = live[s0 : s0 + chunk]
+                v = mat[sel] / nrm[sel, None] * 1e6
+                s = np.sign(v) * np.floor(np.abs(v) + 0.5)  # _scaled_unit
+                s2 = np.einsum("ij,ij->i", s, s)
+                d2 = s2[:, None] - 2.0 * (s @ c_t) + c2[None, :]  # exact
+                cell = cell_ids[np.argmin(d2, axis=1)]  # first-min = min id
+                yield pa.record_batch(
+                    [pa.array(ids[sel]), pa.array(cell.astype(np.int32)),
+                     rb.column(1).take(pa.array(sel))],
+                    names=["id", "cell", "vec"],
+                )
+
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInArrow(_assign, f"id {id_type}, cell int, vec {vec_type}")
 
 
 def pq_codebooks(
@@ -1435,6 +1477,117 @@ def pq_codebooks(
         ]
         for m in range(n_sub):
             books[m].append(s[m * sub : (m + 1) * sub])
+    return books
+
+
+def pq_codebooks_lloyd(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    ks: int = 256,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """PRODUCTION-QUALITY PQ codebooks: per-subspace Lloyd (k-means)
+    refinement of the seeded draw, all ``n_sub`` subspaces trained in
+    ONE ``mapInArrow`` corpus pass per iteration.
+
+    Why it exists: seed-sampled codebooks (:func:`pq_codebooks`) slice
+    whole corpus vectors, so on CLUSTERED data every codeword inherits
+    the cluster structure and sub-codes collapse onto cluster identity —
+    the 1M-vector probe measured recall ≈ 0 because within-cluster
+    neighbors tie on identical codes and the id-tiebreak wins. Lloyd
+    iterations move codewords into the residual/noise structure of each
+    subspace independently, which is exactly what gives PQ its
+    discrimination (Jégou et al. 2011 train per-subspace k-means; at
+    ks=256 a code stays one byte).
+
+    Same fixed-point determinism contract as :func:`ivf_lloyd_centroids`:
+    sub-vectors live on the 1e-6 unit grid, per-batch partial sums are
+    exact integers in float64 (< 2^53), the driver reduce is bounded
+    (≤ batches·n_sub·ks rows) and integer-exact, new codewords round
+    half-away-from-zero, ``np.argmin`` first-min = smallest-code-id
+    tiebreak, and empty codewords keep their previous value — codebooks
+    are a pure function of (corpus, n_sub, ks, iters), bit-identical
+    across runs and partitionings. Returns the :func:`pq_codebooks`
+    shape, directly consumable by :func:`pq_adc_topk` /
+    :func:`pq_rerank_topk`.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    books = pq_codebooks(corpus, n_sub=n_sub, ks=ks, id_col=id_col,
+                         vec_col=vec_col)
+    sub = len(books[0][0])
+    dim = n_sub * sub
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    sv = base.select(_scaled_unit(F.col("vec"), F.col("nrm")).alias("s")).cache()
+    try:
+        for _ in range(iters):
+            C = [np.array(b, dtype=np.float64) for b in books]
+            kcur = [c.shape[0] for c in C]
+
+            def _partials(batches, _C=C, _k=kcur):
+                for rb in batches:
+                    n = rb.num_rows
+                    if n == 0:
+                        continue
+                    flat = np.asarray(rb.column(0).flatten(), dtype=np.float64)
+                    mat = flat.reshape(n, dim)
+                    for m in range(n_sub):
+                        sm = mat[:, m * sub : (m + 1) * sub]
+                        d2 = (
+                            np.einsum("ij,ij->i", sm, sm)[:, None]
+                            - 2.0 * (sm @ _C[m].T)
+                            + np.einsum("ij,ij->i", _C[m], _C[m])[None, :]
+                        )
+                        code = np.argmin(d2, axis=1)
+                        cnt = np.bincount(code, minlength=_k[m])
+                        sums = np.zeros((_k[m], sub))
+                        np.add.at(sums, code, sm)
+                        live = np.flatnonzero(cnt)
+                        yield pa.record_batch(
+                            [
+                                pa.array(np.full(live.size, m, dtype=np.int64)),
+                                pa.array(live.astype(np.int64)),
+                                pa.array(cnt[live].astype(np.int64)),
+                                pa.array(
+                                    [r.astype(np.int64) for r in sums[live]],
+                                    type=pa.list_(pa.int64()),
+                                ),
+                            ],
+                            names=["m", "j", "cnt", "sums"],
+                        )
+
+            rows = sv.mapInArrow(
+                _partials, "m long, j long, cnt long, sums array<long>"
+            ).collect()
+            cnts: dict = {}
+            acc: dict = {}
+            for r in rows:
+                key = (int(r["m"]), int(r["j"]))
+                cnts[key] = cnts.get(key, 0) + int(r["cnt"])
+                if key not in acc:
+                    acc[key] = [0] * sub
+                dst = acc[key]
+                for i, v in enumerate(r["sums"]):
+                    dst[i] += int(v)
+            books = [
+                [
+                    (
+                        [
+                            _round_half_away_int(s, cnts[(m, j)])
+                            for s in acc[(m, j)]
+                        ]
+                        if (m, j) in acc
+                        else books[m][j]  # empty codeword: keep previous
+                    )
+                    for j in range(len(books[m]))
+                ]
+                for m in range(n_sub)
+            ]
+    finally:
+        sv.unpersist()
     return books
 
 

@@ -598,20 +598,22 @@ def main() -> None:
         shuffle_exchanges=exchange_count(sd),
     )
 
-    # PQ-ADC probe (r7): the compressed-ANN tier at 1M vectors. 8
-    # subspaces × 64 seeded codewords → 8 one-byte codes/vector (64×
-    # compression vs float64); the ADC scan is one zero-shuffle kernel
-    # pass. On the CLUSTERED corpus (the realistic case — the sf-scale
-    # registry query measures the structureless worst case) the shortlist
-    # + exact re-rank tier should recover high recall.
+    # PQ-ADC probe (r7): the compressed-ANN tier at 1M vectors, the
+    # PRODUCTION configuration — per-subspace Lloyd-trained codebooks
+    # (pq_codebooks_lloyd; seeded books collapse onto cluster identity
+    # on clustered data and measured recall ≈ 0 here), 16 subspaces ×
+    # 256 codewords → 16 one-byte codes/vector (32× compression vs
+    # float64), ADC scan in one zero-shuffle kernel pass, shortlist-1000
+    # exact re-rank on top (measured 0.23 ADC / 0.99 reranked recall at
+    # the 100k dry run).
     from binance_futures_data_lake_spark.operators.similarity import (
         pq_adc_topk,
-        pq_codebooks,
+        pq_codebooks_lloyd,
         pq_rerank_topk,
     )
 
     t0 = time.perf_counter()
-    books = pq_codebooks(ann, n_sub=8, ks=64)
+    books = pq_codebooks_lloyd(ann, n_sub=16, ks=256, iters=2)
     pq_train_sec = round(time.perf_counter() - t0, 2)
     pq = pq_adc_topk(ann, annq, books, k=ann_k)
     stage("pq_adc_topk_100q", lambda: force(pq))
@@ -620,7 +622,7 @@ def main() -> None:
         recall_at_10=_recall(pq),
         shuffle_exchanges=exchange_count(pq),
     )
-    pqr = pq_rerank_topk(ann, annq, books, k=ann_k, shortlist=100)
+    pqr = pq_rerank_topk(ann, annq, books, k=ann_k, shortlist=1000)
     stage("pq_rerank_topk_100q", lambda: force(pqr))
     stages["pq_rerank_topk_100q"]["recall_at_10"] = _recall(pqr)
     stages["pq_rerank_topk_100q"]["shuffle_exchanges"] = exchange_count(pqr)
@@ -629,7 +631,14 @@ def main() -> None:
     # top-kk lists over the 512-cell index, mutual filter, then
     # connected components — the edge list at this scale exceeds the
     # driver short-circuit, so this exercises the DISTRIBUTED
-    # path-halving loop end to end.
+    # contraction loop (per-partition union-find -> relabel -> shrink)
+    # end to end. Three late-r7 fixes took this stage 1253 s -> ~91 s:
+    # contraction CC (propagation+path-halving cost 1013 s at 1M nodes;
+    # contraction measured 18.5 s forced-distributed on 800k edges with
+    # 10k-long chains), the shared assign_cells_arrow kernel (the
+    # _nearest_cells_int expression folded a 512-cell literal tree per
+    # row - 35.6 s per 200k rows), and a lazy checkpoint on the mutual
+    # edge list (the plan tree referenced the GEMM stage ~5 times).
     from binance_futures_data_lake_spark.operators.similarity import (
         knn_graph_components,
     )

@@ -270,3 +270,56 @@ def test_snapshot_diff_statuses(spark):
                   4: "unchanged", 5: "added"}
     with pytest.raises(ValueError):
         snapshot_diff(old, new, "id", [])
+
+
+def test_pq_codebooks_lloyd_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codebooks_lloyd,
+    )
+
+    # clustered corpus: 8 latent centers + noise — the shape where seeded
+    # (whole-vector-slice) codebooks collapse onto cluster identity
+    def h01(*cols):
+        return (
+            (F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003
+        ) / 1_000_003.0
+
+    clus = (F.col("vec_id") % 8).cast("int")
+    comps = [
+        (
+            (2.0 * h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.4 * (2.0 * h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(16)
+    ]
+    ann = (
+        spark.range(4000)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+        .cache()
+    )
+    q = ann.filter(F.col("vec_id") < 20)
+    truth = {(r.q_id, r.neighbor_id) for r in brute_force_topk(ann, q, k=5).collect()}
+
+    def recall(books):
+        got = {
+            (r.q_id, r.neighbor_id)
+            for r in pq_adc_topk(ann, q, books, k=5).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    seeded = pq_codebooks(ann, n_sub=4, ks=16)
+    trained = pq_codebooks_lloyd(ann, n_sub=4, ks=16, iters=2)
+    # shape contract: same as pq_codebooks, consumable by the same tiers
+    assert len(trained) == 4 and len(trained[0]) == 16
+    assert all(len(cw) == 4 for b in trained for cw in b)
+    # Lloyd training must beat the seeded draw on clustered data
+    assert recall(trained) > recall(seeded)
+    # pure function of (corpus, params): bit-identical on re-run
+    assert trained == pq_codebooks_lloyd(ann, n_sub=4, ks=16, iters=2)
+    ann.unpersist()
