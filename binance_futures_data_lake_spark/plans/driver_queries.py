@@ -8467,6 +8467,20 @@ _FRONT = [
     # that does not fit is listed at the HEAD of _ORACLE_TAIL so r8's
     # sweep (those + the then-aged r6 block, ~50 in total) is already
     # written down.
+    #
+    # r8 NOTE (execute next round): entering r8, the 30 r5-aged entries
+    # at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r05 row that is 3
+    # rounds old — they are the MANDATORY core of the r8 prefix. Add
+    # the behavior-touched-late-r7 set whose engine paths were
+    # rewritten after the r7 driver gate ran (contraction CC + shared
+    # assignment kernel + edge-list barrier): dedup_clusters,
+    # cluster_split, knn_graph_components, semantic_dedup,
+    # incremental_semantic_dedup — all check_query/SELFCHECK-green on
+    # the new paths, but per the r6 ADVICE #2 policy behavior-touched
+    # queries belong in the NEXT driver prefix regardless. That is 35;
+    # fill the remaining ~15 slots from the r6-checked block (aged 2 by
+    # then), oldest capabilities first. Any r8-NEW queries go ahead of
+    # everything as always.
     # --- r7-NEW ---
     "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
     "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",

