@@ -309,6 +309,14 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # one bounded driver scalar (|nodes| is the contract)
+    if n == 0:
+        # Empty edge list => empty graph. Return an empty frame with the
+        # contract schema instead of dividing micro by zero below.
+        return nodes.select(
+            "id",
+            F.lit(None).cast("long").alias("rank_micro"),
+            F.lit(None).cast("double").alias("rank"),
+        )
     # Barrier the loop inputs and each iteration's rank table: a Spark
     # plan is a TREE, so the three references to r per iteration (edge
     # join, dangling anti-join, next-rank assembly) would re-evaluate
@@ -325,7 +333,16 @@ def pagerank(
             ew.join(r.withColumnRenamed("id", "u"), "u")
             .select(
                 F.col("v").alias("id"),
-                F.expr(f"CAST((r * {damping_pct} * w) div (100 * w_out) AS LONG)").alias("c"),
+                # DECIMAL(38,0) intermediate: r <= micro (1e6) and
+                # damping_pct < 100, so the product fits 38 digits for ANY
+                # LONG edge weight — LONG arithmetic would silently wrap
+                # (non-ANSI) once aggregate w exceeded ~1.1e11 at r≈1e6.
+                # Same floored-div semantics, so ranks are bit-identical
+                # wherever LONG did not overflow.
+                F.expr(
+                    f"CAST((CAST(r AS DECIMAL(38,0)) * {damping_pct} * w)"
+                    f" div (100 * w_out) AS LONG)"
+                ).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").cast("long").alias("cs"))

@@ -217,10 +217,18 @@ def snapshot_diff(
         raise ValueError("content_cols must be non-empty")
 
     def fingerprint(df: DataFrame, out: str) -> DataFrame:
+        # Type tag OUTSIDE the value alphabet: NULL encodes as "N:" and a
+        # value as "V<len>:<s>", so NULL can never collide with any string
+        # (a bare "<NULL>" sentinel would hash a literal '<NULL>' value
+        # and a true NULL identically).
         parts = []
         for c in content_cols:
-            s = F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-            parts.append(F.concat(F.length(s).cast("string"), F.lit(":"), s))
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("N:")).otherwise(
+                    F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
         return df.select(F.col(key_col), F.md5(F.concat(*parts)).alias(out))
 
     o = fingerprint(old, "__h_old")

@@ -7731,7 +7731,9 @@ def q_knn_graph_components(spark, sf_dir):
       FROM e
     ), sessions AS (
       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-             count(*) AS n_events, round(sum(value), 6) AS sum_value
+             count(*) AS n_events,
+             round(sum(CAST(round(value * 1000000.0, 0) AS BIGINT))
+                   / 1000000.0, 6) AS sum_value
       FROM s GROUP BY user_id, sess
     ), wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
     SELECT user_id, session_start, session_end, n_events, sum_value

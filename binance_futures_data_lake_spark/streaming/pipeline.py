@@ -250,8 +250,14 @@ def session_stream(
     key is one open session; the watermark bounds how long it can stay
     open after the last event, so state size is (active keys), not
     history. Emitted bounds are min/max EVENT time (not the padded
-    window end), matching the batch twin bit-for-bit."""
-    v = F.col(value_col)
+    window end), matching the batch twin bit-for-bit.
+
+    ``sum_value`` accumulates on the 1e-6 integer grid (scale each value
+    to LONG micro-units, sum longs, divide once): a float sum is
+    partition-order- and engine-dependent, so multi-event sessions could
+    flicker against the batch oracle — the same fixed-point discipline as
+    ``rrf_fuse`` / ``doremi_domain_weights``."""
+    v = F.round(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col, F.session_window(ts_col, gap).alias("win"))
@@ -259,9 +265,15 @@ def session_stream(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(v).alias("sum_value"),
+            F.sum(v).alias("_sum_micro"),
         )
-        .select(key_col, "session_start", "session_end", "n_events", "sum_value")
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round(F.col("_sum_micro") / F.lit(1_000_000.0), 6).alias("sum_value"),
+        )
     )
 
 

@@ -252,6 +252,23 @@ def test_pagerank_symmetry_and_sink(spark):
         pagerank(ring, iters=0)
     with pytest.raises(ValueError):
         pagerank(ring, damping_pct=100)
+    # empty edge list: empty result frame with the contract schema, not
+    # a ZeroDivisionError from micro div 0 (ADVICE r7)
+    empty = pagerank(ring.filter(F.lit(False)))
+    assert empty.columns == ["id", "rank_micro", "rank"]
+    assert empty.count() == 0
+    # LONG-overflow headroom (ADVICE r7): aggregate edge weight ~1e12 at
+    # rank ~1e6 micro would wrap in LONG arithmetic; the DECIMAL(38,0)
+    # intermediate must keep ranks exact. Two nodes, huge symmetric
+    # weights -> identical ranks, mass conserved.
+    heavy = spark.createDataFrame(
+        [(1, 2, 2_000_000_000_000), (2, 1, 2_000_000_000_000)],
+        "src long, dst long, w long",
+    )
+    hr = {r.id: r.rank_micro for r in
+          pagerank(heavy, weight_col="w", iters=3).collect()}
+    assert hr[1] == hr[2] and hr[1] > 0
+    assert abs(sum(hr.values()) - 1_000_000) < 100
 
 
 def test_snapshot_diff_statuses(spark):
@@ -270,6 +287,12 @@ def test_snapshot_diff_statuses(spark):
                   4: "unchanged", 5: "added"}
     with pytest.raises(ValueError):
         snapshot_diff(old, new, "id", [])
+    # NULL vs any literal string must differ — including the old "<NULL>"
+    # sentinel text itself (ADVICE r7: type tag outside the value alphabet)
+    o2 = spark.createDataFrame([(1, None), (2, "<NULL>")], "id long, txt string")
+    n2 = spark.createDataFrame([(1, "<NULL>"), (2, None)], "id long, txt string")
+    st2 = {r.id: r.status for r in snapshot_diff(o2, n2, "id", ["txt"]).collect()}
+    assert st2 == {1: "changed", 2: "changed"}
 
 
 def test_pq_codebooks_lloyd_recall_and_determinism(spark):
