@@ -29,6 +29,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from binance_futures_data_lake_spark.functions.scalars import round6
 from binance_futures_data_lake_spark.schemas import EVENTS_SCHEMA
 
 
@@ -272,7 +273,7 @@ def session_stream(
             "session_start",
             "session_end",
             "n_events",
-            F.round(F.col("_sum_micro") / F.lit(1_000_000.0), 6).alias("sum_value"),
+            round6(F.col("_sum_micro") / F.lit(1_000_000.0)).alias("sum_value"),
         )
     )
 
