@@ -264,6 +264,7 @@ def hll_distinct(
     value_col: str,
     by: Sequence[str] = (),
     m: int = 64,
+    include_exact: bool = True,
 ) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate whose every register
     is a PURE FUNCTION of the data — the same design bargain as
@@ -291,14 +292,20 @@ def hll_distinct(
       emitted as literals to BOTH engines — no runtime transcendental,
       no libm cross-engine exposure anywhere in the operator.
 
-    Output: by-cols + ``n_exact`` (true distinct, for error inspection)
-    + ``hll_estimate`` (6-dp). Standard error ≈ 1.04/√m (13% at m=64).
+    Output: by-cols + ``n_exact`` (true distinct, for error inspection —
+    ``include_exact=False`` drops the column AND its exact
+    ``count_distinct`` pass, which would defeat the sketch at deploy
+    scale) + ``hll_estimate`` (6-dp). Standard error ≈ 1.04/√m (13% at
+    m=64).
 
-    Scale shape: the distinct + per-bucket max map-side-combines to
+    Scale shape: registers are duplicate-INSENSITIVE (``max rho``), so
+    hashing feeds the per-bucket max directly — no pre-aggregation
+    ``distinct`` exchange (r8; the r7 form paid one full-width shuffle
+    for nothing). The per-bucket max map-side-combines to
     ≤ ``|groups|·m`` rows per partition — like CMS, the sketch's
     constant-memory property IS the shuffle property. (The deploy-path
     note from the module docstring applies: a TypedImperativeAggregate
-    carrying the m-byte register vector would skip the distinct shuffle;
+    carrying the m-byte register vector would skip even that shuffle;
     this formulation keeps the driver-checkable relational form.)
     """
     if m not in HLL_ALPHA:
@@ -313,7 +320,6 @@ def hll_distinct(
     ).cast("long")
     hashed = (
         df.select(*by, F.col(value_col).alias("__v"))
-        .distinct()
         .withColumn("__h", h60)
         .withColumn("__bucket", F.pmod(F.col("__h"), F.lit(m)))
         .withColumn("__w", F.expr(f"__h div {m}"))
@@ -362,6 +368,8 @@ def hll_distinct(
     est = F.when((raw <= F.lit(2.5 * m)) & (F.col("__v") > 0), lc).otherwise(
         round6(raw)
     )
+    if not include_exact:
+        return agg.select(*by, est.alias("hll_estimate"))
     exact = (
         df.select(*by, F.col(value_col).alias("__v"))
         .groupBy(*by)

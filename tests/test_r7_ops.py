@@ -205,6 +205,14 @@ def test_hll_distinct_estimate_and_validation(spark):
     dup = df.union(df)
     out2 = {r.grp: r for r in hll_distinct(dup, "v", by=["grp"], m=64).collect()}
     assert out2["a"].hll_estimate == out["a"].hll_estimate
+    # deploy form (r8): no n_exact column, no exact count_distinct pass,
+    # same estimate
+    lean = hll_distinct(df, "v", by=["grp"], m=64, include_exact=False)
+    assert lean.columns == ["grp", "hll_estimate"]
+    assert "count(distinct" not in lean._jdf.queryExecution().executedPlan().toString().lower()
+    assert {r.grp: r.hll_estimate for r in lean.collect()} == {
+        g: out[g].hll_estimate for g in ("a", "b")
+    }
     with pytest.raises(ValueError):
         hll_distinct(df, "v", m=63)
 
@@ -343,6 +351,16 @@ def test_pq_codebooks_lloyd_recall_and_determinism(spark):
     assert all(len(cw) == 4 for b in trained for cw in b)
     # Lloyd training must beat the seeded draw on clustered data
     assert recall(trained) > recall(seeded)
+    # deploy-config floor (VERDICT r7 #4): trained books + shortlist-1000
+    # exact re-rank must recover >= 0.95 of brute-force truth on the
+    # clustered corpus — the production recommendation's contract
+    from binance_futures_data_lake_spark.operators.similarity import pq_rerank_topk
+
+    rr = {
+        (r.q_id, r.neighbor_id)
+        for r in pq_rerank_topk(ann, q, trained, k=5, shortlist=1000).collect()
+    }
+    assert len(rr & truth) / len(truth) >= 0.95
     # pure function of (corpus, params): bit-identical on re-run
     assert trained == pq_codebooks_lloyd(ann, n_sub=4, ks=16, iters=2)
     ann.unpersist()
