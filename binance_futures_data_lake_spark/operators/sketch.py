@@ -308,13 +308,38 @@ def hll_distinct(
     carrying the m-byte register vector would skip even that shuffle;
     this formulation keeps the driver-checkable relational form.)
     """
+    by = list(by)
+    reg = hll_registers(df, value_col, by, m)
+    agg_est = hll_estimate_from_registers(reg, by, m)
+    if not include_exact:
+        return agg_est
+    exact = (
+        df.select(*by, F.col(value_col).alias("__v"))
+        .groupBy(*by)
+        .agg(F.count_distinct(F.col("__v")).alias("n_exact"))
+    )
+    out = agg_est.join(exact, by) if by else agg_est.crossJoin(exact)
+    return out.select(*by, "n_exact", "hll_estimate")
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    m: int = 64,
+) -> DataFrame:
+    """Sparse HLL registers — the MERGEABLE state of :func:`hll_distinct`
+    (by-cols + ``bucket, mx``; absent buckets mean M = 0). Registers form
+    a MAX MONOID: ``registers(A ∪ B) = max-merge(registers(A),
+    registers(B))`` per (group, bucket), which is what makes the
+    streaming twin's batch-addressed delta state exact
+    (streaming/pipeline.py hll_delta_sink / read_hll_state — the CMS
+    sum-monoid argument with max for sum). ≤ ``|groups|·m`` rows."""
     if m not in HLL_ALPHA:
         raise ValueError(f"m must be one of {sorted(HLL_ALPHA)}, got {m}")
     maxbits = 60 - m.bit_length() + 1  # 60 - log2(m)
     maxrho = maxbits + 1
-    num = HLL_ALPHA[m] * (m * m) * float(1 << maxrho)  # exact float literal
     by = list(by)
-
     h60 = F.conv(
         F.substring(F.md5(F.col("__v").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -330,18 +355,37 @@ def hll_distinct(
             ),
         )
     )
-    reg = hashed.groupBy(*by, "__bucket").agg(F.max("__rho").alias("__mx"))
+    return (
+        hashed.groupBy(*by, "__bucket")
+        .agg(F.max("__rho").alias("mx"))
+        .select(*by, F.col("__bucket").alias("bucket"), "mx")
+    )
+
+
+def hll_estimate_from_registers(
+    reg: DataFrame,
+    by: Sequence[str] = (),
+    m: int = 64,
+) -> DataFrame:
+    """Estimate from sparse registers (:func:`hll_registers` output or a
+    max-merge over deltas): grid-materialize empty buckets, exact-integer
+    harmonic sum, literal ln lookup — see :func:`hll_distinct` for the
+    numeric contract. Output: by-cols + ``hll_estimate``."""
+    if m not in HLL_ALPHA:
+        raise ValueError(f"m must be one of {sorted(HLL_ALPHA)}, got {m}")
+    maxbits = 60 - m.bit_length() + 1
+    maxrho = maxbits + 1
+    num = HLL_ALPHA[m] * (m * m) * float(1 << maxrho)  # exact float literal
+    by = list(by)
+    spark = reg.sparkSession
     groups = (
-        df.select(*by).distinct()
+        reg.select(*by).distinct()
         if by
-        else df.sparkSession.range(1).select(F.lit(1).alias("__one"))
+        else spark.range(1).select(F.lit(1).alias("__one"))
     )
-    spark = df.sparkSession
-    grid = groups.crossJoin(
-        spark.range(m).select(F.col("id").alias("__bucket"))
-    )
-    full = grid.join(reg, [*by, "__bucket"] if by else ["__bucket"], "left").select(
-        *by, F.coalesce(F.col("__mx"), F.lit(0)).alias("__m")
+    grid = groups.crossJoin(spark.range(m).select(F.col("id").alias("bucket")))
+    full = grid.join(reg, [*by, "bucket"] if by else ["bucket"], "left").select(
+        *by, F.coalesce(F.col("mx"), F.lit(0)).alias("__m")
     )
     agg = full.groupBy(*by).agg(
         F.sum(
@@ -368,12 +412,4 @@ def hll_distinct(
     est = F.when((raw <= F.lit(2.5 * m)) & (F.col("__v") > 0), lc).otherwise(
         round6(raw)
     )
-    if not include_exact:
-        return agg.select(*by, est.alias("hll_estimate"))
-    exact = (
-        df.select(*by, F.col(value_col).alias("__v"))
-        .groupBy(*by)
-        .agg(F.count_distinct(F.col("__v")).alias("n_exact"))
-    )
-    out = agg.join(exact, by) if by else agg.crossJoin(exact)
-    return out.select(*by, "n_exact", est.alias("hll_estimate"))
+    return agg.select(*by, est.alias("hll_estimate"))

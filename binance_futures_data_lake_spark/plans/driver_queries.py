@@ -8441,6 +8441,87 @@ def q_streaming_cms_heavy_hitters(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "streaming_hll_distinct",
+    cache_plan=False,  # runs a stream + temp state dirs per call
+    # Batch replay IS the oracle: HLL registers are a MAX monoid, so the
+    # max-merge of base + 3 delta register sets equals ONE build over all
+    # events — the CMS mergeability argument with max for sum (and
+    # duplicate-insensitive as a bonus). The oracle is the batch HLL SQL
+    # over the full events table.
+    sql=_hll_sql(),
+)
+def q_streaming_hll_distinct(spark, sf_dir):
+    """Streaming distinct-count — §2.10 composed with the HLL sketch
+    (the streaming_cms_heavy_hitters move for the distinct family): the
+    event history (event_id % 4 == 0) seeds persisted sparse registers;
+    the remaining three quarters stream through maxFilesPerTrigger=1
+    micro-batches, each writing its OWN batch-addressed delta register
+    set (no state read at ingest, no dropDuplicates — max is order- and
+    duplicate-insensitive); the answer is merge-on-read (max per
+    (event_type, bucket)) fed to the estimate, next to the exact count
+    (streaming/pipeline.py init_hll_state / hll_delta_sink /
+    read_hll_state + operators/sketch.py hll_estimate_from_registers)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.operators.sketch import (
+        hll_estimate_from_registers,
+    )
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        init_hll_state,
+        read_hll_state,
+        run_hll_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bfdl_hll_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        ev = load_events(spark, sf_dir)
+        # EVENTS_SCHEMA declares ts as long nanos; emit chunks in that
+        # shape with an integer div (the _staged_event_chunks rule)
+        raw = ev.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+        )
+        for i in range(3):
+            chunk = raw.filter(F.col("event_id") % 4 == i + 1)
+            stage = os.path.join(work, f"stage-{i}")
+            chunk.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"chunk-{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        state = os.path.join(work, "state")
+        init_hll_state(
+            ev.filter(F.col("event_id") % 4 == 0), state,
+            value_col="user_id", by=["event_type"], m=64,
+        )
+        q = run_hll_stream(
+            spark, src, state, os.path.join(work, "ckpt"),
+            value_col="user_id", by=["event_type"], m=64,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("HLL stream did not finish within 600 s")
+        merged = read_hll_state(spark, state, by=["event_type"])
+        est = hll_estimate_from_registers(merged, by=["event_type"], m=64)
+        exact = ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("n_exact")
+        )
+        out = est.join(exact, "event_type").select(
+            "event_type", "n_exact", "hll_estimate"
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dirs are reclaimed
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at

@@ -947,3 +947,98 @@ def run_cms_stream(
         .foreachBatch(cms_delta_sink(state_root, value_col, depth, width))
         .start()
     )
+
+
+def init_hll_state(
+    corpus: DataFrame,
+    state_root: str,
+    value_col: str = "user_id",
+    by: Sequence[str] = ("event_type",),
+    m: int = 64,
+) -> None:
+    """Seed the persistent HyperLogLog state from the existing stream
+    history: sparse registers (by-cols + bucket + max-rho) under
+    ``state_root/hll/b-base`` — the CMS dir discipline
+    (:func:`init_cms_state`) applied to the distinct sketch. Registers
+    are a MAX monoid (operators/sketch.py hll_registers), so the live
+    sketch is a merge-on-read max and ingest never reads state."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import hll_registers
+
+    hll_registers(corpus, value_col, by, m).write.mode("overwrite").parquet(
+        os.path.join(state_root, "hll", "b-base")
+    )
+
+
+def hll_delta_sink(
+    state_root: str,
+    value_col: str = "user_id",
+    by: Sequence[str] = ("event_type",),
+    m: int = 64,
+):
+    """foreachBatch sink for :func:`run_hll_stream` — the streaming twin
+    of the batch HLL build, exactly the :func:`cms_delta_sink` shape with
+    the max monoid for the sum monoid: each micro-batch writes its OWN
+    ≤ |groups|·m-row delta register set to a batch-addressed path
+    (``hll/b-%05d``); a crash-replayed batch recomputes the identical
+    delta and overwrites the same path — idempotent by construction.
+    In-batch at-least-once redelivery needs NO dropDuplicates at all:
+    registers are duplicate-insensitive (max of a max), one step simpler
+    than CMS counters."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import hll_registers
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bid = int(batch_id)
+        hll_registers(batch_df, value_col, by, m).write.mode("overwrite").parquet(
+            os.path.join(state_root, "hll", f"b-{bid:05d}")
+        )
+
+    return _sink
+
+
+def read_hll_state(
+    spark: SparkSession,
+    state_root: str,
+    by: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Merge-on-read of the persisted HLL: max register per
+    (by-cols, bucket) across ``b-base`` and every batch delta. Because
+    registers are a max monoid, merged registers == the registers of ONE
+    batch build over base ∪ all delivered rows — the mergeability
+    theorem IS the stream/batch parity contract (the
+    :func:`read_cms_state` argument, duplicate-insensitive as a bonus:
+    even redelivered rows cannot move a max)."""
+    import os
+
+    reg = _read_state(spark, os.path.join(state_root, "hll"))
+    return reg.groupBy(*by, "bucket").agg(F.max("mx").alias("mx"))
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    source_path: str,
+    state_root: str,
+    checkpoint_dir: str,
+    value_col: str = "user_id",
+    by: Sequence[str] = ("event_type",),
+    m: int = 64,
+    max_files_per_trigger: int | None = 1,
+):
+    """Event file stream → per-batch HLL delta registers under
+    ``state_root/hll`` (see :func:`hll_delta_sink`), availableNow
+    trigger — the streaming distinct-count ingest: constant state per
+    batch (≤ |groups|·m rows), merge-on-read, no stateful operator and
+    no watermark because max is order- AND duplicate-insensitive."""
+    ev = stream_events(spark, source_path, max_files_per_trigger)
+    return (
+        ev.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(hll_delta_sink(state_root, value_col, by, m))
+        .start()
+    )

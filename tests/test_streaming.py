@@ -573,3 +573,66 @@ def test_cms_stream_merge_equals_batch_and_replay_idempotent(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(state, "cms"))) == [
         "b-00000", "b-00001", "b-base",
     ]
+
+
+def test_hll_stream_merge_equals_batch_and_duplicate_insensitive(spark, tmp_path):
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        hll_delta_sink,
+        init_hll_state,
+        read_hll_state,
+    )
+
+    rows = [(i, i % 97, "a" if i % 2 == 0 else "b") for i in range(600)]
+    all_df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    state = str(tmp_path / "state")
+    init_hll_state(
+        all_df.filter("event_id % 3 = 0"), state,
+        value_col="user_id", by=["event_type"], m=64,
+    )
+    sink = hll_delta_sink(state, "user_id", by=["event_type"], m=64)
+    b1 = all_df.filter("event_id % 3 = 1")
+    b2 = all_df.filter("event_id % 3 = 2")
+    sink(b1, 0)
+    sink(b2, 1)
+    merged_df = read_hll_state(spark, state, by=["event_type"])
+    merged = {
+        (r.event_type, r.bucket): r.mx for r in merged_df.collect()
+    }
+    direct = {
+        (r.event_type, r.bucket): r.mx
+        for r in hll_registers(all_df, "user_id", ["event_type"], 64).collect()
+    }
+    # mergeability theorem: max-merged deltas == one build over the union
+    assert merged == direct
+    # ... and so the estimate equals the batch operator's estimate
+    est_stream = {
+        r.event_type: r.hll_estimate
+        for r in hll_estimate_from_registers(
+            merged_df, by=["event_type"], m=64
+        ).collect()
+    }
+    est_batch = {
+        r.event_type: r.hll_estimate
+        for r in hll_distinct(
+            all_df, "user_id", by=["event_type"], m=64, include_exact=False
+        ).collect()
+    }
+    assert est_stream == est_batch
+    # crash-replay overwrites the same path with the same delta
+    sink(b2, 1)
+    # at-least-once redelivery needs NO dedup: max of a max is a no-op
+    sink(b2.union(b2.limit(50)), 1)
+    assert {
+        (r.event_type, r.bucket): r.mx
+        for r in read_hll_state(spark, state, by=["event_type"]).collect()
+    } == direct
+    assert sorted(os.listdir(os.path.join(state, "hll"))) == [
+        "b-00000", "b-00001", "b-base",
+    ]
