@@ -8536,69 +8536,49 @@ def q_streaming_hll_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-7 rotation (executing the r6 NOTE). Invariant: every oracle
-    # query driver-green within the last THREE rounds, SELFCHECK-green
-    # every round. Ages entering r7 (from CORRECTNESS_r04/05/06):
-    # 16 r4-aged (r04 row, now 3 rounds old — MUST be in this prefix),
-    # 50 r5-aged, 50 r6-checked, 1 rows-only-by-design
-    # (ml_lr_embeddings). Prefix = r7-NEW queries first, then the 16
-    # r4-aged, then ann_lsh_topk + media_* (behavior-touched in r6 —
-    # engine rewrite / decode-kernel change — but absent from the r6
-    # prefix; ADVICE r6 #2: behavior-touched queries belong in the next
-    # prefix even if previously green), then the most
-    # capability-unique r5-aged entries up to 50. Every r5-aged entry
-    # that does not fit is listed at the HEAD of _ORACLE_TAIL so r8's
-    # sweep (those + the then-aged r6 block, ~50 in total) is already
-    # written down.
+    # Round-8 rotation (executing the r7 NOTE + VERDICT r7 #1).
+    # Invariant: every oracle query driver-green within the last THREE
+    # rounds, SELFCHECK-green every round. Ages entering r8: 30 r5-aged
+    # (r05 row, 3 rounds old — MANDATORY), 50 r6-checked, 50 r7-checked,
+    # 1 rows-only-by-design (ml_lr_embeddings); registry grew to 132
+    # with r8-NEW streaming_hll_distinct.
+    # Prefix composition (exactly 50):
+    #   1 r8-NEW (streaming_hll_distinct)
+    # + 9 behavior-touched in r8 (engine paths changed this round, so
+    #   their prior rows predate the code: IVF tiers now score through
+    #   the shared cell-scoped GEMM kernel -> ann_ivf_topk,
+    #   ann_ivf_seeded_topk, retrieval_eval_ivf, retrieval_pipeline,
+    #   hard_negative_mining; HLL lost its pre-distinct exchange ->
+    #   hll_distinct_users; pagerank DECIMAL headroom ->
+    #   user_interaction_pagerank; snapshot_diff NULL type-tag ->
+    #   corpus_release_diff; fixed-point session sum ->
+    #   streaming_sessionization)
+    # + 5 late-r7 behavior-touched (contraction-CC/shared-kernel rewrite
+    #   landed AFTER the r7 driver gate: dedup_clusters, cluster_split,
+    #   knn_graph_components, semantic_dedup, incremental_semantic_dedup)
+    # + 30 r5-aged mandatory core
+    # + 5 fill from the r6-checked block, oldest capabilities first
+    #   (streaming_simhash_dedup, c4_quality_flags, temperature_mixture,
+    #   bm25_topk, dsir_select).
     #
-    # r8 NOTE (execute next round): entering r8, the 30 r5-aged entries
-    # at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r05 row that is 3
-    # rounds old — they are the MANDATORY core of the r8 prefix. Add
-    # the behavior-touched-late-r7 set whose engine paths were
-    # rewritten after the r7 driver gate ran (contraction CC + shared
-    # assignment kernel + edge-list barrier): dedup_clusters,
-    # cluster_split, knn_graph_components, semantic_dedup,
-    # incremental_semantic_dedup — all check_query/SELFCHECK-green on
-    # the new paths, but per the r6 ADVICE #2 policy behavior-touched
-    # queries belong in the NEXT driver prefix regardless. That is 35;
-    # fill the remaining ~15 slots from the r6-checked block (aged 2 by
-    # then), oldest capabilities first. Any r8-NEW queries go ahead of
-    # everything as always.
-    # --- r7-NEW ---
-    "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
-    "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
-    "pretrain_data_pipeline",
-    "knn_graph_components", "streaming_sessionization",
-    "hll_distinct_users", "token_weighted_sample",
+    # r9 NOTE (execute next round): entering r9, the 38 r6-checked
+    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r06 row
+    # that is 3 rounds old — they are the MANDATORY core of the r9
+    # prefix (38 + any r9-NEW/behavior-touched leaves ~12 fill slots
+    # from the 43-entry r7-checked block that follows them, oldest
+    # capabilities first). The r5-aged/late-r7/behavior-touched names
+    # checked THIS round sit at the END of the tail (freshest).
+    # --- r8-NEW ---
+    "streaming_hll_distinct",
+    # --- behavior-touched in r8 ---
+    "ann_ivf_topk", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
+    "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
     "user_interaction_pagerank", "corpus_release_diff",
-    "streaming_cms_heavy_hitters",
-    # --- the 16 r4-aged (CORRECTNESS_r04 row is 3 rounds old) ---
-    "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
-    "minhash_signatures", "simhash_values", "case_label_ladder",
-    "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
-    "router_gate_from_cases", "ml_keep_frac_grid", "calendar_weekly_ohlcv",
-    "scrub_ffill_gates", "point_lookup_neighbors", "ann_ivf_seeded_topk",
-    # --- behavior-touched in r6, missed by the r6 prefix (ADVICE #2) ---
-    "ann_lsh_topk",
-    # --- 25 capability-unique r5-aged (r05 row; 2 rounds old) ---
-    "sweep_pipeline", "backtest_event_kernel", "range_boxes",
-    "sticky_regime_hourly", "regime_cases", "streaming_ohlcv_bars",
-    "streaming_doc_quality", "dedup_clusters", "media_audio_features",
-    "pack_sequences_nextfit", "minhash_near_dup_pairs",
-    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
-    "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
-    "ichimoku_hourly",
-]
-_ORACLE_TAIL = [
-    # Head block: the r5-aged queries that did not fit in the r7 prefix
-    # — they are 3 rounds old entering r8 and form the mandatory core of
-    # the r8 prefix (plus the then-aged r6 block as space allows). The
-    # first six were demoted from the r7 prefix when the batch-4 r7-NEW
-    # queries (hll/weighted-sample/pagerank/release-diff/streaming-cms)
-    # took their slots — never-checked beats 2-rounds-aged. All are shapes also
-    # exercised every round by bench.py's oracle-paired suite or by a
-    # sibling capability query. SELFCHECK covers everything below every
-    # round.
+    "streaming_sessionization",
+    # --- late-r7 behavior-touched (r7 NOTE / VERDICT r7 #1) ---
+    "dedup_clusters", "cluster_split", "knn_graph_components",
+    "semantic_dedup", "incremental_semantic_dedup",
+    # --- the 30 r5-aged (CORRECTNESS_r05 row is 3 rounds old) ---
     "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
     "user_sessions", "kmv_distinct_users", "zscore_er_slope",
     "asof_user_hourly", "bucket_stats_daily", "cosine_topk",
@@ -8609,16 +8589,18 @@ _ORACLE_TAIL = [
     "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
     "rolling_stats", "sampled_revenue_by_nation", "top_orders",
     "true_range_atr", "vwap_daily",
-    # r6-checked block (CORRECTNESS_r06 row; 1 round old, due r9 at the
-    # latest).
-    "streaming_simhash_dedup", "semantic_dedup", "c4_quality_flags",
-    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
-    "hard_negative_mining", "incremental_semantic_dedup",
-    "retrieval_pipeline", "media_image_near_dup", "media_audio_near_dup",
+    # --- 5 fill from the r6-checked block (2 rounds old) ---
+    "streaming_simhash_dedup", "c4_quality_flags", "temperature_mixture",
+    "bm25_topk", "dsir_select",
+]
+_ORACLE_TAIL = [
+    # Head block: the 38 r6-checked queries not reached by the r8 prefix
+    # — 3 rounds old entering r9, the MANDATORY core of the r9 prefix.
+    "bloom_decontam", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
-    "retrieval_eval_ivf", "ann_ivf_topk", "kmv_quantile_value_by_type",
-    "priority_ship_exists", "backtest_range_kernel", "backtest_equity_curve",
+    "kmv_quantile_value_by_type", "priority_ship_exists",
+    "backtest_range_kernel", "backtest_equity_curve",
     "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
     "quality_classifier_train_score", "pack_manifest",
     "scrub_cross_doc_spans", "ml_net_confidence_keep",
@@ -8626,9 +8608,27 @@ _ORACLE_TAIL = [
     "ml_lr_gd_weights", "benchmark_decontam", "domain_caps",
     "dup_spans_cross_doc", "doc_unigram_logprob", "pii_profile",
     "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
-    "doc_repetition", "gopher_quality_flags", "cluster_split",
-    "retention_cohorts", "top_ngrams", "export_shard_manifest",
-    "mixture_sample_sources", "rma_atr_hourly",
+    "doc_repetition", "gopher_quality_flags", "retention_cohorts",
+    "top_ngrams", "export_shard_manifest", "mixture_sample_sources",
+    "rma_atr_hourly",
+    # r7-checked block (CORRECTNESS_r07 row; 2 rounds old entering r9 —
+    # the r9 fill pool, oldest capabilities first).
+    "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
+    "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
+    "pretrain_data_pipeline", "token_weighted_sample",
+    "streaming_cms_heavy_hitters",
+    "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
+    "minhash_signatures", "simhash_values", "case_label_ladder",
+    "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
+    "router_gate_from_cases", "ml_keep_frac_grid", "calendar_weekly_ohlcv",
+    "scrub_ffill_gates", "point_lookup_neighbors", "ann_lsh_topk",
+    "sweep_pipeline", "backtest_event_kernel", "range_boxes",
+    "sticky_regime_hourly", "regime_cases", "streaming_ohlcv_bars",
+    "streaming_doc_quality", "media_audio_features",
+    "pack_sequences_nextfit", "minhash_near_dup_pairs",
+    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
+    "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
+    "ichimoku_hourly",
 ]
 
 
