@@ -658,7 +658,74 @@ def main() -> None:
             F.col("component") != F.col("vec_id")
         ).count(),
     )
+    # 10M-vector PQ encode+ADC probe (r8, VERDICT r7 #7): the compressed
+    # scan one order above the 1M tier. Codebooks train on a 1M sample
+    # (standard PQ practice — books are plan literals either way); the
+    # timed stage is the full-corpus encode + ADC + partial-top-k, ONE
+    # zero-shuffle pass. Recall is gauged at the 1M tier above (same
+    # generator); this stage's claim is the flat-exchange scan slope.
+    big_n = max(1_000_000, total_rows)
+    big_comps = [
+        (
+            (2.0 * _h01(F.floor(F.col("vec_id") / (big_n // n_latent)).cast("int"),
+                        F.lit(f"c{j}")) - 1.0)
+            + 0.35 * (2.0 * _h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    big_ann = (
+        spark.range(big_n)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*big_comps))
+    )
+    t0 = time.perf_counter()
+    big_books = pq_codebooks_lloyd(
+        big_ann.filter(F.col("vec_id") % F.lit(big_n // 1_000_000) == 0),
+        n_sub=16, ks=256, iters=2,
+    )
+    big_train_sec = round(time.perf_counter() - t0, 2)
+    big_pq = pq_adc_topk(big_ann, annq, big_books, k=ann_k)
+    stage("pq_adc_scan_10m", lambda: force(big_pq))
+    stages["pq_adc_scan_10m"].update(
+        n_vectors=big_n,
+        codebook_train_on=1_000_000,
+        codebook_sec=big_train_sec,
+        shuffle_exchanges=exchange_count(big_pq),
+    )
     ann.unpersist()
+
+    # 10M-node contraction-CC probe (r8, VERDICT r7 #7): 10k-long chains
+    # — the adversarial depth case for label propagation — with an edge
+    # list (~10M) far above driver_max_edges for the early rounds, so the
+    # DISTRIBUTED contraction loop does the work; the claim under test is
+    # geometric edge shrink (wall grows ~linearly in |E|, not in chain
+    # depth). Generation is in-plan; correctness is exact (every node's
+    # component must be its chain head).
+    from binance_futures_data_lake_spark.operators.graph import (
+        connected_components,
+    )
+
+    n_cc = max(1_000_000, total_rows)
+    chain = 10_000
+    cc_edges = (
+        spark.range(n_cc)
+        .filter(F.col("id") % chain != chain - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    _cc = {}
+
+    def _build_cc():
+        # eager loop inside the operator — time the build, not the force
+        _cc["df"] = connected_components(cc_edges, max_iters=30)
+        return force(_cc["df"])
+
+    stage("contraction_cc_10m_chains", _build_cc)
+    mislabeled = _cc["df"].filter(
+        F.col("comp") != (F.col("id") - F.col("id") % chain)
+    ).count()
+    stages["contraction_cc_10m_chains"].update(
+        n_nodes=n_cc, chain_len=chain, mislabeled=mislabeled,
+    )
 
     # banded-hamming near-dup probe (r5): 10M 64-bit fingerprints through
     # the shared text/image/audio near-dup engine at its web-scale config
