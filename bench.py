@@ -111,6 +111,8 @@ LLM_PIPELINE = [
     "token_weighted_sample",
     "user_interaction_pagerank",
     "corpus_release_diff",
+    # r8: in-engine BPE tokenizer training (eager per-step argmax builds)
+    "bpe_learn_merges",
 ]
 
 

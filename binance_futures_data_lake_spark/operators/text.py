@@ -370,3 +370,91 @@ def bpe_token_stats(
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(kernel, out_schema)
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """In-engine BPE tokenizer TRAINING (Sennrich et al. 2016) — learn the
+    first ``n_merges`` merge rules from the corpus itself, the step a
+    training-data pipeline runs before ``bpe_token_stats`` can denominate
+    budgets in the resulting vocabulary.
+
+    Classic word-level BPE: the corpus reduces ONCE to the (word, count)
+    vocabulary (the only corpus-sized aggregation — at 100 TB this is the
+    familiar word-count shuffle and everything after is vocab-sized);
+    each word becomes a delimited symbol sequence ``|c||c||…|``; per
+    merge step, adjacent symbol pairs are counted weighted by word count,
+    the max-count pair wins (count desc, then pair lexicographic — a
+    total order both engines agree on), and the pair is contracted
+    everywhere via literal (non-regex) ``replace`` on the delimited form,
+    whose left-to-right non-overlapping semantics are exactly the BPE
+    replacement pass (``|a||b|`` → ``|ab|``; delimiters make cross-symbol
+    matches impossible since symbols are ``[a-z0-9]+``).
+
+    Each step's argmax is a ONE-row bounded collect (the centroid-collect
+    contract); the vocabulary is barriered once so the per-step plan is
+    the checkpoint + ``step`` narrow maps, never a corpus re-read.
+    ``n_merges`` is a constant — a production vocab run (30k merges)
+    would batch steps per pass the way real trainers do; the per-step
+    relational shape (vocab-sized pair count + narrow contract) is the
+    part that must scale, and does.
+
+    Output: ``step, pair_a, pair_b, merged, cnt`` — one row per learned
+    merge, the tokenizer's merge table.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    v = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .withColumn(
+            "seq",
+            F.expr(
+                "substring('|' || regexp_replace(word, '(.)', '$1||'),"
+                " 1, 3 * length(word))"
+            ),
+        )
+        .select("wcnt", "seq")
+        .localCheckpoint(eager=False)
+    )
+    pairs_expr = (
+        "zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        " (x, y) -> struct(x AS a, y AS b))"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        toks = v.select(
+            "wcnt",
+            F.expr(
+                "split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')"
+            ).alias("toks"),
+        )
+        best = (
+            toks.select("wcnt", F.explode(F.expr(pairs_expr)).alias("z"))
+            .filter(F.col("z.b").isNotNull())
+            .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+            .agg(F.sum("wcnt").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((step, a, b, a + b, cnt))
+        v = v.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a + b}|")),
+        )
+    return spark.createDataFrame(
+        merges, "step int, pair_a string, pair_b string, merged string, cnt long"
+    )

@@ -8441,6 +8441,69 @@ def q_streaming_cms_heavy_hitters(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bpe_merges_sql(n_merges: int = 5) -> str:
+    """DuckDB replay of operators/text.bpe_learn_merges: the same
+    vocabulary build, then ``n_merges`` unrolled (pair-count → argmax →
+    delimited literal replace) steps — ``replace``'s left-to-right
+    non-overlapping semantics ARE the BPE replacement pass in both
+    engines, and the (cnt DESC, a, b) argmax is a total order."""
+    ctes = [
+        r"""v0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wcnt,
+             substr('|' || regexp_replace(word, '(.)', '\1||', 'g'),
+                    1, 3 * length(word)) AS seq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents) t
+      GROUP BY 1
+    )"""
+    ]
+    finals = []
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""s{i} AS (
+      SELECT wcnt, string_split(substr(seq, 2, length(seq) - 2), '||') AS toks
+      FROM v{i - 1}
+    ), z{i} AS (
+      SELECT wcnt, unnest(list_zip(toks, toks[2:])) AS z FROM s{i}
+    ), p{i} AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(wcnt) AS BIGINT) AS cnt
+      FROM z{i} WHERE z[2] IS NOT NULL GROUP BY 1, 2
+    ), b{i} AS (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ), v{i} AS (
+      SELECT wcnt,
+             replace(seq,
+                     '|' || (SELECT a FROM b{i}) || '||'
+                         || (SELECT b FROM b{i}) || '|',
+                     '|' || (SELECT a || b FROM b{i}) || '|') AS seq
+      FROM v{i - 1}
+    )""")
+        finals.append(
+            f"SELECT CAST({i} AS INTEGER) AS step, a AS pair_a, b AS pair_b,"
+            f" a || b AS merged, cnt FROM b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register(
+    "bpe_learn_merges",
+    cache_plan=False,  # eager per-step argmax collects at build time
+    sql=_bpe_merges_sql(),
+)
+def q_bpe_learn_merges(spark, sf_dir):
+    """In-engine BPE tokenizer training over the documents corpus: learn
+    the first 5 merge rules (operators/text.py bpe_learn_merges — ONE
+    corpus-sized word-count aggregation, then vocab-sized weighted
+    pair-count + argmax + delimited literal-replace contraction per
+    step). The oracle replays vocabulary, every pair count, every argmax
+    tiebreak, and every replacement pass — the learned merge table must
+    match rule for rule. Completes the tokenizer family: bpe_token_stats
+    denominates budgets in a FIXED vocab; this learns the vocab."""
+    from binance_futures_data_lake_spark.operators.text import bpe_learn_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_learn_merges(docs, n_merges=5)
+
+
 @register(
     "streaming_hll_distinct",
     cache_plan=False,  # runs a stream + temp state dirs per call
@@ -8543,7 +8606,7 @@ _FRONT = [
     # 1 rows-only-by-design (ml_lr_embeddings); registry grew to 132
     # with r8-NEW streaming_hll_distinct.
     # Prefix composition (exactly 50):
-    #   1 r8-NEW (streaming_hll_distinct)
+    #   2 r8-NEW (streaming_hll_distinct, bpe_learn_merges)
     # + 9 behavior-touched in r8 (engine paths changed this round, so
     #   their prior rows predate the code: IVF tiers now score through
     #   the shared cell-scoped GEMM kernel -> ann_ivf_topk,
@@ -8557,19 +8620,20 @@ _FRONT = [
     #   landed AFTER the r7 driver gate: dedup_clusters, cluster_split,
     #   knn_graph_components, semantic_dedup, incremental_semantic_dedup)
     # + 30 r5-aged mandatory core
-    # + 5 fill from the r6-checked block, oldest capabilities first
+    # + 4 fill from the r6-checked block, oldest capabilities first
     #   (streaming_simhash_dedup, c4_quality_flags, temperature_mixture,
-    #   bm25_topk, dsir_select).
+    #   bm25_topk; dsir_select was the 5th fill until bpe_learn_merges
+    #   took the slot — never-checked beats 2-rounds-aged).
     #
-    # r9 NOTE (execute next round): entering r9, the 38 r6-checked
+    # r9 NOTE (execute next round): entering r9, the 39 r6-checked
     # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r06 row
     # that is 3 rounds old — they are the MANDATORY core of the r9
-    # prefix (38 + any r9-NEW/behavior-touched leaves ~12 fill slots
+    # prefix (39 + any r9-NEW/behavior-touched leaves ~11 fill slots
     # from the 43-entry r7-checked block that follows them, oldest
     # capabilities first). The r5-aged/late-r7/behavior-touched names
     # checked THIS round sit at the END of the tail (freshest).
     # --- r8-NEW ---
-    "streaming_hll_distinct",
+    "streaming_hll_distinct", "bpe_learn_merges",
     # --- behavior-touched in r8 ---
     "ann_ivf_topk", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
     "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
@@ -8589,14 +8653,14 @@ _FRONT = [
     "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
     "rolling_stats", "sampled_revenue_by_nation", "top_orders",
     "true_range_atr", "vwap_daily",
-    # --- 5 fill from the r6-checked block (2 rounds old) ---
+    # --- 4 fill from the r6-checked block (2 rounds old) ---
     "streaming_simhash_dedup", "c4_quality_flags", "temperature_mixture",
-    "bm25_topk", "dsir_select",
+    "bm25_topk",
 ]
 _ORACLE_TAIL = [
-    # Head block: the 38 r6-checked queries not reached by the r8 prefix
+    # Head block: the 39 r6-checked queries not reached by the r8 prefix
     # — 3 rounds old entering r9, the MANDATORY core of the r9 prefix.
-    "bloom_decontam", "media_image_near_dup", "media_audio_near_dup",
+    "dsir_select", "bloom_decontam", "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "kmv_quantile_value_by_type", "priority_ship_exists",

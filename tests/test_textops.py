@@ -739,3 +739,39 @@ def test_bloom_empty_benchmark_flags_nothing(spark):
     assert all(w == 0 for w in wordsv)
     out = bloom_decontam(corpus, wordsv, m_bits=256, k=3).collect()
     assert out[0]["n_hits"] == 0 and out[0]["contaminated"] == 0
+
+
+def test_bpe_learn_merges_sennrich_example(spark):
+    import pytest
+
+    from binance_futures_data_lake_spark.operators.text import bpe_learn_merges
+
+    # the canonical BPE walkthrough: vocab {low:5, lower:2, newest:6,
+    # widest:3} learns es -> est -> lo -> low (hand-derivable)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6)),
+         (3, " ".join(["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    rows = bpe_learn_merges(docs, n_merges=4).orderBy("step").collect()
+    got = [(r.step, r.pair_a, r.pair_b, r.merged, r.cnt) for r in rows]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+    # deterministic: identical table on re-run
+    rows2 = bpe_learn_merges(docs, n_merges=4).orderBy("step").collect()
+    assert [(r.step, r.pair_a, r.pair_b, r.merged, r.cnt) for r in rows2] == got
+    # repeated-symbol pass semantics: "aaa" merges left-to-right
+    # non-overlapping -> (a,a) count is 1 per "aaa" occurrence... the
+    # FIRST merge counts pairs (a,a) twice per word occurrence, so cnt
+    # reflects raw adjacency; after merging, [aa, a] remains
+    tri = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    t = bpe_learn_merges(tri, n_merges=2).orderBy("step").collect()
+    assert (t[0].pair_a, t[0].pair_b, t[0].cnt) == ("a", "a", 4)
+    assert (t[1].pair_a, t[1].pair_b, t[1].merged) == ("aa", "a", "aaa")
+    with pytest.raises(ValueError):
+        bpe_learn_merges(docs, n_merges=0)
