@@ -8,15 +8,19 @@ A~B and B~C, keeping "one of each pair" would keep two of {A,B,C}. The
 standard fix is connected components with the min id as the cluster
 label, then keep ``doc_id == cluster_id``.
 
-Algorithm (r7 rewrite): ITERATIVE EDGE CONTRACTION. Each round
-hash-partitions the symmetric edge list by source — so every node's
-full neighbor list lands in one partition — and runs an in-partition
-union-find (one ``mapInPandas`` pass, min id as local root), giving a
-strictly-decreasing node→root mapping; edges relabel through the
-mapping and self-loops vanish, so the edge list SHRINKS geometrically
-(a neighborhood contracts to its min in one round — the large-star
-move of Kiveris et al., "Connected Components in MapReduce and
-Beyond", executed as local memory ops instead of joins). As soon as
+Algorithm (r7 rewrite, r8 hash priorities): ITERATIVE EDGE
+CONTRACTION. Each round hash-partitions the symmetric edge list by
+source — so every node's full neighbor list lands in one partition —
+and runs an in-partition union-find (one ``mapInPandas`` pass, the
+(splitmix64-priority, id)-min member as local root), giving a
+strictly-(prio, id)-decreasing node→root mapping; edges relabel
+through the mapping and self-loops vanish, so the edge list SHRINKS
+geometrically on any id layout (a neighborhood contracts to its
+priority-min in one round — the large-star move of Kiveris et al.,
+"Connected Components in MapReduce and Beyond", with the literature's
+random-mate priorities; plain min-id roots have a shift fixed point on
+monotone-id chains, see connected_components). A final node-sized agg
+normalizes labels to the component min id. As soon as
 the surviving edge list fits ``driver_max_edges`` a driver union-find
 finishes the job; with the short-circuit disabled the loop runs to an
 empty edge list. This replaced min-label propagation + path-halving,
@@ -57,15 +61,24 @@ def connected_components(
     runs automatically above the threshold) is the 100 TB contract —
     iterative CONTRACTION, see the module docstring: per round, ONE
     shuffle of the edge list by source + an in-partition union-find
-    (mapInPandas, pure memory ops), a min-resolve of the emitted
-    mapping, and a relabel join; the mapping is strictly decreasing
-    (local roots are tree minima), so progress is guaranteed and the
-    edge list shrinks geometrically — dense dedup components vanish in
-    one round, chains in O(log) rounds. Once the survivor list fits the
-    driver threshold a driver union-find finishes; composition of the
-    per-round label tables recovers every original node's final label.
-    The result — min id per component — is identical on either path and
-    independent of partitioning, which is what keeps the operator
+    (mapInPandas, pure memory ops), a resolve of the emitted mapping,
+    and a relabel join. Fragment roots are chosen by HASH PRIORITY
+    (splitmix64 of the id; (prio, id)-min member wins), not by min id:
+    min-id contraction has an adversarial fixed point on monotone-id
+    paths — every node's best cross-partition candidate is always two
+    ids back, so a long consecutive-id chain relabels to ITSELF shifted
+    by 2 and sheds O(1) edges per round (measured: a 1M-node probe of
+    10k-long consecutive-id chains stalled at ~400 edges/round). Random
+    priorities break the monotone structure, restoring expected
+    geometric shrink on ANY id layout (the random-mate move of the
+    MapReduce-CC literature). The mapping strictly decreases
+    (prio, id), so it stays acyclic and progress is guaranteed. Once the
+    survivor list fits the driver threshold a driver union-find
+    finishes; composition of the per-round label tables recovers every
+    original node's final (hash-chosen) root, and one final node-sized
+    ``groupBy(root).min(id)`` + join normalizes labels to the component
+    MIN ID — so the result is identical on either path and independent
+    of partitioning, which is what keeps the operator
     DuckDB-oracle-checkable (recursive-CTE transitive closure).
     """
     import pandas as pd
@@ -118,11 +131,29 @@ def connected_components(
             list(comp.items()), f"id {id_type}, comp {id_type}"
         )
 
+    import hashlib
+
+    def _prio(x) -> int:
+        """Deterministic 63-bit priority: splitmix64 for integral ids,
+        md5 otherwise. Only used for ORDERING — the ordering must merely
+        be a fixed total order uncorrelated with id layout."""
+        if isinstance(x, int):
+            z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            return (z ^ (z >> 31)) & 0x7FFFFFFFFFFFFFFF
+        return (
+            int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8], "big") >> 1
+        )
+
     def _local_uf(batches):
-        """In-partition union-find; emits (node, root) for root < node.
-        Roots are tree minima, so the mapping is strictly decreasing —
-        no cycles, guaranteed progress."""
+        """In-partition union-find; emits (node, root, root_prio) for
+        every non-root. Roots are fragment (prio, id)-minima, so the
+        mapping strictly decreases (prio, id) — no cycles, guaranteed
+        progress; cross-partition candidates resolve by the same order
+        (min struct(root_prio, root))."""
         parent: dict = {}
+        prio: dict = {}
 
         def find(x):
             root = x
@@ -132,6 +163,12 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
+        def key(x):
+            p = prio.get(x)
+            if p is None:
+                p = prio[x] = _prio(x)
+            return (p, x)
+
         for pdf in batches:
             for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
                 parent.setdefault(u, u)
@@ -139,12 +176,13 @@ def connected_components(
                 ru, rv = find(u), find(v)
                 if ru == rv:
                     continue
-                if rv < ru:
+                if key(rv) < key(ru):
                     ru, rv = rv, ru
                 parent[rv] = ru
         nodes = [n for n in parent if find(n) != n]
+        roots = [parent[n] for n in nodes]
         yield pd.DataFrame(
-            {"node": nodes, "root": [parent[n] for n in nodes]}
+            {"node": nodes, "root": roots, "root_prio": [key(r)[0] for r in roots]}
         )
 
     # labels: original node -> current contracted representative
@@ -158,9 +196,11 @@ def connected_components(
         # neighborhoods -> whole dense components contract in one pass)
         m = (
             cur.repartition("u")
-            .mapInPandas(_local_uf, f"node {id_type}, root {id_type}")
+            .mapInPandas(
+                _local_uf, f"node {id_type}, root {id_type}, root_prio long"
+            )
             .groupBy("node")
-            .agg(F.min("root").alias("root"))
+            .agg(F.min(F.struct("root_prio", "root"))["root"].alias("root"))
             .localCheckpoint(eager=False)
         )
         labels = (
@@ -189,10 +229,13 @@ def connected_components(
         fin = spark.createDataFrame(
             list(comp.items()), f"cur {id_type}, fcomp {id_type}"
         )
-        return labels.join(F.broadcast(fin), "cur", "left").select(
-            "id", F.coalesce("fcomp", "cur").alias("comp")
+        labels = labels.join(F.broadcast(fin), "cur", "left").select(
+            "id", F.coalesce("fcomp", "cur").alias("cur")
         )
-    return labels.select("id", F.col("cur").alias("comp"))
+    # normalize hash-chosen roots to the component MIN ID (the contract
+    # every consumer and the oracle rely on): one node-sized agg + join
+    mins = labels.groupBy("cur").agg(F.min("id").alias("comp"))
+    return labels.join(mins, "cur").select("id", "comp")
 
 
 def dedup_clusters(
