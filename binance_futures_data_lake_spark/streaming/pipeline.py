@@ -1042,3 +1042,105 @@ def run_hll_stream(
         .foreachBatch(hll_delta_sink(state_root, value_col, by, m))
         .start()
     )
+
+
+def init_kmv_state(
+    corpus: DataFrame,
+    state_root: str,
+    value_col: str = "user_id",
+    by: Sequence[str] = ("event_type",),
+    k: int = 64,
+) -> None:
+    """Seed the persistent KMV state from the existing stream history:
+    the k smallest distinct value hashes per group under
+    ``state_root/kmv/b-base`` — the CMS/HLL dir discipline applied to
+    the third sketch. KMV sets merge by union + keep-k-smallest
+    (operators/sketch.py kmv_state), so the live sketch is a
+    merge-on-read rank and ingest never reads state."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import kmv_state
+
+    kmv_state(corpus, value_col, by, k).write.mode("overwrite").parquet(
+        os.path.join(state_root, "kmv", "b-base")
+    )
+
+
+def kmv_delta_sink(
+    state_root: str,
+    value_col: str = "user_id",
+    by: Sequence[str] = ("event_type",),
+    k: int = 64,
+):
+    """foreachBatch sink for :func:`run_kmv_stream` — the streaming twin
+    of the batch KMV build, the :func:`cms_delta_sink` shape with the
+    k-smallest-union monoid: each micro-batch writes its OWN
+    ≤ |groups|·k-row delta state to a batch-addressed path
+    (``kmv/b-%05d``); a crash-replayed batch recomputes the identical
+    delta and overwrites the same path — idempotent by construction.
+    Like HLL (and unlike CMS counters), redelivered rows need NO
+    dropDuplicates: the same value hashes to the same hv and the
+    distinct collapses it."""
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import kmv_state
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bid = int(batch_id)
+        kmv_state(batch_df, value_col, by, k).write.mode("overwrite").parquet(
+            os.path.join(state_root, "kmv", f"b-{bid:05d}")
+        )
+
+    return _sink
+
+
+def read_kmv_state(
+    spark: SparkSession,
+    state_root: str,
+    by: Sequence[str] = ("event_type",),
+    k: int = 64,
+) -> DataFrame:
+    """Merge-on-read of the persisted KMV: union ``b-base`` + every
+    delta, dedup hashes, keep the k smallest per group. Mergeability —
+    "the k smallest of a union of per-part k-smallest sets ARE the k
+    smallest of the union" — makes merged state == one batch build over
+    base ∪ all delivered rows; that theorem IS the stream/batch parity
+    contract, as with the CMS and HLL tiers."""
+    import os
+
+    from pyspark.sql import Window
+
+    st = _read_state(spark, os.path.join(state_root, "kmv")).distinct()
+    w = Window.partitionBy(*by).orderBy("hv")
+    return (
+        st.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*by, "hv")
+    )
+
+
+def run_kmv_stream(
+    spark: SparkSession,
+    source_path: str,
+    state_root: str,
+    checkpoint_dir: str,
+    value_col: str = "user_id",
+    by: Sequence[str] = ("event_type",),
+    k: int = 64,
+    max_files_per_trigger: int | None = 1,
+):
+    """Event file stream → per-batch KMV delta states under
+    ``state_root/kmv`` (see :func:`kmv_delta_sink`), availableNow
+    trigger — constant state per batch (≤ |groups|·k rows),
+    merge-on-read, no stateful operator and no watermark: the
+    k-smallest-union is order- and duplicate-insensitive."""
+    ev = stream_events(spark, source_path, max_files_per_trigger)
+    return (
+        ev.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(kmv_delta_sink(state_root, value_col, by, k))
+        .start()
+    )

@@ -636,3 +636,57 @@ def test_hll_stream_merge_equals_batch_and_duplicate_insensitive(spark, tmp_path
     assert sorted(os.listdir(os.path.join(state, "hll"))) == [
         "b-00000", "b-00001", "b-base",
     ]
+
+
+def test_kmv_stream_merge_equals_batch_and_duplicate_insensitive(spark, tmp_path):
+    import os
+
+    from binance_futures_data_lake_spark.operators.sketch import (
+        kmv_estimate_from_state,
+        kmv_state,
+    )
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        init_kmv_state,
+        kmv_delta_sink,
+        read_kmv_state,
+    )
+
+    rows = [(i, i % 211, "a" if i % 2 == 0 else "b") for i in range(600)]
+    all_df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    state = str(tmp_path / "state")
+    init_kmv_state(
+        all_df.filter("event_id % 3 = 0"), state,
+        value_col="user_id", by=["event_type"], k=64,
+    )
+    sink = kmv_delta_sink(state, "user_id", by=["event_type"], k=64)
+    b1 = all_df.filter("event_id % 3 = 1")
+    b2 = all_df.filter("event_id % 3 = 2")
+    sink(b1, 0)
+    sink(b2, 1)
+    merged_df = read_kmv_state(spark, state, by=["event_type"], k=64)
+    merged = {(r.event_type, r.hv) for r in merged_df.collect()}
+    direct = {
+        (r.event_type, r.hv)
+        for r in kmv_state(all_df, "user_id", ["event_type"], 64).collect()
+    }
+    # mergeability: k smallest of per-part k-smallest unions == k
+    # smallest of the union
+    assert merged == direct
+    est_stream = {
+        r.event_type: r.kmv_estimate
+        for r in kmv_estimate_from_state(merged_df, by=["event_type"], k=64).collect()
+    }
+    # 211 distinct users per type > k=64 -> estimator path; vs true 211
+    # within ~3 sigma of 1/sqrt(62)
+    for et in ("a", "b"):
+        assert abs(est_stream[et] - 211) / 211 < 0.4
+    # crash replay + at-least-once redelivery need no dedup machinery
+    sink(b2, 1)
+    sink(b2.union(b2.limit(50)), 1)
+    assert {
+        (r.event_type, r.hv)
+        for r in read_kmv_state(spark, state, by=["event_type"], k=64).collect()
+    } == direct
+    assert sorted(os.listdir(os.path.join(state, "kmv"))) == [
+        "b-00000", "b-00001", "b-base",
+    ]
