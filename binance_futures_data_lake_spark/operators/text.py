@@ -458,3 +458,69 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "step int, pair_a string, pair_b string, merged string, cnt long"
     )
+
+
+def bpe_tokenize_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned BPE merge table (:func:`bpe_learn_merges` output
+    order) and report per-document token accounting under the learned
+    vocabulary — the consumer side of in-engine tokenizer training: how
+    many tokens does each document cost AFTER the merges, vs its raw
+    character count?
+
+    The replacement pass is the same delimited literal ``replace`` chain
+    as training (rule order matters — BPE applies merges in learned
+    order), run once over the (word, count) VOCABULARY, so the corpus
+    pays one word explode + one broadcast-sized join against the
+    tokenized vocab — per-word token counts are vocab-sized facts, never
+    recomputed per occurrence.
+
+    Output: ``doc_id, n_words, n_chars_tok, n_bpe_tokens,
+    avg_tokens_per_word`` (6-dp) — ``n_chars_tok`` counts the characters
+    that entered tokenization ([a-z0-9]+ runs of the lowercased text),
+    the no-merge baseline token count.
+    """
+    spark = docs.sparkSession
+    dw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("word"),
+    )
+    seq = F.expr(
+        "substring('|' || regexp_replace(word, '(.)', '$1||'), 1, 3 * length(word))"
+    )
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a + b}|"))
+    vocab = (
+        dw.select("word").distinct()
+        .withColumn("__seq", seq)
+        .select(
+            "word",
+            F.length("word").alias("n_chars"),
+            F.size(
+                F.split(F.expr("substring(__seq, 2, length(__seq) - 2)"), r"\|\|")
+            ).alias("n_tok"),
+        )
+    )
+    from binance_futures_data_lake_spark.functions.scalars import round6
+
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars_tok"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id", "n_words", "n_chars_tok", "n_bpe_tokens",
+            round6(F.col("n_bpe_tokens") / F.col("n_words")).alias(
+                "avg_tokens_per_word"
+            ),
+        )
+    )

@@ -8441,12 +8441,14 @@ def q_streaming_cms_heavy_hitters(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _bpe_merges_sql(n_merges: int = 5) -> str:
+def _bpe_merges_sql(n_merges: int = 5, final: str | None = None) -> str:
     """DuckDB replay of operators/text.bpe_learn_merges: the same
     vocabulary build, then ``n_merges`` unrolled (pair-count → argmax →
     delimited literal replace) steps — ``replace``'s left-to-right
     non-overlapping semantics ARE the BPE replacement pass in both
-    engines, and the (cnt DESC, a, b) argmax is a total order."""
+    engines, and the (cnt DESC, a, b) argmax is a total order. With
+    ``final`` the merge-table SELECT is replaced (the apply twin
+    ``bpe_tokenize_stats`` tokenizes against v{n_merges})."""
     ctes = [
         r"""v0 AS (
       SELECT word, CAST(count(*) AS BIGINT) AS wcnt,
@@ -8470,7 +8472,7 @@ def _bpe_merges_sql(n_merges: int = 5) -> str:
     ), b{i} AS (
       SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
     ), v{i} AS (
-      SELECT wcnt,
+      SELECT word, wcnt,
              replace(seq,
                      '|' || (SELECT a FROM b{i}) || '||'
                          || (SELECT b FROM b{i}) || '|',
@@ -8481,7 +8483,25 @@ def _bpe_merges_sql(n_merges: int = 5) -> str:
             f"SELECT CAST({i} AS INTEGER) AS step, a AS pair_a, b AS pair_b,"
             f" a || b AS merged, cnt FROM b{i}"
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+    body = final if final is not None else "\nUNION ALL\n".join(finals)
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+_BPE_APPLY_FINAL = """, tok AS (
+      SELECT word, length(word) AS n_chars,
+             len(string_split(substr(seq, 2, length(seq) - 2), '||')) AS n_tok
+      FROM v5
+    ), dw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    )
+    SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.n_chars) AS BIGINT) AS n_chars_tok,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(t.n_tok) AS DOUBLE) / count(*), 6)
+             AS avg_tokens_per_word
+    FROM dw JOIN tok t USING (word) GROUP BY 1"""
 
 
 @register(
@@ -8502,6 +8522,33 @@ def q_bpe_learn_merges(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return bpe_learn_merges(docs, n_merges=5)
+
+
+@register(
+    "bpe_tokenize_stats",
+    cache_plan=False,  # training runs eager per-step argmax collects
+    sql=_bpe_merges_sql(final=_BPE_APPLY_FINAL),
+)
+def q_bpe_tokenize_stats(spark, sf_dir):
+    """Train THEN apply — the consumer side of in-engine BPE: learn 5
+    merges on the documents corpus (operators/text.py bpe_learn_merges),
+    apply the merge table in learned order over the vocabulary, and
+    report per-document token accounting under the learned vocab
+    (operators/text.py bpe_tokenize_stats — one word explode + one
+    vocab-sized join; per-word token counts are computed once, never per
+    occurrence). The oracle replays training AND application in one
+    statement, so a drift anywhere in the loop (vocab, pair counts,
+    argmax, replacement, tokenization) breaks the hash."""
+    from binance_futures_data_lake_spark.operators.text import (
+        bpe_learn_merges, bpe_tokenize_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [
+        (r.pair_a, r.pair_b)
+        for r in bpe_learn_merges(docs, n_merges=5).orderBy("step").collect()
+    ]
+    return bpe_tokenize_stats(docs, merges)
 
 
 @register(
@@ -8711,8 +8758,8 @@ _FRONT = [
     # 1 rows-only-by-design (ml_lr_embeddings); registry grew to 132
     # with r8-NEW streaming_hll_distinct.
     # Prefix composition (exactly 50):
-    #   3 r8-NEW (streaming_hll_distinct, bpe_learn_merges,
-    #   streaming_kmv_distinct)
+    #   4 r8-NEW (streaming_hll_distinct, bpe_learn_merges,
+    #   streaming_kmv_distinct, bpe_tokenize_stats)
     # + 9 behavior-touched in r8 (engine paths changed this round, so
     #   their prior rows predate the code: IVF tiers now score through
     #   the shared cell-scoped GEMM kernel -> ann_ivf_topk,
@@ -8726,21 +8773,21 @@ _FRONT = [
     #   landed AFTER the r7 driver gate: dedup_clusters, cluster_split,
     #   knn_graph_components, semantic_dedup, incremental_semantic_dedup)
     # + 30 r5-aged mandatory core
-    # + 3 fill from the r6-checked block, oldest capabilities first
-    #   (streaming_simhash_dedup, c4_quality_flags, temperature_mixture;
-    #   dsir_select and bm25_topk were fills until bpe_learn_merges and
-    #   streaming_kmv_distinct took the slots — never-checked beats
-    #   2-rounds-aged).
+    # + 2 fill from the r6-checked block, oldest capabilities first
+    #   (streaming_simhash_dedup, c4_quality_flags; dsir_select,
+    #   bm25_topk and temperature_mixture were fills until the r8-NEW
+    #   queries took the slots — never-checked beats 2-rounds-aged).
     #
-    # r9 NOTE (execute next round): entering r9, the 40 r6-checked
+    # r9 NOTE (execute next round): entering r9, the 41 r6-checked
     # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r06 row
     # that is 3 rounds old — they are the MANDATORY core of the r9
-    # prefix (40 + any r9-NEW/behavior-touched leaves ~10 fill slots
+    # prefix (41 + any r9-NEW/behavior-touched leaves ~9 fill slots
     # from the 43-entry r7-checked block that follows them, oldest
     # capabilities first). The r5-aged/late-r7/behavior-touched names
     # checked THIS round sit at the END of the tail (freshest).
     # --- r8-NEW ---
     "streaming_hll_distinct", "bpe_learn_merges", "streaming_kmv_distinct",
+    "bpe_tokenize_stats",
     # --- behavior-touched in r8 ---
     "ann_ivf_topk", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
     "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
@@ -8760,13 +8807,14 @@ _FRONT = [
     "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
     "rolling_stats", "sampled_revenue_by_nation", "top_orders",
     "true_range_atr", "vwap_daily",
-    # --- 3 fill from the r6-checked block (2 rounds old) ---
-    "streaming_simhash_dedup", "c4_quality_flags", "temperature_mixture",
+    # --- 2 fill from the r6-checked block (2 rounds old) ---
+    "streaming_simhash_dedup", "c4_quality_flags",
 ]
 _ORACLE_TAIL = [
-    # Head block: the 40 r6-checked queries not reached by the r8 prefix
+    # Head block: the 41 r6-checked queries not reached by the r8 prefix
     # — 3 rounds old entering r9, the MANDATORY core of the r9 prefix.
-    "bm25_topk", "dsir_select", "bloom_decontam", "media_image_near_dup",
+    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
+    "media_image_near_dup",
     "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",

@@ -775,3 +775,32 @@ def test_bpe_learn_merges_sennrich_example(spark):
     assert (t[1].pair_a, t[1].pair_b, t[1].merged) == ("aa", "a", "aaa")
     with pytest.raises(ValueError):
         bpe_learn_merges(docs, n_merges=0)
+
+
+def test_bpe_tokenize_stats_applies_learned_merges(spark):
+    from binance_futures_data_lake_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_tokenize_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6)),
+         (3, " ".join(["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.pair_a, r.pair_b)
+        for r in bpe_learn_merges(docs, n_merges=4).orderBy("step").collect()
+    ]
+    # learned: es, est, lo, low -> newest = [n,e,w,est] (4 tokens),
+    # widest = [w,i,d,est] (4), low = [low] (1), lower = [low,e,r] (3)
+    out = {r.doc_id: r for r in bpe_tokenize_stats(docs, merges).collect()}
+    assert out[1].n_words == 7 and out[1].n_bpe_tokens == 5 * 1 + 2 * 3
+    assert out[2].n_words == 6 and out[2].n_bpe_tokens == 6 * 4
+    assert out[3].n_words == 3 and out[3].n_bpe_tokens == 3 * 4
+    assert out[2].n_chars_tok == 6 * 6  # chars = no-merge baseline
+    assert out[3].avg_tokens_per_word == 4.0
+    # empty merge table degenerates to character tokenization
+    none = {r.doc_id: r for r in bpe_tokenize_stats(docs, []).collect()}
+    assert none[2].n_bpe_tokens == none[2].n_chars_tok
