@@ -120,9 +120,12 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-#: Idle-machine best-of-3 for the canary query below (measured 0.044-0.048 s
-#: at load avg 0.2; re-pin if the canary query or test data changes).
-CANARY_FLOOR_SEC = 0.045
+#: Idle-machine best-of-3 for the canary query below, pinned on the
+#: verification host (measured 0.044-0.048 s at load avg 0.2). On other
+#: hardware override via BFDL_CANARY_FLOOR_SEC (or re-pin here) —
+#: otherwise a slower-but-idle host would spin the retry loop and stamp
+#: loaded=true on genuinely idle runs.
+CANARY_FLOOR_SEC = float(os.environ.get("BFDL_CANARY_FLOOR_SEC", "0.045"))
 
 
 def load_canary(sf_dir: str, max_wait_sec: float = 120.0) -> dict:

@@ -721,6 +721,13 @@ def _cell_scored_topk(
     import pyarrow as pa
 
     spark = corpus_cells.sparkSession
+    if not q_pdf.empty:
+        # zero-norm vectors are out of cosine domain on BOTH sides (the
+        # assign_cells_arrow convention): corpus rows drop in-kernel,
+        # zero-norm queries emit nothing (NaN cosines would rank ABOVE
+        # every real candidate in Spark's ordering)
+        qm = np.array(q_pdf["vec"].tolist(), dtype=np.float64)
+        q_pdf = q_pdf[np.einsum("ij,ij->i", qm, qm) > 0].reset_index(drop=True)
     if q_pdf.empty:
         return spark.createDataFrame(
             [], f"q_id {id_type}, neighbor_id {id_type}, cosine double, rnk int"

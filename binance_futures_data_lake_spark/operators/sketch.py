@@ -450,16 +450,17 @@ def kmv_estimate_from_state(
     by: Sequence[str] = (),
     k: int = 64,
 ) -> DataFrame:
-    """Estimate from merged KMV state (:func:`kmv_state` output or a
-    k-smallest-union over deltas): ``n̂ = (k−1)/h_(k)``, exact count when
-    the state holds fewer than k hashes (then it IS the full distinct
-    set). Output: by-cols + ``kmv_estimate`` (6-dp)."""
+    """Estimate from CAPPED KMV state — :func:`kmv_state` output or
+    ``read_kmv_state``'s merge, both of which already hold ≤ k hashes
+    per group (the input contract; re-ranking here would pay a redundant
+    per-group sort exchange on by-construction-capped rows):
+    ``n̂ = (k−1)/h_(k)``, exact count when the state holds fewer than k
+    hashes (then it IS the full distinct set). Output: by-cols +
+    ``kmv_estimate`` (6-dp)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     by = list(by)
-    w = Window.partitionBy(*by).orderBy("hv")
-    r = state.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    return r.groupBy(*by).agg(
+    return state.groupBy(*by).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.max("hv").alias("__kth"),
     ).select(

@@ -8326,6 +8326,36 @@ def q_corpus_release_diff(spark, sf_dir):
     )
 
 
+def _staged_mod4_chunks(spark, sf_dir: str, work: str) -> str:
+    """Stage events rows with event_id % 4 in {1,2,3} as three
+    mtime-ordered chunk files under ``work/src`` — one micro-batch each
+    for a maxFilesPerTrigger=1 stream; the % 4 == 0 quarter is the
+    caller's seed history. Shared by all three streaming-sketch queries
+    (CMS/HLL/KMV). EVENTS_SCHEMA declares ts as long nanos; chunks are
+    emitted in that shape with an integer div (the _staged_event_chunks
+    rule)."""
+    import glob
+    import os
+    import shutil
+
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ev = load_events(spark, sf_dir)
+    raw = ev.withColumn(
+        "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+    )
+    for i in range(3):
+        chunk = raw.filter(F.col("event_id") % 4 == i + 1)
+        stage = os.path.join(work, f"stage-{i}")
+        chunk.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"chunk-{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return src
+
+
 def _streaming_cms_sql(depth: int = 3, width: int = 32, probes: int = 20) -> str:
     """Batch replay of the streamed CMS: because the sketch is a sum
     monoid, the merge-on-read of base + 3 delta sketches equals ONE
@@ -8377,7 +8407,6 @@ def q_streaming_cms_heavy_hitters(spark, sf_dir):
     equal one batch build over all events, which is what the oracle
     replays (streaming/pipeline.py init_cms_state / cms_delta_sink /
     read_cms_state)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -8392,23 +8421,8 @@ def q_streaming_cms_heavy_hitters(spark, sf_dir):
     depth, width, probes = 3, 32, 20
     work = tempfile.mkdtemp(prefix="bfdl_cms_stream_")
     try:
-        src = os.path.join(work, "src")
-        os.makedirs(src)
+        src = _staged_mod4_chunks(spark, sf_dir, work)
         ev = load_events(spark, sf_dir)
-        # EVENTS_SCHEMA declares ts as long nanos; emit chunks in that
-        # shape with an integer div (the _staged_event_chunks rule)
-        raw = ev.withColumn(
-            "ts",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
-        )
-        for i in range(3):
-            chunk = raw.filter(F.col("event_id") % 4 == i + 1)
-            stage = os.path.join(work, f"stage-{i}")
-            chunk.coalesce(1).write.parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"chunk-{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         state = os.path.join(work, "state")
         init_cms_state(
             ev.filter(F.col("event_id") % 4 == 0), state,
@@ -8472,11 +8486,14 @@ def _bpe_merges_sql(n_merges: int = 5, final: str | None = None) -> str:
     ), b{i} AS (
       SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
     ), v{i} AS (
+      -- coalesce: when fewer than n_merges pairs are learnable, b{{i}} is
+      -- empty, the scalar subqueries are NULL and replace() NULL-propagates
+      -- every seq; keeping seq matches the Spark side's loop break
       SELECT word, wcnt,
-             replace(seq,
+             coalesce(replace(seq,
                      '|' || (SELECT a FROM b{i}) || '||'
                          || (SELECT b FROM b{i}) || '|',
-                     '|' || (SELECT a || b FROM b{i}) || '|') AS seq
+                     '|' || (SELECT a || b FROM b{i}) || '|'), seq) AS seq
       FROM v{i - 1}
     )""")
         finals.append(
@@ -8572,7 +8589,6 @@ def q_streaming_hll_distinct(spark, sf_dir):
     (event_type, bucket)) fed to the estimate, next to the exact count
     (streaming/pipeline.py init_hll_state / hll_delta_sink /
     read_hll_state + operators/sketch.py hll_estimate_from_registers)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -8588,23 +8604,8 @@ def q_streaming_hll_distinct(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="bfdl_hll_stream_")
     try:
-        src = os.path.join(work, "src")
-        os.makedirs(src)
+        src = _staged_mod4_chunks(spark, sf_dir, work)
         ev = load_events(spark, sf_dir)
-        # EVENTS_SCHEMA declares ts as long nanos; emit chunks in that
-        # shape with an integer div (the _staged_event_chunks rule)
-        raw = ev.withColumn(
-            "ts",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
-        )
-        for i in range(3):
-            chunk = raw.filter(F.col("event_id") % 4 == i + 1)
-            stage = os.path.join(work, f"stage-{i}")
-            chunk.coalesce(1).write.parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"chunk-{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         state = os.path.join(work, "state")
         init_hll_state(
             ev.filter(F.col("event_id") % 4 == 0), state,
@@ -8677,7 +8678,6 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     event_type) fed to the (k−1)/h_(k) estimate next to the exact count
     (streaming/pipeline.py init_kmv_state / kmv_delta_sink /
     read_kmv_state + operators/sketch.py kmv_estimate_from_state)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -8693,23 +8693,8 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="bfdl_kmv_stream_")
     try:
-        src = os.path.join(work, "src")
-        os.makedirs(src)
+        src = _staged_mod4_chunks(spark, sf_dir, work)
         ev = load_events(spark, sf_dir)
-        # EVENTS_SCHEMA declares ts as long nanos; emit chunks in that
-        # shape with an integer div (the _staged_event_chunks rule)
-        raw = ev.withColumn(
-            "ts",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
-        )
-        for i in range(3):
-            chunk = raw.filter(F.col("event_id") % 4 == i + 1)
-            stage = os.path.join(work, f"stage-{i}")
-            chunk.coalesce(1).write.parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"chunk-{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         state = os.path.join(work, "state")
         init_kmv_state(
             ev.filter(F.col("event_id") % 4 == 0), state,
@@ -8755,8 +8740,8 @@ _FRONT = [
     # Invariant: every oracle query driver-green within the last THREE
     # rounds, SELFCHECK-green every round. Ages entering r8: 30 r5-aged
     # (r05 row, 3 rounds old — MANDATORY), 50 r6-checked, 50 r7-checked,
-    # 1 rows-only-by-design (ml_lr_embeddings); registry grew to 132
-    # with r8-NEW streaming_hll_distinct.
+    # 1 rows-only-by-design (ml_lr_embeddings); registry grew to 135
+    # (134 oracle + 1 rows-only) with the four r8-NEW queries below.
     # Prefix composition (exactly 50):
     #   4 r8-NEW (streaming_hll_distinct, bpe_learn_merges,
     #   streaming_kmv_distinct, bpe_tokenize_stats)

@@ -679,8 +679,9 @@ def main() -> None:
         .withColumn("embedding", F.array(*big_comps))
     )
     t0 = time.perf_counter()
+    train_step = max(1, big_n // 1_000_000)
     big_books = pq_codebooks_lloyd(
-        big_ann.filter(F.col("vec_id") % F.lit(big_n // 1_000_000) == 0),
+        big_ann.filter(F.col("vec_id") % F.lit(train_step) == 0),
         n_sub=16, ks=256, iters=2,
     )
     big_train_sec = round(time.perf_counter() - t0, 2)
@@ -688,7 +689,7 @@ def main() -> None:
     stage("pq_adc_scan_10m", lambda: force(big_pq))
     stages["pq_adc_scan_10m"].update(
         n_vectors=big_n,
-        codebook_train_on=1_000_000,
+        codebook_train_on=-(-big_n // train_step),  # actual sample size
         codebook_sec=big_train_sec,
         shuffle_exchanges=exchange_count(big_pq),
     )
