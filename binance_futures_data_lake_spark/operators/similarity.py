@@ -471,12 +471,7 @@ def ivf_seeded_topk(
             "cells"
         ),
     )
-    return _cell_scored_topk(
-        cells.select("id", "vec", "cell"),
-        qb.toPandas(),
-        k,
-        dict(queries.dtypes)[id_col],
-    )
+    return _cell_scored_topk(cells.select("id", "vec", "cell"), qb, k)
 
 
 def _scaled_unit(vec_col, nrm_col):
@@ -647,12 +642,7 @@ def ivf_lloyd_topk(
         .withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
         .select("id", "vec", _nearest_cells_int(F.col("s"), cents, nprobe).alias("cells"))
     )
-    return _cell_scored_topk(
-        cells.select("id", "vec", "cell"),
-        qb.toPandas(),
-        k,
-        dict(queries.dtypes)[id_col],
-    )
+    return _cell_scored_topk(cells.select("id", "vec", "cell"), qb, k)
 
 
 def ivf_train_centroids(corpus: DataFrame, num_cells: int = 16, seed: int = 7,
@@ -688,11 +678,19 @@ def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
     return base.withColumn("cell", _nearest_cells(F.col("vec"), centroids, 1)[0])
 
 
+#: Hard cap on the collected query side of :func:`_cell_scored_topk`
+#: (rows). The query frame rides the driver and every task closure
+#: (q_mat is |Q|·dim float64 + the cell->query map), so it must stay
+#: broadcast-sized; 65 536 queries × 128 dims ≈ 67 MB, the edge of
+#: comfortable. Override with BFDL_IVF_MAX_QUERIES for wider rigs —
+#: beyond that, batch the query set or flip it into the corpus role.
+IVF_MAX_QUERIES = 65_536
+
+
 def _cell_scored_topk(
     corpus_cells: DataFrame,
-    q_pdf,
+    queries_df: DataFrame,
     k: int,
-    id_type: str,
 ) -> DataFrame:
     """Shared IVF candidate scorer (r8 — the r6 ``lsh_topk`` GEMM move
     applied to every IVF tier; VERDICT r7 weak #1): ONE zero-shuffle
@@ -714,13 +712,33 @@ def _cell_scored_topk(
     can never flip a rounded value. Zero-norm corpus vectors are out of
     cosine domain and dropped (the ``assign_cells_arrow`` convention).
 
-    ``corpus_cells`` columns: ``id, vec, cell``; ``q_pdf`` (pandas, small
-    by the query-side contract): ``id, vec, cells`` (probed cell list).
+    ``corpus_cells`` columns: ``id, vec, cell``; ``queries_df`` columns:
+    ``id, vec, cells`` (probed cell list). The query side is collected
+    HERE behind a hard row cap (:data:`IVF_MAX_QUERIES`, enforced via a
+    ``limit(cap+1)`` collect so an oversized side fails loudly BEFORE it
+    can occupy driver memory, r9 / ADVICE r8). Output id types are
+    derived per side — ``q_id`` from the query frame, ``neighbor_id``
+    from the corpus frame — so mixed-typed id columns can never yield
+    batches that mismatch the declared mapInArrow schema.
     """
+    import os
+
     import numpy as np
     import pyarrow as pa
 
     spark = corpus_cells.sparkSession
+    q_id_type = dict(queries_df.dtypes)["id"]
+    n_id_type = dict(corpus_cells.dtypes)["id"]
+    max_q = int(os.environ.get("BFDL_IVF_MAX_QUERIES", IVF_MAX_QUERIES))
+    q_pdf = queries_df.limit(max_q + 1).toPandas()
+    if len(q_pdf) > max_q:
+        raise ValueError(
+            f"IVF query side exceeds {max_q} rows; it is collected to the "
+            "driver and shipped in every task closure, so it must stay "
+            "broadcast-sized. Batch the query set, swap the roles "
+            "(score the smaller side as queries), or raise "
+            "BFDL_IVF_MAX_QUERIES if the rig has the memory."
+        )
     if not q_pdf.empty:
         # zero-norm vectors are out of cosine domain on BOTH sides (the
         # assign_cells_arrow convention): corpus rows drop in-kernel,
@@ -730,7 +748,7 @@ def _cell_scored_topk(
         q_pdf = q_pdf[np.einsum("ij,ij->i", qm, qm) > 0].reset_index(drop=True)
     if q_pdf.empty:
         return spark.createDataFrame(
-            [], f"q_id {id_type}, neighbor_id {id_type}, cosine double, rnk int"
+            [], f"q_id {q_id_type}, neighbor_id {n_id_type}, cosine double, rnk int"
         )
     q_ids = q_pdf["id"].to_numpy()
     q_mat = np.array(q_pdf["vec"].tolist(), dtype=np.float64)
@@ -823,7 +841,7 @@ def _cell_scored_topk(
             )
 
     partial = corpus_cells.select("id", "vec", "cell").mapInArrow(
-        _kernel, f"q_id {id_type}, neighbor_id {id_type}, cosine double"
+        _kernel, f"q_id {q_id_type}, neighbor_id {n_id_type}, cosine double"
     )
     # (q_id, neighbor_id) unique: one cell per corpus vector, distinct
     # probed cells per query, each corpus row in exactly one Arrow batch
@@ -853,12 +871,7 @@ def ivf_topk(
     qb = normalized(queries, id_col, vec_col).select(
         "id", "vec", _nearest_cells(F.col("vec"), centroids, nprobe).alias("cells")
     )
-    return _cell_scored_topk(
-        corpus_cells.select("id", "vec", "cell"),
-        qb.toPandas(),
-        k,
-        dict(queries.dtypes)[id_col],
-    )
+    return _cell_scored_topk(corpus_cells.select("id", "vec", "cell"), qb, k)
 
 
 def retrieval_eval(

@@ -50,32 +50,35 @@ def kmv_distinct(
     value_col: str,
     by: Sequence[str] = (),
     k: int = 64,
+    include_exact: bool = True,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate.
 
-    Output: by-cols + ``n_exact`` (true distinct, for error inspection) +
+    Output: by-cols + ``n_exact`` (true distinct, for error inspection —
+    ``include_exact=False`` drops the column AND its exact
+    ``count_distinct`` pass, which would defeat the sketch at deploy
+    scale; same deploy polish as :func:`hll_distinct`) +
     ``kmv_estimate`` (6-dp rounded). Exact when a group has < k distinct
     values (the sketch degenerates to the full set).
+
+    Scale shape (r9): the estimate routes through :func:`kmv_state`'s
+    k-min fold — values are hashed MAP-SIDE and the dedup exchange
+    carries only (by, hv) doubles, never the full-width value column
+    (the r8 form shuffled the distinct VALUE set before hashing). The
+    lean path is therefore exactly the streaming tier's read shape
+    (state build + :func:`kmv_estimate_from_state`).
     """
-    hashed = (
+    by = list(by)
+    est = kmv_estimate_from_state(kmv_state(df, value_col, by, k), by, k)
+    if not include_exact:
+        return est
+    exact = (
         df.select(*by, F.col(value_col).alias("__v"))
-        .distinct()
-        .withColumn("__h", uniform_hash(F.col("__v")))
+        .groupBy(*by)
+        .agg(F.count_distinct(F.col("__v")).alias("n_exact"))
     )
-    w = Window.partitionBy(*by).orderBy("__h")
-    ranked = hashed.withColumn("__rn", F.row_number().over(w))
-    return ranked.groupBy(*by).agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.max(F.when(F.col("__rn") <= k, F.col("__h"))).alias("__kth"),
-    ).select(
-        *by,
-        "n_exact",
-        round6(
-            F.when(F.col("n_exact") < k, F.col("n_exact").cast("double")).otherwise(
-                F.lit(float(k - 1)) / F.col("__kth")
-            )
-        ).alias("kmv_estimate"),
-    )
+    out = est.join(exact, by) if by else est.crossJoin(exact)
+    return out.select(*by, "n_exact", "kmv_estimate")
 
 
 def kmv_quantiles(
@@ -456,7 +459,14 @@ def kmv_estimate_from_state(
     per-group sort exchange on by-construction-capped rows):
     ``n̂ = (k−1)/h_(k)``, exact count when the state holds fewer than k
     hashes (then it IS the full distinct set). Output: by-cols +
-    ``kmv_estimate`` (6-dp)."""
+    ``kmv_estimate`` (6-dp).
+
+    The divisor is floored at the hash grid's smallest positive value
+    (1/2^60): state built by :func:`kmv_state` holds DISTINCT hashes, so
+    with ``__cnt >= k >= 2`` at most one can be 0 and ``max >= 1/2^60``
+    already — the floor only matters if a future hash swap can emit 0
+    for common inputs, in which case it degrades to a (wildly high but
+    finite) estimate instead of Infinity."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     by = list(by)
@@ -467,7 +477,8 @@ def kmv_estimate_from_state(
         *by,
         round6(
             F.when(F.col("__cnt") < k, F.col("__cnt").cast("double")).otherwise(
-                F.lit(float(k - 1)) / F.col("__kth")
+                F.lit(float(k - 1))
+                / F.greatest(F.col("__kth"), F.lit(1.0 / TWO_POW_60))
             )
         ).alias("kmv_estimate"),
     )

@@ -257,8 +257,16 @@ def session_stream(
     to LONG micro-units, sum longs, divide once): a float sum is
     partition-order- and engine-dependent, so multi-event sessions could
     flicker against the batch oracle — the same fixed-point discipline as
-    ``rrf_fuse`` / ``doremi_domain_weights``."""
-    v = F.round(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
+    ``rrf_fuse`` / ``doremi_domain_weights``.
+
+    Domain: |value| must stay ≤ ~9.2e12 (LONG range / 1e6 grid). Beyond
+    that, non-ANSI Spark's ``cast('long')`` wraps silently while the
+    DuckDB oracle's BIGINT cast errors — an engine-divergence edge, so
+    it is guarded here: out-of-grid values poison ``sum_value`` to NULL
+    via ``try_cast`` semantics rather than wrapping (the rrf_fuse-style
+    documented-domain contract, made observable)."""
+    in_grid = F.abs(F.col(value_col)) <= F.lit(9.2e12)
+    v = F.when(in_grid, F.round(F.col(value_col) * F.lit(1_000_000.0)).cast("long"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col, F.session_window(ts_col, gap).alias("win"))
@@ -267,13 +275,18 @@ def session_stream(
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(v).alias("_sum_micro"),
+            # NULL values pass through (sum skips them, as before); a
+            # PRESENT value outside the grid poisons the session's sum
+            F.max(F.col(value_col).isNotNull() & ~in_grid).alias("_oob"),
         )
         .select(
             key_col,
             "session_start",
             "session_end",
             "n_events",
-            round6(F.col("_sum_micro") / F.lit(1_000_000.0)).alias("sum_value"),
+            round6(
+                F.when(~F.col("_oob"), F.col("_sum_micro") / F.lit(1_000_000.0))
+            ).alias("sum_value"),
         )
     )
 

@@ -440,3 +440,37 @@ def test_semantic_match_existing_frozen_index(spark):
     # IS the base
     for r in matched:
         assert r["match_id"] == r["vec_id"] - 10000
+
+
+def test_ivf_query_side_cap_fails_loudly(spark, emb, monkeypatch):
+    """Oversized query sides must raise before occupying the driver
+    (the collected frame rides every task closure)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_seed_centroids, ivf_seeded_topk,
+    )
+
+    monkeypatch.setenv("BFDL_IVF_MAX_QUERIES", "5")
+    cents = ivf_seed_centroids(emb, num_cells=4)
+    with pytest.raises(ValueError, match="query side exceeds 5 rows"):
+        ivf_seeded_topk(emb, emb.limit(6), cents, k=2).collect()
+
+
+def test_ivf_mixed_id_types(spark, emb):
+    """q_id types from the query frame, neighbor_id from the corpus —
+    a string-id query set over a long-id corpus must not mismatch the
+    declared kernel schema (ADVICE r8)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_seed_centroids, ivf_seeded_topk,
+    )
+
+    cents = ivf_seed_centroids(emb, num_cells=4)
+    q = emb.limit(3).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    out = ivf_seeded_topk(emb, q, cents, k=2)
+    assert dict(out.dtypes) == {
+        "q_id": "string", "neighbor_id": "bigint",
+        "cosine": "double", "rnk": "int",
+    }
+    rows = out.collect()
+    assert rows and all(r.q_id.startswith("q") for r in rows)

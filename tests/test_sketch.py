@@ -44,6 +44,25 @@ def test_duplicates_do_not_shift_estimate(spark, ids):
     assert a == b
 
 
+def test_lean_path_drops_exact_pass_and_matches(spark, ids):
+    # include_exact=False: same estimates, no n_exact column, and the
+    # plan carries no full-width value exchange (hash is map-side; the
+    # dedup shuffle moves only (by, hv)) and no count_distinct pass.
+    dup = ids.union(ids).union(ids)
+    lean = kmv_distinct(ids, "v", by=["g"], k=64, include_exact=False)
+    assert lean.columns == ["g", "kmv_estimate"]
+    full = {r.g: r.kmv_estimate for r in kmv_distinct(ids, "v", by=["g"], k=64).collect()}
+    a = {r.g: r.kmv_estimate for r in lean.collect()}
+    b = {
+        r.g: r.kmv_estimate
+        for r in kmv_distinct(dup, "v", by=["g"], k=64, include_exact=False).collect()
+    }
+    assert a == b == full
+    plan = lean._jdf.queryExecution().executedPlan().toString()
+    assert "__v" not in plan  # value column never survives to an exchange
+    assert "count(distinct" not in plan.lower()
+
+
 def test_kmv_quantiles_exact_for_small_groups_and_close_for_large(spark):
     from binance_futures_data_lake_spark.operators.sketch import kmv_quantiles
 

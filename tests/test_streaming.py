@@ -690,3 +690,25 @@ def test_kmv_stream_merge_equals_batch_and_duplicate_insensitive(spark, tmp_path
     assert sorted(os.listdir(os.path.join(state, "kmv"))) == [
         "b-00000", "b-00001", "b-base",
     ]
+
+
+def test_session_stream_out_of_grid_value_poisons_sum(spark):
+    """|value| beyond the 1e-6 LONG grid (~9.2e12) must surface as a NULL
+    sum_value, never a silently wrapped long (ADVICE r8); NULL values
+    still pass through as skip-not-poison."""
+    import datetime as dt
+
+    from binance_futures_data_lake_spark.streaming.pipeline import session_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("ok", t0, 1.5), ("ok", t0 + dt.timedelta(minutes=1), 2.5),
+        ("oob", t0, 1.0), ("oob", t0 + dt.timedelta(minutes=1), 1e13),
+        ("withnull", t0, 3.0), ("withnull", t0 + dt.timedelta(minutes=1), None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {r.user_id: r for r in session_stream(df).collect()}
+    assert got["ok"].sum_value == 4.0
+    assert got["oob"].sum_value is None
+    assert got["withnull"].sum_value == 3.0
+    assert got["withnull"].n_events == 2
