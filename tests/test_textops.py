@@ -804,3 +804,63 @@ def test_bpe_tokenize_stats_applies_learned_merges(spark):
     # empty merge table degenerates to character tokenization
     none = {r.doc_id: r for r in bpe_tokenize_stats(docs, []).collect()}
     assert none[2].n_bpe_tokens == none[2].n_chars_tok
+
+
+def test_bpe_batched_passes_match_sequential_reference(spark):
+    """The batched trainer (several merges per vocab aggregation) must be
+    bit-identical to classic one-merge-at-a-time BPE; pure-Python
+    sequential reference, rich corpus with shared prefixes/suffixes."""
+    import re
+
+    from binance_futures_data_lake_spark.operators.text import bpe_learn_merges
+
+    stems = ["walk", "talk", "jump", "read", "light", "dark", "quick", "slow"]
+    sufs = ["", "ing", "ed", "er", "est", "s"]
+    words = []
+    for i, st in enumerate(stems):
+        for j, su in enumerate(sufs):
+            words += [st + su] * ((i * 7 + j * 3) % 11 + 1)
+    words += ["the"] * 40 + ["and"] * 30 + ["banana"] * 9 + ["bandana"] * 7
+    text = " ".join(words)
+
+    def reference(text, n):
+        vocab = {}
+        for w in re.findall(r"[a-z0-9]+", text.lower()):
+            vocab[w] = vocab.get(w, 0) + 1
+        seqs = {w: list(w) for w in vocab}
+        out = []
+        for step in range(1, n + 1):
+            counts = {}
+            for w, toks in seqs.items():
+                for x, y in zip(toks, toks[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + vocab[w]
+            if not counts:
+                break
+            (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, a, b, a + b, cnt))
+            for w, toks in seqs.items():
+                new, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(toks[i])
+                        i += 1
+                seqs[w] = new
+        return out
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    want = reference(text, 40)
+    got = [
+        (r.step, r.pair_a, r.pair_b, r.merged, r.cnt)
+        for r in bpe_learn_merges(docs, n_merges=40).orderBy("step").collect()
+    ]
+    assert got == want
+    # a tiny scan window degrades batching, never correctness
+    got_narrow = [
+        (r.step, r.pair_a, r.pair_b, r.merged, r.cnt)
+        for r in bpe_learn_merges(docs, n_merges=12, scan_width=2)
+        .orderBy("step").collect()
+    ]
+    assert got_narrow == want[:12]
