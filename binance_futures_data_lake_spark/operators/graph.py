@@ -45,6 +45,8 @@ def connected_components(
     dst: str = "doc_b",
     max_iters: int = 15,
     driver_max_edges: int = 500_000,
+    target_edges_per_partition: int = 2_000_000,
+    on_round=None,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the min node id
     of its component. Output: ``id, comp`` — one row per node that
@@ -80,8 +82,38 @@ def connected_components(
     MIN ID — so the result is identical on either path and independent
     of partitioning, which is what keeps the operator
     DuckDB-oracle-checkable (recursive-CTE transitive closure).
+
+    r9 memory/wall shape (the 100M-probe lessons — results unchanged):
+
+    - **Backward-composed label maps.** The per-round node→root tables
+      compose from the LAST round backward (``g_i = m_i ∘ g_{i+1}`` on
+      ``dom(m_i) ∪ dom(g_{i+1})``), so label recovery is rounds−1 joins
+      of GEOMETRICALLY-SHRINKING maps plus ONE node-sized join — the r8
+      shape maintained a full |nodes|-row label table through every
+      round (K node-sized join jobs, each leaving a node-sized
+      checkpoint in the heap; at 100M nodes that final chain was both
+      the wall tail and most of the 48.5 GB heap floor).
+    - **Adaptive partition width.** The per-round union-find shuffle
+      repartitions to ``n_edges / target_edges_per_partition``
+      partitions (floored at defaultParallelism, capped at 1024): the
+      edge list shrinks geometrically, so any fixed round-1 width is
+      wrong by round 5 — and a too-wide round 1 puts multi-GB
+      neighbor-dicts in each Python worker.
+    - **Round eviction.** Each round's edge list persists
+      (MEMORY_AND_DISK) and the PREVIOUS round unpersists as soon as
+      the new round is materialized — only the current edge list, the
+      geometric mapping tables and ``sym`` stay resident, instead of
+      every round ever computed. (Block loss would recompute through
+      the evicted round — not a local-mode event, and on a cluster the
+      standard persist/recompute trade.)
+    - ``on_round`` (instrumentation only): called after each round with
+      ``{"round", "n_edges", "width", "sec"}`` — scale probes attach
+      REST-API shuffle/spill deltas per round; never affects results.
     """
+    import time
+
     import pandas as pd
+    from pyspark import StorageLevel
 
     # checkpoint the directed list BEFORE symmetrizing: the union
     # references ``edges`` twice, and upstream pair generation (banded
@@ -90,10 +122,16 @@ def connected_components(
     base = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
+    # NO .distinct() here (r9): the in-partition union-find is duplicate-
+    # insensitive and every later round's relabel already dedups — the
+    # initial distinct was a full symmetric-edge-list exchange (15+ GB
+    # shuffled AND spilled at 100M, per the instrumented probe) bought
+    # for nothing. Duplicate input pairs only inflate the loop-control
+    # counts, which is conservative (a dup-heavy list may skip the
+    # driver short-circuit one round later than strictly needed).
     sym = base.union(
         base.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    sym = sym.distinct().localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
     id_type = dict(sym.dtypes)["u"]
 
     def _driver_uf(edge_df) -> dict:
@@ -185,17 +223,23 @@ def connected_components(
             {"node": nodes, "root": roots, "root_prio": [key(r)[0] for r in roots]}
         )
 
-    # labels: original node -> current contracted representative
-    labels = sym.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("cur")
-    ).localCheckpoint(eager=False)
+    # per-round node->root mapping tables; composed BACKWARD after the
+    # loop (see docstring) instead of maintaining a node-sized label
+    # table through every round
+    maps: list[DataFrame] = []
+    min_width = spark.sparkContext.defaultParallelism
     cur = sym
+    prev_persisted = None
+    round_no = 0
     for _ in range(max_iters):
+        t0 = time.perf_counter()
         # one shuffle: all of a node's edges land together (sym holds
         # both directions, so partitioning by u co-locates full
-        # neighborhoods -> whole dense components contract in one pass)
+        # neighborhoods -> whole dense components contract in one pass);
+        # width tracks the CURRENT edge count, not round 1's
+        width = max(min_width, min(1024, -(-n_edges // target_edges_per_partition)))
         m = (
-            cur.repartition("u")
+            cur.repartition(width, "u")
             .mapInPandas(
                 _local_uf, f"node {id_type}, root {id_type}, root_prio long"
             )
@@ -203,14 +247,10 @@ def connected_components(
             .agg(F.min(F.struct("root_prio", "root"))["root"].alias("root"))
             .localCheckpoint(eager=False)
         )
-        labels = (
-            labels.join(m.withColumnRenamed("node", "cur"), "cur", "left")
-            .select("id", F.coalesce("root", "cur").alias("cur"))
-            .localCheckpoint(eager=False)
-        )
+        maps.append(m)
         ru = m.withColumnRenamed("node", "u").withColumnRenamed("root", "ru")
         rv = m.select(F.col("node").alias("v"), F.col("root").alias("rv"))
-        cur = (
+        nxt = (
             cur.join(ru, "u", "left")
             .join(rv, "v", "left")
             .select(
@@ -219,19 +259,62 @@ def connected_components(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        n_edges = cur.count()
+        n_edges = nxt.count()  # materializes nxt AND this round's m
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = cur = nxt
+        round_no += 1
+        if on_round is not None:
+            on_round({
+                "round": round_no, "n_edges": n_edges, "width": width,
+                "sec": round(time.perf_counter() - t0, 3),
+            })
         if n_edges == 0 or (0 < driver_max_edges and n_edges <= driver_max_edges):
             break
+    fin = None
     if n_edges:
         comp = _driver_uf(cur)
         fin = spark.createDataFrame(
             list(comp.items()), f"cur {id_type}, fcomp {id_type}"
         )
+    if prev_persisted is not None:
+        # the survivor edge list is collected (or empty); nothing reads it
+        # again — the labels below derive from sym + maps + fin only
+        prev_persisted.unpersist()
+    # backward composition: g_i(x) = "apply m_i, then m_{i+1..K}" —
+    # g = m_K; then per earlier round, remap m_i's roots through g and
+    # union in g's rows outside dom(m_i). Every join is mapping-sized
+    # (geometric), never node-sized.
+    g = None
+    for m in reversed(maps):
+        if g is None:
+            g = m
+            continue
+        remapped = (
+            m.join(
+                g.select(F.col("node").alias("root"), F.col("root").alias("g_root")),
+                "root",
+                "left",
+            )
+            .select("node", F.coalesce("g_root", "root").alias("root"))
+        )
+        rest = g.join(m.select("node"), "node", "left_anti")
+        g = remapped.unionByName(rest).localCheckpoint(eager=False)
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    if g is not None:
+        labels = (
+            nodes.join(g.withColumnRenamed("node", "id"), "id", "left")
+            .select("id", F.coalesce("root", "id").alias("cur"))
+        )
+    else:
+        labels = nodes.select("id", F.col("id").alias("cur"))
+    if fin is not None:
         labels = labels.join(F.broadcast(fin), "cur", "left").select(
             "id", F.coalesce("fcomp", "cur").alias("cur")
         )
+    labels = labels.localCheckpoint(eager=False)  # read twice below
     # normalize hash-chosen roots to the component MIN ID (the contract
     # every consumer and the oracle rely on): one node-sized agg + join
     mins = labels.groupBy("cur").agg(F.min("id").alias("comp"))

@@ -117,3 +117,36 @@ def test_exact_jaccard_pairs_matches_arrayop_truth(spark):
     assert set(got) == set(truth)
     for k, v in truth.items():
         assert got[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_cc_distributed_multi_round_composition(spark):
+    """r9 rewrite contract: several contraction rounds + the BACKWARD
+    label-map composition must reproduce the driver union-find exactly,
+    on the adversarial monotone-consecutive-id chains, both with the
+    loop running dry (driver_max_edges=0) and with the mid-loop driver
+    short-circuit finishing a partially-contracted survivor list."""
+    edges = [
+        (i, i + 1)
+        for base in (0, 1000, 2000)
+        for i in range(base, base + 199)
+    ]
+    df = _edges(spark, edges)
+    truth = _labels(connected_components(df))
+    assert truth[199] == 0 and truth[1199] == 1000 and truth[2199] == 2000
+    # full distributed contraction (no short-circuit anywhere)
+    assert _labels(connected_components(df, driver_max_edges=0, max_iters=30)) == truth
+    # several distributed rounds, then the driver finish on survivors
+    assert (
+        _labels(connected_components(df, driver_max_edges=50, max_iters=30))
+        == truth
+    )
+
+
+def test_cc_distributed_string_ids(spark):
+    """Non-integral ids take the md5 priority path and the composed maps
+    must carry the string type end to end."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    lab = _labels(connected_components(df, driver_max_edges=0))
+    assert lab == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
