@@ -173,9 +173,401 @@ def flagship_main() -> None:
     spark.stop()
 
 
+def _arg(flag: str, default: int) -> int:
+    return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
+def pq_recall_main() -> None:
+    """Seeded-vs-trained PQ recall at probe scale (VERDICT r8 #2): the
+    committed artifact behind every recall claim in OPERATORS.md. Same
+    clustered generator as the main ANN probe (64d, 32 latent blocks,
+    100 queries, k=10), BOTH book types (seeded ``pq_codebooks`` — the
+    SQL-replayable registry contract — and Lloyd-trained
+    ``pq_codebooks_lloyd`` n_sub=16 × ks=256, the deploy config), ADC and
+    shortlist-reranked recall each, plus a shortlist SWEEP
+    (1000/2000/5000) on the trained books so the deploy story states how
+    recall is bought with shortlist instead of advertising one number.
+    ``--rows`` is the vector count (default 1M)."""
+    n_vecs = _arg("--rows", 1_000_000)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = get_spark("bfdl-pq-recall")
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codebooks_lloyd,
+        pq_rerank_topk,
+    )
+
+    dim, n_latent, ann_k = 64, 32, 10
+    block = n_vecs // n_latent
+
+    def _h01(*cols):
+        return ((F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003) / 1_000_003.0
+
+    clus = F.floor(F.col("vec_id") / block).cast("int")
+    comps = [
+        (
+            (2.0 * _h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.35 * (2.0 * _h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    ann = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+        .cache()
+    )
+    ann.count()
+    annq = ann.filter(
+        (F.col("vec_id") % block < 20) & (F.col("vec_id") < 5 * block)
+    )
+    truth = {(r.q_id, r.neighbor_id) for r in brute_force_topk(ann, annq, k=ann_k).collect()}
+
+    rows: list[dict] = []
+
+    def measure(name: str, books_name: str, df_thunk, extra: dict) -> None:
+        t0 = time.perf_counter()
+        found = {(r.q_id, r.neighbor_id) for r in df_thunk().collect()}
+        rows.append({
+            "stage": name, "books": books_name,
+            "recall_at_10": round(len(found & truth) / len(truth), 4),
+            "sec": round(time.perf_counter() - t0, 2), **extra,
+        })
+
+    t0 = time.perf_counter()
+    seeded = pq_codebooks(ann, n_sub=16, ks=256)
+    seeded_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    trained = pq_codebooks_lloyd(ann, n_sub=16, ks=256, iters=2)
+    trained_sec = round(time.perf_counter() - t0, 2)
+
+    measure("pq_adc", "seeded", lambda: pq_adc_topk(ann, annq, seeded, k=ann_k),
+            {"codebook_sec": seeded_sec})
+    measure("pq_rerank_1000", "seeded",
+            lambda: pq_rerank_topk(ann, annq, seeded, k=ann_k, shortlist=1000), {})
+    measure("pq_adc", "trained", lambda: pq_adc_topk(ann, annq, trained, k=ann_k),
+            {"codebook_sec": trained_sec})
+    for sl in (1000, 2000, 5000):
+        measure(f"pq_rerank_{sl}", "trained",
+                lambda sl=sl: pq_rerank_topk(ann, annq, trained, k=ann_k, shortlist=sl),
+                {"shortlist_pct_of_corpus": round(100.0 * sl / n_vecs, 3)})
+
+    print(json.dumps({
+        "mode": "pq_recall", "n_vectors": n_vecs, "dim": dim,
+        "n_queries": 100, "k": ann_k, "n_sub": 16, "ks": 256, "rows": rows,
+    }))
+    spark.stop()
+
+
+def cc_main() -> None:
+    """Instrumented contraction-CC probe (VERDICT r8 #3): the 10k-chain
+    adversarial graph at ``--rows`` nodes with PER-ROUND shuffle
+    read/write and spill deltas from the Spark REST status API, so the
+    super-linear-wall question (spill vs plan re-materialization) is
+    answered with numbers instead of an asserted analysis. Timing span
+    matches the r8 probe (operator construction through label force), so
+    walls are comparable round over round."""
+    total_rows = _arg("--rows", 10_000_000)
+    # 64g, NOT 100g: the per-round union-find runs in 32 PYTHON workers
+    # whose dicts are off-heap from the JVM's point of view (~1 GB each
+    # at the 2M-edge target width) — a 100g JVM + 32 workers exceeds the
+    # 125 GB box and the KERNEL kills the JVM (observed r9)
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "64g" if total_rows > 20_000_000 else "32g"
+    )
+    spark = get_spark("bfdl-cc-probe", overrides={"spark.ui.enabled": "true"})
+    from binance_futures_data_lake_spark.operators.graph import (
+        connected_components,
+    )
+
+    import urllib.request
+
+    def ui_totals() -> dict:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete"
+            ) as r:
+                st = json.load(r)
+        except Exception:
+            return {}
+        tot = dict.fromkeys(
+            ("shuffle_read_gb", "shuffle_write_gb", "mem_spill_gb", "disk_spill_gb"), 0.0
+        )
+        for s in st:
+            tot["shuffle_read_gb"] += s.get("shuffleReadBytes", 0) / 2**30
+            tot["shuffle_write_gb"] += s.get("shuffleWriteBytes", 0) / 2**30
+            tot["mem_spill_gb"] += s.get("memoryBytesSpilled", 0) / 2**30
+            tot["disk_spill_gb"] += s.get("diskBytesSpilled", 0) / 2**30
+        return {k: round(v, 3) for k, v in tot.items()}
+
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    n_cc = total_rows
+    chain = 10_000
+    cc_edges = (
+        spark.range(n_cc)
+        .filter(F.col("id") % chain != chain - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    rounds: list[dict] = []
+    snap = {"prev": ui_totals()}
+
+    def on_round(info: dict) -> None:
+        cur = ui_totals()
+        info.update({
+            k: round(cur[k] - snap["prev"].get(k, 0.0), 3) for k in cur
+        })
+        info["heap_used_gb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 2**30, 2
+        )
+        snap["prev"] = cur
+        rounds.append(info)
+
+    t0 = time.perf_counter()
+    df = connected_components(cc_edges, max_iters=30, on_round=on_round)
+    force(df)
+    wall = round(time.perf_counter() - t0, 2)
+    label_phase = ui_totals()
+    mislabeled = df.filter(
+        F.col("comp") != (F.col("id") - F.col("id") % chain)
+    ).count()
+    print(json.dumps({
+        "mode": "cc", "stage": f"contraction_cc_{total_rows // 1_000_000}m_chains",
+        "sec": wall, "n_nodes": n_cc, "chain_len": chain,
+        "mislabeled": mislabeled,
+        "rows_per_sec": int(n_cc / wall) if wall else None,
+        "heap_used_gb": round((rt.totalMemory() - rt.freeMemory()) / 2**30, 2),
+        "heap_max_gb": round(rt.maxMemory() / 2**30, 2),
+        "rounds": rounds,
+        "label_phase_deltas": {
+            k: round(label_phase.get(k, 0.0) - snap["prev"].get(k, 0.0), 3)
+            for k in label_phase
+        },
+    }))
+    spark.stop()
+
+
+def bpe_main() -> None:
+    """BPE training probe (VERDICT r8 #5): learn ``--merges`` (default
+    100) merge rules on ``--docs`` (default 1M) synthetic documents and
+    record the PER-MERGE MARGINAL COST — the claim under test is that
+    after the one corpus-sized (word, count) reduction, every subsequent
+    merge is vocab-sized, so the marginal cost per merge is flat in
+    corpus size. Measured as (t(merges) − t(10 merges)) / (merges − 10)
+    at full size, and re-measured at corpus/4: if merges were
+    corpus-sized the marginal would scale ~4×.
+
+    Corpus: syllable-composed words (10k-form lexicon, quadratic-skewed
+    selection) so merges have real structure to find — uniformly random
+    text gives a flat pair distribution and the greedy pass degenerates."""
+    n_docs = _arg("--docs", 1_000_000)
+    n_merges = _arg("--merges", 100)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = get_spark("bfdl-bpe-probe")
+    from binance_futures_data_lake_spark.operators.text import bpe_learn_merges
+
+    sylls = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"][:80]
+    lex = [
+        sylls[i % 80] + sylls[(i // 80) % 80] + (sylls[i // 6400] if i >= 6400 else "")
+        for i in range(10_000)
+    ]
+    lex_lit = F.array(*[F.lit(w) for w in lex])
+
+    def docs_frame(n: int):
+        def u(i: int):
+            return (
+                (F.xxhash64(F.col("id"), F.lit(i)) % 1_000_003 + 1_000_003)
+                % 1_000_003
+            ) / 1_000_003.0
+
+        words = [
+            F.element_at(
+                lex_lit, (F.floor(F.pow(u(i), F.lit(2.0)) * 10_000) + 1).cast("int")
+            )
+            for i in range(20)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+        )
+
+    def train(n: int, merges: int) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        got = bpe_learn_merges(docs_frame(n), n_merges=merges).count()
+        return round(time.perf_counter() - t0, 2), got
+
+    train(min(n_docs, 50_000), 3)  # untimed JVM/Arrow warmup
+    base_sec, base_got = train(n_docs, 10)
+    full_sec, full_got = train(n_docs, n_merges)
+    quarter_sec, quarter_got = train(n_docs // 4, n_merges)
+    quarter_base_sec, _ = train(n_docs // 4, 10)
+    marginal_full = round((full_sec - base_sec) / max(full_got - base_got, 1), 4)
+    marginal_quarter = round(
+        (quarter_sec - quarter_base_sec) / max(quarter_got - 10, 1), 4
+    )
+    print(json.dumps({
+        "mode": "bpe", "n_docs": n_docs, "n_word_instances": n_docs * 20,
+        "lexicon_forms": 10_000,
+        "merges_requested": n_merges,
+        "full": {"sec": full_sec, "merges_learned": full_got},
+        "ten_merge_baseline": {"sec": base_sec, "merges_learned": base_got},
+        "quarter_corpus": {
+            "sec": quarter_sec, "merges_learned": quarter_got,
+            "baseline_sec": quarter_base_sec,
+        },
+        "marginal_sec_per_merge_full": marginal_full,
+        "marginal_sec_per_merge_quarter": marginal_quarter,
+    }))
+    spark.stop()
+
+
+def streaming_main() -> None:
+    """Streaming delta-state volume probe (VERDICT r8 #7): drive the
+    three sketch families' foreachBatch sinks with ``--batches`` (default
+    100) generated micro-batches of ``--rows-per-batch`` (default 1M)
+    events each, then measure what the r9 compaction fold buys: state
+    files and merge-on-read wall BEFORE the fold vs AFTER, with the
+    estimate asserted equal across the fold (read-after-fold ==
+    read-before-fold is the compaction contract). Batches invoke the
+    exact sink callables foreachBatch would (the sinks are the ingest
+    path — the probe skips only the file-source plumbing the pytest tier
+    already pins) and are generated in-plan, batch-seeded so replays are
+    deterministic."""
+    import shutil
+    import tempfile
+
+    n_batches = _arg("--batches", 100)
+    rows_per_batch = _arg("--rows-per-batch", 1_000_000)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = get_spark("bfdl-streaming-probe")
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        cms_delta_sink,
+        compact_state,
+        hll_delta_sink,
+        init_cms_state,
+        init_hll_state,
+        init_kmv_state,
+        kmv_delta_sink,
+        read_cms_state,
+        read_hll_state,
+        read_kmv_state,
+    )
+
+    def batch_frame(bid: int):
+        # ~100k distinct users across all batches, skewed; event ids unique
+        hot = F.pmod(F.xxhash64(F.col("id"), F.lit("hot")), F.lit(10)) < 3
+        uid = (
+            F.when(hot, F.pmod(F.xxhash64(F.col("id"), F.lit(bid)), F.lit(100)))
+            .otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit(bid + 7)), F.lit(100_000)))
+        )
+        return spark.range(rows_per_batch).select(
+            (F.col("id") + bid * rows_per_batch).alias("event_id"),
+            F.concat(F.lit("u"), uid.cast("string")).alias("user_id"),
+            F.concat(
+                F.lit("t"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit("ty")), F.lit(4)).cast("string"),
+            ).alias("event_type"),
+        )
+
+    root = tempfile.mkdtemp(prefix="bfdl_stream_probe_")
+    out: dict = {
+        "mode": "streaming", "n_batches": n_batches,
+        "rows_per_batch": rows_per_batch,
+    }
+    try:
+        empty = spark.range(0).select(
+            F.col("id").alias("event_id"),
+            F.lit("u").alias("user_id"),
+            F.lit("t0").alias("event_type"),
+        )
+        init_cms_state(empty, root)
+        init_hll_state(empty, root)
+        init_kmv_state(empty, root, k=1024)
+        sinks = {
+            "cms": cms_delta_sink(root),
+            "hll": hll_delta_sink(root),
+            "kmv": kmv_delta_sink(root, k=1024),
+        }
+        t0 = time.perf_counter()
+        for bid in range(n_batches):
+            b = batch_frame(bid)
+            for s in sinks.values():
+                s(b, bid)
+        ingest_sec = round(time.perf_counter() - t0, 2)
+        out["ingest_sec_all_families"] = ingest_sec
+        out["ingest_rows_per_sec"] = int(n_batches * rows_per_batch / ingest_sec)
+
+        def state_files() -> int:
+            return sum(
+                1
+                for _dir, _sub, files in os.walk(root)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        def reads() -> dict:
+            t = {}
+            t0 = time.perf_counter()
+            cms = {
+                (r.seed, r.bucket): r.cnt
+                for r in read_cms_state(spark, root).collect()
+            }
+            t["cms_read_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            hll = {
+                (r.event_type, r.bucket): r.mx
+                for r in read_hll_state(spark, root).collect()
+            }
+            t["hll_read_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            kmv = sorted(
+                (r.event_type, r.hv)
+                for r in read_kmv_state(spark, root, k=1024).collect()
+            )
+            t["kmv_read_sec"] = round(time.perf_counter() - t0, 2)
+            return {"walls": t, "cms": cms, "hll": hll, "kmv": kmv}
+
+    except Exception:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    try:
+        before = reads()
+        out["state_parquet_files_before_fold"] = state_files()
+        out["merge_on_read_before_fold"] = before["walls"]
+        t0 = time.perf_counter()
+        folded = compact_state(spark, root, kmv_k=1024)
+        out["fold_sec"] = round(time.perf_counter() - t0, 2)
+        out["folded_families"] = sorted(folded)
+        after = reads()
+        out["state_parquet_files_after_fold"] = state_files()
+        out["merge_on_read_after_fold"] = after["walls"]
+        assert before["cms"] == after["cms"], "CMS fold changed the sketch"
+        assert before["hll"] == after["hll"], "HLL fold changed the registers"
+        assert before["kmv"] == after["kmv"], "KMV fold changed the k-min set"
+        out["read_equality_after_fold"] = True
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     if "--flagship" in sys.argv:
         flagship_main()
+        return
+    if "--pq-recall" in sys.argv:
+        pq_recall_main()
+        return
+    if "--cc" in sys.argv:
+        cc_main()
+        return
+    if "--bpe" in sys.argv:
+        bpe_main()
+        return
+    if "--streaming" in sys.argv:
+        streaming_main()
         return
     total_rows = int(sys.argv[sys.argv.index("--rows") + 1]) if "--rows" in sys.argv else 10_000_000
     n_symbols = 100
@@ -604,8 +996,9 @@ def main() -> None:
     # on clustered data and measured recall ≈ 0 here), 16 subspaces ×
     # 256 codewords → 16 one-byte codes/vector (32× compression vs
     # float64), ADC scan in one zero-shuffle kernel pass, shortlist-1000
-    # exact re-rank on top (measured 0.23 ADC / 0.99 reranked recall at
-    # the 100k dry run).
+    # exact re-rank on top. Recall claims live in the dedicated
+    # ``--pq-recall`` mode (seeded-vs-trained + shortlist sweep at 1M);
+    # this stage's claim is the wall/exchange shape.
     from binance_futures_data_lake_spark.operators.similarity import (
         pq_adc_topk,
         pq_codebooks_lloyd,
