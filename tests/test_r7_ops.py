@@ -351,16 +351,64 @@ def test_pq_codebooks_lloyd_recall_and_determinism(spark):
     assert all(len(cw) == 4 for b in trained for cw in b)
     # Lloyd training must beat the seeded draw on clustered data
     assert recall(trained) > recall(seeded)
-    # deploy-config floor (VERDICT r7 #4): trained books + shortlist-1000
-    # exact re-rank must recover >= 0.95 of brute-force truth on the
-    # clustered corpus — the production recommendation's contract
-    from binance_futures_data_lake_spark.operators.similarity import pq_rerank_topk
-
-    rr = {
-        (r.q_id, r.neighbor_id)
-        for r in pq_rerank_topk(ann, q, trained, k=5, shortlist=1000).collect()
-    }
-    assert len(rr & truth) / len(truth) >= 0.95
     # pure function of (corpus, params): bit-identical on re-run
     assert trained == pq_codebooks_lloyd(ann, n_sub=4, ks=16, iters=2)
+    ann.unpersist()
+
+
+def test_pq_rerank_recall_floor_shortlist_scaled(spark):
+    """Deploy-floor contract, RE-SCALED (VERDICT r8 #1): the r7 floor test
+    ran shortlist=1000 against a 4,000-vector corpus — the shortlist
+    covered 25% of the corpus, so its ">= 0.95" was near-vacuous. Here
+    the corpus is 50k and the shortlists are 1000 (2%) and 2000 (4%);
+    floors sit just under what this config MEASURABLY achieves on the
+    deterministic generator (0.61 / 0.79), and the test pins the two
+    properties a deployment actually relies on: exact re-rank recovers
+    far above raw ADC recall, and recall is monotonically bought with
+    shortlist. The headline deploy numbers are the 1M probe's
+    (SCALE_PROBE_r9 pq_recall_1m: 64d, n_sub=16 × ks=256 trained books —
+    ADC 0.125; rerank 0.89 @ 0.1%, 0.953 @ 0.2%, 0.99 @ 0.5% of corpus)."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebooks_lloyd,
+        pq_rerank_topk,
+    )
+
+    def h01(*cols):
+        return (
+            (F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003
+        ) / 1_000_003.0
+
+    clus = (F.col("vec_id") % 8).cast("int")
+    comps = [
+        (
+            (2.0 * h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.4 * (2.0 * h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(16)
+    ]
+    ann = (
+        spark.range(50_000)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+        .cache()
+    )
+    q = ann.filter(F.col("vec_id") < 20)
+    truth = {(r.q_id, r.neighbor_id) for r in brute_force_topk(ann, q, k=5).collect()}
+    trained = pq_codebooks_lloyd(ann, n_sub=4, ks=16, iters=2)
+
+    def recall(df):
+        got = {(r.q_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    adc = recall(pq_adc_topk(ann, q, trained, k=5))
+    rr1000 = recall(pq_rerank_topk(ann, q, trained, k=5, shortlist=1000))
+    rr2000 = recall(pq_rerank_topk(ann, q, trained, k=5, shortlist=2000))
+    # rerank recovers far above raw ADC at a 2% shortlist
+    assert adc <= 0.2 and rr1000 >= 0.5 and rr1000 >= adc + 0.3
+    # recall is bought with shortlist — the deploy knob is monotone
+    assert rr2000 >= 0.7 and rr2000 > rr1000
     ann.unpersist()
