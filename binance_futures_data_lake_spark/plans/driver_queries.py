@@ -8736,71 +8736,51 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-8 rotation (executing the r7 NOTE + VERDICT r7 #1).
-    # Invariant: every oracle query driver-green within the last THREE
-    # rounds, SELFCHECK-green every round. Ages entering r8: 30 r5-aged
-    # (r05 row, 3 rounds old — MANDATORY), 50 r6-checked, 50 r7-checked,
-    # 1 rows-only-by-design (ml_lr_embeddings); registry grew to 135
-    # (134 oracle + 1 rows-only) with the four r8-NEW queries below.
-    # Prefix composition (exactly 50):
-    #   4 r8-NEW (streaming_hll_distinct, bpe_learn_merges,
-    #   streaming_kmv_distinct, bpe_tokenize_stats)
-    # + 9 behavior-touched in r8 (engine paths changed this round, so
-    #   their prior rows predate the code: IVF tiers now score through
-    #   the shared cell-scoped GEMM kernel -> ann_ivf_topk,
-    #   ann_ivf_seeded_topk, retrieval_eval_ivf, retrieval_pipeline,
-    #   hard_negative_mining; HLL lost its pre-distinct exchange ->
-    #   hll_distinct_users; pagerank DECIMAL headroom ->
-    #   user_interaction_pagerank; snapshot_diff NULL type-tag ->
-    #   corpus_release_diff; fixed-point session sum ->
-    #   streaming_sessionization)
-    # + 5 late-r7 behavior-touched (contraction-CC/shared-kernel rewrite
-    #   landed AFTER the r7 driver gate: dedup_clusters, cluster_split,
-    #   knn_graph_components, semantic_dedup, incremental_semantic_dedup)
-    # + 30 r5-aged mandatory core
-    # + 2 fill from the r6-checked block, oldest capabilities first
-    #   (streaming_simhash_dedup, c4_quality_flags; dsir_select,
-    #   bm25_topk and temperature_mixture were fills until the r8-NEW
-    #   queries took the slots — never-checked beats 2-rounds-aged).
+    # Round-9 rotation (executing the r8 NOTE at this spot + VERDICT r8
+    # #1). Invariant: every oracle query driver-green within the last
+    # THREE rounds, SELFCHECK-green every round. Ages entering r9:
+    # 41 r6-checked (3 rounds old — MANDATORY, the whole head block of
+    # the r8 tail), 43 r7-checked, 50 r8-checked, 1 rows-only-by-design
+    # (ml_lr_embeddings). No r9-NEW queries (r9 work was probes,
+    # calibration and engine-path changes), so the prefix is exactly:
+    # 41 mandatory + 9 behavior-touched fills (engine paths changed
+    # since their last driver row):
+    #   bpe_learn_merges / bpe_tokenize_stats — batched-pass trainer
+    #     rewrite (bb28078) replaced the per-merge aggregation loop;
+    #   kmv_distinct_users — kmv_distinct rerouted through the
+    #     kmv_state k-min fold + include_exact opt-out (e8e2121);
+    #   streaming_kmv_distinct — kmv_estimate_from_state divisor guard
+    #     + the compaction-aware _read_state self-heal (c502ad4);
+    #   streaming_cms_heavy_hitters — _read_state self-heal, and the
+    #     OLDEST streaming-sketch row (r7);
+    #   streaming_sessionization — fixed-point sum overflow poison;
+    #   dedup_clusters / knn_graph_components — connected_components r9
+    #     rewrite (backward-composed label maps, adaptive width, round
+    #     eviction, on_round hook);
+    #   ann_ivf_topk — _cell_scored_topk query-side row-cap guard +
+    #     per-side id-type derivation, representing the 5-query IVF
+    #     family that shares the one kernel (the other four are
+    #     r8-checked and pinned by the e8e2121 pytest additions).
+    # Not re-checked despite a touched read path (documented trade —
+    # the prefix is 50): ann_ivf_seeded_topk, retrieval_eval_ivf,
+    # retrieval_pipeline, hard_negative_mining (same shared kernel as
+    # ann_ivf_topk), streaming_hll_distinct, streaming_simhash_dedup
+    # (read-path-only _read_state change; r8-checked; compaction tests
+    # pin read-equality), cluster_split, curation_pipeline*,
+    # incremental_corpus_dedup* (CC consumers — *already in the
+    # mandatory 41 or covered by the dedup_clusters fill). All 134
+    # oracle queries stay SELFCHECK-green at HEAD regardless.
     #
-    # r9 NOTE (execute next round): entering r9, the 41 r6-checked
-    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r06 row
-    # that is 3 rounds old — they are the MANDATORY core of the r9
-    # prefix (41 + any r9-NEW/behavior-touched leaves ~9 fill slots
-    # from the 43-entry r7-checked block that follows them, oldest
-    # capabilities first). The r5-aged/late-r7/behavior-touched names
-    # checked THIS round sit at the END of the tail (freshest).
-    # --- r8-NEW ---
-    "streaming_hll_distinct", "bpe_learn_merges", "streaming_kmv_distinct",
-    "bpe_tokenize_stats",
-    # --- behavior-touched in r8 ---
-    "ann_ivf_topk", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
-    "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
-    "user_interaction_pagerank", "corpus_release_diff",
-    "streaming_sessionization",
-    # --- late-r7 behavior-touched (r7 NOTE / VERDICT r7 #1) ---
-    "dedup_clusters", "cluster_split", "knn_graph_components",
-    "semantic_dedup", "incremental_semantic_dedup",
-    # --- the 30 r5-aged (CORRECTNESS_r05 row is 3 rounds old) ---
-    "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
-    "user_sessions", "kmv_distinct_users", "zscore_er_slope",
-    "asof_user_hourly", "bucket_stats_daily", "cosine_topk",
-    "cumsum_runmax", "dedup_keep_last", "doc_exact_dedup",
-    "events_pivot_daily", "funnel_click_purchase", "gap_ranges_hourly",
-    "lag_lead_returns", "lang_stats", "ohlcv_5m", "ohlcv_1h_right_closed",
-    "ohlcv_daily_cascade", "pricing_summary", "quantile_value_by_type",
-    "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
-    "rolling_stats", "sampled_revenue_by_nation", "top_orders",
-    "true_range_atr", "vwap_daily",
-    # --- 2 fill from the r6-checked block (2 rounds old) ---
-    "streaming_simhash_dedup", "c4_quality_flags",
-]
-_ORACLE_TAIL = [
-    # Head block: the 41 r6-checked queries not reached by the r8 prefix
-    # — 3 rounds old entering r9, the MANDATORY core of the r9 prefix.
+    # r10 NOTE (execute next round): entering r10, the 42 r7-checked
+    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r07 row
+    # that is 3 rounds old — they are the MANDATORY core of the r10
+    # prefix (42 + any r10-NEW/behavior-touched leaves ~8 fill slots
+    # from the 42-entry r8-checked block that follows, oldest
+    # capabilities first). The names checked THIS round (this _FRONT)
+    # are 1 round old entering r10 and sit freshest.
+    # --- the 41 r6-aged (CORRECTNESS_r06 row is 3 rounds old) ---
     "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
-    "media_image_near_dup",
-    "media_audio_near_dup",
+    "media_image_near_dup", "media_audio_near_dup",
     "streaming_incremental_dedup", "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "kmv_quantile_value_by_type", "priority_ship_exists",
@@ -8815,12 +8795,19 @@ _ORACLE_TAIL = [
     "doc_repetition", "gopher_quality_flags", "retention_cohorts",
     "top_ngrams", "export_shard_manifest", "mixture_sample_sources",
     "rma_atr_hourly",
-    # r7-checked block (CORRECTNESS_r07 row; 2 rounds old entering r9 —
-    # the r9 fill pool, oldest capabilities first).
+    # --- 9 r9 behavior-touched fills (rationale above) ---
+    "bpe_learn_merges", "bpe_tokenize_stats", "kmv_distinct_users",
+    "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
+    "streaming_sessionization", "dedup_clusters", "knn_graph_components",
+    "ann_ivf_topk",
+]
+_ORACLE_TAIL = [
+    # Head block: the 42 r7-checked queries not reached by the r8/r9
+    # prefixes — 3 rounds old entering r10, the MANDATORY core of the
+    # r10 prefix.
     "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
     "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
     "pretrain_data_pipeline", "token_weighted_sample",
-    "streaming_cms_heavy_hitters",
     "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
     "minhash_signatures", "simhash_values", "case_label_ladder",
     "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
@@ -8833,8 +8820,24 @@ _ORACLE_TAIL = [
     "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
     "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
     "ichimoku_hourly",
+    # r8-checked block (CORRECTNESS_r08 row; 2 rounds old entering r10
+    # — the r10 fill pool, oldest capabilities first).
+    "streaming_hll_distinct", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
+    "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
+    "user_interaction_pagerank", "corpus_release_diff", "cluster_split",
+    "semantic_dedup", "incremental_semantic_dedup",
+    "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
+    "user_sessions", "zscore_er_slope", "asof_user_hourly",
+    "bucket_stats_daily", "cosine_topk", "cumsum_runmax",
+    "dedup_keep_last", "doc_exact_dedup", "events_pivot_daily",
+    "funnel_click_purchase", "gap_ranges_hourly", "lag_lead_returns",
+    "lang_stats", "ohlcv_5m", "ohlcv_1h_right_closed",
+    "ohlcv_daily_cascade", "pricing_summary", "quantile_value_by_type",
+    "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
+    "rolling_stats", "sampled_revenue_by_nation", "top_orders",
+    "true_range_atr", "vwap_daily", "streaming_simhash_dedup",
+    "c4_quality_flags",
 ]
-
 
 def _reorder_registry() -> None:
     front = [n for n in _FRONT if n in QUERIES and n in ORACLE]
