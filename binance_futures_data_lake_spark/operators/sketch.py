@@ -432,7 +432,22 @@ def kmv_state(
     (streaming/pipeline.py kmv_delta_sink / read_kmv_state; the CMS/HLL
     argument with k-smallest-union for sum/max). ≤ ``|groups|·k`` rows;
     duplicate-insensitive (same value → same hash → dedup collapses
-    it)."""
+    it).
+
+    Two-phase rank (r9): a lone ``row_number`` over
+    ``partitionBy(by)`` puts each group's ENTIRE distinct hash set in
+    one task's sort — with few groups that is a single-task sort of
+    everything, the classic few-groups window scale-killer. The same
+    monoid that makes the state mergeable makes a local prune exact:
+    the k smallest of a union of per-partition k-smallest sets ARE the
+    k smallest of the union, so phase 1 ranks within
+    ``(spark_partition_id, by)`` (parallelism = input partitions,
+    whatever the pid assignment — the union above is a superset of the
+    global k-min for ANY partitioning) and the global rank runs on
+    ≤ ``partitions·k·|groups|`` survivors. Measured identical output
+    and wall-parity at 10M×4-groups local; at cluster scale phase 1 is
+    the difference between one task sorting a group's billions of
+    hashes and every input partition sorting its own slice."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     by = list(by)
@@ -440,9 +455,17 @@ def kmv_state(
         df.select(*by, uniform_hash(F.col(value_col)).alias("hv"))
         .distinct()
     )
+    pruned = (
+        hashed.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrn",
+            F.row_number().over(Window.partitionBy("__pid", *by).orderBy("hv")),
+        )
+        .filter(F.col("__lrn") <= k)
+    )
     w = Window.partitionBy(*by).orderBy("hv")
     return (
-        hashed.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(*by, "hv")
     )
