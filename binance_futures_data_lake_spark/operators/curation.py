@@ -928,8 +928,17 @@ def weighted_sample_topk(
     Efraimidis–Spirakis A-Res reservoir keys (Inf. Proc. Letters 2006):
     rank every row by ``key = ln(u)^(1/w)``-equivalent log-form
     ``ln(u) / w`` (u uniform, w > 0) and keep the ``k`` largest per
-    group. One pass, no RNG state, trivially distributed: the rank is a
-    per-group top-k window (TakeOrderedAndProject shape when ungrouped).
+    group. One pass, no RNG state, trivially distributed.
+
+    Two-phase rank (r9, the sketch.kmv_state treatment): a lone
+    ``row_number`` over ``partitionBy(by)`` sorts each group's ENTIRE
+    row set in one task — with few groups (sources/domains, the typical
+    ``by``) that is the single-task-per-group window scale-killer. The
+    reservoir key ``(__es desc, key)`` is a total order, so the top-k
+    of a union of per-partition top-k sets IS the global top-k for any
+    partitioning: phase 1 ranks within ``(spark_partition_id, by)`` at
+    input-partition parallelism, the global rank runs on
+    ≤ ``partitions·k·|groups|`` survivors. Output identical.
 
     This is the pretraining sampler for "draw a token-budget-sized
     subset proportional to document length/quality" — unlike the
@@ -957,13 +966,26 @@ def weighted_sample_topk(
     ).cast("long")
     u = (h + F.lit(1)) / F.lit(TWO_POW_60)
     es = round6(F.log(u)) / F.col(weight_col)
+    pruned = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es", es)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrk",
+            F.row_number().over(
+                Window.partitionBy("__pid", *[F.col(c) for c in by]).orderBy(
+                    F.col("__es").desc(), F.col(key_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
         F.col("__es").desc(), F.col(key_col).asc()
     )
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("__es", es)
-        .withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .withColumn("es_key", round6(F.col("__es")))
         .drop("__es")

@@ -104,29 +104,52 @@ def kmv_quantiles(
     (6-dp, linear interpolation — Spark ``percentile`` ≡ DuckDB
     ``quantile_cont``).
 
-    Scale note: like :func:`kmv_distinct`, this DataFrame formulation
-    shuffles the rows once to rank hashes per group; the bounded-memory
-    form keeps k (hash, value) pairs per partition and merges (min-k
-    sets are trivially mergeable) — a TypedImperativeAggregate away, the
-    same trade approx_percentile already makes with its GK sketch, which
-    (like HLL) is not oracle-checkable across engines.
+    Scale shape (r9, the :func:`kmv_state` two-phase treatment): the r8
+    form ran BOTH a window count and the sample rank over
+    ``partitionBy(by)`` — each puts a group's ENTIRE row set in one
+    task (the few-groups window scale-killer, twice). Now the true
+    count is a partial-aggregated ``groupBy`` (broadcast-joined back),
+    and the sample rank is two-phase — per-(input-partition, group)
+    k-min prune, then the global rank on ≤ ``partitions·k·|groups|``
+    survivors; exact for any partitioning because ``(__h, __key)`` is a
+    total order over unique keys, so the union of per-partition k-min
+    sets contains the global k-min. The bounded-memory endgame (k pairs
+    per partition inside a TypedImperativeAggregate, the
+    approx_percentile trade) remains the noted alternative; its GK
+    sketch is not oracle-checkable across engines.
     """
-    s = (
+    by = list(by)
+    s0 = (
         df.select(*by, F.col(value_col).alias("__v"), F.col(key_col).alias("__key"))
         .withColumn("__h", uniform_hash(F.col("__key")))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*by)))
+    )
+    cnt = s0.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
+    pruned = (
+        s0.withColumn("__pid", F.spark_partition_id())
         .withColumn(
+            "__lrn",
+            F.row_number().over(
+                Window.partitionBy("__pid", *by).orderBy("__h", "__key")
+            ),
+        )
+        .filter(F.col("__lrn") <= k)
+    )
+    s = (
+        pruned.withColumn(
             "__rn",
             F.row_number().over(Window.partitionBy(*by).orderBy("__h", "__key")),
         )
         .filter(F.col("__rn") <= k)
     )
-    aggs = [F.max("__n").alias("n")]
+    aggs = []
     for q in qs:
         aggs.append(
             round6(F.expr(f"percentile(__v, {q})")).alias(f"p{int(round(q * 100))}")
         )
-    return s.groupBy(*by).agg(*aggs)
+    out = s.groupBy(*by).agg(*aggs)
+    joined = out.join(F.broadcast(cnt), by) if by else out.crossJoin(F.broadcast(cnt))
+    names = [f"p{int(round(q * 100))}" for q in qs]
+    return joined.select(*by, "n", *names)
 
 
 def cms_build(

@@ -8757,12 +8757,14 @@ _FRONT = [
     #   dedup_clusters / knn_graph_components — connected_components r9
     #     rewrite (backward-composed label maps, adaptive width, round
     #     eviction, on_round hook);
-    #   ann_ivf_topk — _cell_scored_topk query-side row-cap guard +
-    #     per-side id-type derivation, representing the 5-query IVF
-    #     family that shares the one kernel (the other four are
-    #     r8-checked and pinned by the e8e2121 pytest additions).
+    #   token_weighted_sample — weighted_sample_topk two-phase rank
+    #     rewrite (r9) AND the oldest candidate row (r7); took the slot
+    #     the guard-only _cell_scored_topk change (ann_ivf_topk) held
+    #     first — the IVF family's r9 change is a row-cap guard +
+    #     per-side id typing pinned by the e8e2121 pytest additions,
+    #     all five queries r8-checked.
     # Not re-checked despite a touched read path (documented trade —
-    # the prefix is 50): ann_ivf_seeded_topk, retrieval_eval_ivf,
+    # the prefix is 50): ann_ivf_topk, ann_ivf_seeded_topk, retrieval_eval_ivf,
     # retrieval_pipeline, hard_negative_mining (same shared kernel as
     # ann_ivf_topk), streaming_hll_distinct, streaming_simhash_dedup
     # (read-path-only _read_state change; r8-checked; compaction tests
@@ -8799,7 +8801,7 @@ _FRONT = [
     "bpe_learn_merges", "bpe_tokenize_stats", "kmv_distinct_users",
     "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
     "streaming_sessionization", "dedup_clusters", "knn_graph_components",
-    "ann_ivf_topk",
+    "token_weighted_sample",
 ]
 _ORACLE_TAIL = [
     # Head block: the 42 r7-checked queries not reached by the r8/r9
@@ -8807,7 +8809,7 @@ _ORACLE_TAIL = [
     # r10 prefix.
     "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
     "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
-    "pretrain_data_pipeline", "token_weighted_sample",
+    "pretrain_data_pipeline",
     "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
     "minhash_signatures", "simhash_values", "case_label_ladder",
     "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
@@ -8822,7 +8824,8 @@ _ORACLE_TAIL = [
     "ichimoku_hourly",
     # r8-checked block (CORRECTNESS_r08 row; 2 rounds old entering r10
     # — the r10 fill pool, oldest capabilities first).
-    "streaming_hll_distinct", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
+    "streaming_hll_distinct", "ann_ivf_topk", "ann_ivf_seeded_topk",
+    "retrieval_eval_ivf",
     "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
     "user_interaction_pagerank", "corpus_release_diff", "cluster_split",
     "semantic_dedup", "incremental_semantic_dedup",

@@ -100,3 +100,33 @@ def test_kmv_quantiles_stable_across_partitioning(spark):
     a = kmv_quantiles(df, "v", "key", k=128).collect()[0]
     b = kmv_quantiles(df.repartition(13), "v", "key", k=128).collect()[0]
     assert (a.n, a.p50, a.p95) == (b.n, b.p50, b.p95)
+
+
+def test_two_phase_rank_partitioning_invariance(spark):
+    """The r9 per-partition k-min prune (kmv_state, kmv_quantiles,
+    weighted_sample_topk) must be exact for ANY input partitioning —
+    the k-smallest-of-a-union-of-per-partition-k-smallest theorem."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_data_lake_spark.operators.curation import (
+        weighted_sample_topk,
+    )
+    from binance_futures_data_lake_spark.operators.sketch import (
+        kmv_quantiles,
+        kmv_state,
+    )
+
+    df = spark.range(5_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("grp"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).cast("double").alias("w"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    for fn in (
+        lambda d: kmv_state(d, "key", ["grp"], k=16),
+        lambda d: kmv_quantiles(d, "v", "key", ["grp"], k=32, qs=(0.5,)),
+        lambda d: weighted_sample_topk(d, "key", "w", k=7, by=["grp"]),
+    ):
+        one = sorted(map(tuple, fn(df.repartition(1)).collect()))
+        many = sorted(map(tuple, fn(df.repartition(16)).collect()))
+        assert one == many and one
