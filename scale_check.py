@@ -553,6 +553,115 @@ def streaming_main() -> None:
     spark.stop()
 
 
+def streaming_dedup_main() -> None:
+    """Dedup-family compaction probe (companion to ``--streaming``): the
+    three ROW-SIZED state families (corpus / sig / exact) under a real
+    incremental-dedup ingest — ``--batches`` (default 30) micro-batches
+    of ``--rows-per-batch`` (default 100k) docs through the actual
+    ``incremental_dedup_sink`` (per batch: within-batch exact rule,
+    md5 + MinHash-band classification against the GROWING persisted
+    state, batch-addressed state appends), then the fold: state files
+    and merge-on-read walls before vs after ``compact_state``, with
+    row-set equality asserted per family (identity-union monoid — fold
+    must change nothing but the file layout). Docs are ~10% exact dups
+    of earlier docs, so the classifier path does real work."""
+    import shutil
+    import tempfile
+
+    n_batches = _arg("--batches", 30)
+    rows_per_batch = _arg("--rows-per-batch", 100_000)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = get_spark("bfdl-streaming-dedup-probe")
+    from binance_futures_data_lake_spark.streaming.pipeline import (
+        _read_state,
+        compact_state,
+        incremental_dedup_sink,
+        init_dedup_state,
+    )
+
+    def batch_frame(bid: int):
+        # 90% unique docs, 10% exact duplicates of doc (id % earlier)
+        gid = F.col("id") + bid * rows_per_batch
+        dup = F.pmod(F.xxhash64(gid, F.lit("d")), F.lit(10)) == 0
+        src = F.when(
+            dup & (gid > 0), F.pmod(F.xxhash64(gid, F.lit("s")), gid)
+        ).otherwise(gid)
+        words = [
+            F.md5(F.concat(src.cast("string"), F.lit(f"w{i}"))) for i in range(8)
+        ]
+        return spark.range(rows_per_batch).select(
+            gid.alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+        )
+
+    root = tempfile.mkdtemp(prefix="bfdl_dedup_probe_")
+    out_dir = tempfile.mkdtemp(prefix="bfdl_dedup_out_")
+    out: dict = {
+        "mode": "streaming_dedup", "n_batches": n_batches,
+        "rows_per_batch": rows_per_batch,
+    }
+    try:
+        empty = spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text")
+        )
+        init_dedup_state(empty, root)
+        sink = incremental_dedup_sink(root, out_dir)
+        t0 = time.perf_counter()
+        for bid in range(n_batches):
+            sink(batch_frame(bid), bid)
+        ingest_sec = round(time.perf_counter() - t0, 2)
+        out["ingest_sec"] = ingest_sec
+        out["ingest_docs_per_sec"] = int(n_batches * rows_per_batch / ingest_sec)
+
+        def state_files() -> int:
+            return sum(
+                1
+                for _d, _s, files in os.walk(root)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        def reads() -> dict:
+            # count + order-insensitive content checksum per family:
+            # sum(xxhash64(*cols)) wraps deterministically (non-ANSI),
+            # so equal multisets => equal (count, checksum) pairs without
+            # collecting 48M sig rows to the driver
+            walls, counts, sums = {}, {}, {}
+            for fam in ("corpus", "sig", "exact"):
+                t0 = time.perf_counter()
+                st = _read_state(spark, os.path.join(root, fam))
+                row = st.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64(*st.columns)).alias("cs"),
+                ).collect()[0]
+                counts[fam], sums[fam] = row["n"], row["cs"]
+                walls[fam] = round(time.perf_counter() - t0, 2)
+            return {"walls": walls, "counts": counts, "checksums": sums}
+
+        before = reads()
+        out["state_parquet_files_before_fold"] = state_files()
+        out["merge_on_read_before_fold"] = {
+            k: before[k] for k in ("walls", "counts")
+        }
+        t0 = time.perf_counter()
+        folded = compact_state(spark, root)
+        out["fold_sec"] = round(time.perf_counter() - t0, 2)
+        out["folded_families"] = sorted(folded)
+        after = reads()
+        out["state_parquet_files_after_fold"] = state_files()
+        out["merge_on_read_after_fold"] = {
+            k: after[k] for k in ("walls", "counts")
+        }
+        assert before["counts"] == after["counts"], "fold changed row counts"
+        assert before["checksums"] == after["checksums"], "fold changed content"
+        assert all(before["counts"].values()), "a state family is empty"
+        out["read_equality_after_fold"] = True
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     if "--flagship" in sys.argv:
         flagship_main()
@@ -565,6 +674,9 @@ def main() -> None:
         return
     if "--bpe" in sys.argv:
         bpe_main()
+        return
+    if "--streaming-dedup" in sys.argv:
+        streaming_dedup_main()
         return
     if "--streaming" in sys.argv:
         streaming_main()
