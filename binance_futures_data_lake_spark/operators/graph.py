@@ -8,12 +8,18 @@ A~B and B~C, keeping "one of each pair" would keep two of {A,B,C}. The
 standard fix is connected components with the min id as the cluster
 label, then keep ``doc_id == cluster_id``.
 
-Algorithm (r7 rewrite, r8 hash priorities): ITERATIVE EDGE
-CONTRACTION. Each round hash-partitions the symmetric edge list by
-source — so every node's full neighbor list lands in one partition —
-and runs an in-partition union-find (one ``mapInPandas`` pass, the
-(splitmix64-priority, id)-min member as local root), giving a
-strictly-(prio, id)-decreasing node→root mapping; edges relabel
+Algorithm (r7 rewrite, r8 hash priorities, r10 local pre-contraction):
+a ZERO-SHUFFLE round 0 runs an in-partition union-find over the
+UNSHUFFLED directed edge list (the standard two-level CC move),
+emitting one ``(node, local_root)`` row per node per partition; a
+single ``groupBy(node)`` resolves each node's minimum local root AND
+derives the quotient "conflict" edges that link a node's other local
+roots to it. Only that conflict-edge list — sized by the CROSS-
+partition structure, not the input — enters the ITERATIVE EDGE
+CONTRACTION loop: each round hash-partitions the symmetric edge list
+by source and runs an in-partition union-find (one ``mapInPandas``
+pass, the (splitmix64-priority, id)-min member as local root), giving
+a strictly-(prio, id)-decreasing node→root mapping; edges relabel
 through the mapping and self-loops vanish, so the edge list SHRINKS
 geometrically on any id layout (a neighborhood contracts to its
 priority-min in one round — the large-star move of Kiveris et al.,
@@ -46,18 +52,24 @@ def connected_components(
     max_iters: int = 15,
     driver_max_edges: int = 500_000,
     target_edges_per_partition: int = 2_000_000,
+    prepass_flush_nodes: int = 8_000_000,
     on_round=None,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the min node id
     of its component. Output: ``id, comp`` — one row per node that
     appears in at least one edge (callers union in isolated nodes).
 
-    Graphs whose distinct edge list fits ``driver_max_edges`` short-
-    circuit straight to a DRIVER union-find: at local job-floor
-    economics a multi-round distributed loop costs seconds for work one
-    core does in milliseconds (measured 11 s → 0.2 s for 1.2k edges at
-    sf0.1), and a near-dup pair list is ~always orders smaller than its
-    corpus. The threshold bounds the collect (~tens of MB).
+    Graphs whose RAW symmetric row count (2× the input rows, duplicate
+    pairs included — NOT the distinct edge count) fits
+    ``driver_max_edges`` short-circuit straight to a DRIVER union-find:
+    at local job-floor economics a multi-round distributed loop costs
+    seconds for work one core does in milliseconds (measured 11 s →
+    0.2 s for 1.2k edges at sf0.1), and a near-dup pair list is ~always
+    orders smaller than its corpus. The threshold bounds the collect
+    (~tens of MB). A dup-heavy list that misses the raw-count check is
+    not penalized much: the zero-shuffle round-0 pre-contraction below
+    collapses duplicates and local structure, and the loop entry
+    re-checks the threshold against the contracted conflict-edge list.
 
     The distributed path (``driver_max_edges=0`` forces it; it also
     runs automatically above the threshold) is the 100 TB contract —
@@ -82,6 +94,29 @@ def connected_components(
     MIN ID — so the result is identical on either path and independent
     of partitioning, which is what keeps the operator
     DuckDB-oracle-checkable (recursive-CTE transitive closure).
+
+    r10 round-0 local pre-contraction (the remaining r9 lever — results
+    unchanged): the instrumented 100M probe showed 345 s of 747 s wall
+    and ALL the spill (30 GB mem + 7.6 GB disk) landing in round 1,
+    before the edge list ever shrank — the full raw list was exchanged
+    once for the repartition and twice more for the relabel joins. The
+    pre-pass removes all three: an in-partition union-find over the
+    UNSHUFFLED directed list (``mapInPandas``, memory-bounded by
+    ``prepass_flush_nodes`` — the state flushes as extra star rows and
+    resets, which only costs contraction quality, never correctness)
+    emits each partition's spanning stars ``(node, local_root)``
+    including identity rows for roots; ONE ``groupBy(node)`` over those
+    node-sized rows resolves ``m0`` (node → min local root) and, from
+    ``collect_set(root)``, the CONFLICT edges ``(other_root,
+    min_root)`` that encode every cross-partition identification. The
+    contraction loop then runs on the conflict list only. Correctness:
+    an original edge (u,v) in partition p gives both endpoints local
+    root r_p, so E1 links r_p to m0(u) and to m0(v) — components of the
+    conflict graph over root space, composed with m0, are exactly the
+    input's components (two-level union-find); no ordering discipline
+    is needed in round 0 because m0 is applied in ONE composition join,
+    never iterated. Self-loop-only nodes surface as identity rows, so
+    every node appearing in any edge still gets a label row.
 
     r9 memory/wall shape (the 100M-probe lessons — results unchanged):
 
@@ -122,17 +157,13 @@ def connected_components(
     base = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
-    # NO .distinct() here (r9): the in-partition union-find is duplicate-
-    # insensitive and every later round's relabel already dedups — the
-    # initial distinct was a full symmetric-edge-list exchange (15+ GB
-    # shuffled AND spilled at 100M, per the instrumented probe) bought
-    # for nothing. Duplicate input pairs only inflate the loop-control
-    # counts, which is conservative (a dup-heavy list may skip the
-    # driver short-circuit one round later than strictly needed).
-    sym = base.union(
-        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    id_type = dict(sym.dtypes)["u"]
+    # NO .distinct() and NO symmetrized copy of the raw list (r9/r10):
+    # the in-partition union-find is duplicate- and direction-
+    # insensitive, so round 0 runs straight over the directed input —
+    # the initial distinct was a full symmetric-edge-list exchange
+    # (15+ GB shuffled AND spilled at 100M) bought for nothing, and the
+    # r10 pre-pass removed the need to ever materialize 2x raw rows.
+    id_type = dict(base.dtypes)["u"]
 
     def _driver_uf(edge_df) -> dict:
         """Union-find over a collected edge list → {node: comp_min}."""
@@ -161,13 +192,85 @@ def connected_components(
                 comp_min[root] = node
         return {node: comp_min[find(node)] for node in parent}
 
-    spark = sym.sparkSession
-    n_edges = sym.count()
-    if driver_max_edges > 0 and n_edges <= driver_max_edges:
-        comp = _driver_uf(sym)
+    spark = base.sparkSession
+    n_raw = base.count()
+    # same threshold semantics as the historical symmetric-row count
+    # (sym held exactly 2x the raw rows); _driver_uf is undirected so
+    # collecting the directed list halves the transfer
+    if driver_max_edges > 0 and 2 * n_raw <= driver_max_edges:
+        comp = _driver_uf(base)
         return spark.createDataFrame(
             list(comp.items()), f"id {id_type}, comp {id_type}"
         )
+
+    # ---- round 0: zero-shuffle local pre-contraction (see docstring) ----
+    t0 = time.perf_counter()
+
+    def _local_star(batches):
+        """Plain in-partition union-find over the raw directed edges;
+        emits (node, local_root) for EVERY node seen, roots included as
+        identity rows. No priority discipline needed here — round 0 is
+        a single pass, never iterated, and its output is resolved by a
+        global min, so min-id union suffices. State flushes whenever the
+        dict exceeds ``prepass_flush_nodes`` (extra star rows, same
+        connectivity — a union of forests is still a forest cover)."""
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def flush():
+            if parent:
+                nodes = list(parent)
+                yield pd.DataFrame(
+                    {"node": nodes, "root": [find(n) for n in nodes]}
+                )
+                parent.clear()
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru == rv:
+                    continue
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+            if len(parent) > prepass_flush_nodes:
+                yield from flush()
+        yield from flush()
+
+    raw0 = base.mapInPandas(_local_star, f"node {id_type}, root {id_type}")
+    # ONE node-sized exchange resolves the round-0 map AND derives the
+    # conflict edges; dom(m0) is every node that appears in any edge
+    res0 = (
+        raw0.groupBy("node")
+        .agg(
+            F.min("root").alias("root"),
+            F.collect_set("root").alias("all_roots"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    m0 = res0.select("node", "root")
+    e1 = res0.select(
+        F.explode("all_roots").alias("u"), F.col("root").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sym = e1.union(
+        e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    n_edges = sym.count()
+    if on_round is not None:
+        on_round({
+            "round": 0, "n_edges": n_edges,
+            "width": base.rdd.getNumPartitions(),
+            "sec": round(time.perf_counter() - t0, 3),
+        })
 
     import hashlib
 
@@ -231,7 +334,12 @@ def connected_components(
     cur = sym
     prev_persisted = None
     round_no = 0
-    for _ in range(max_iters):
+    # round 0 usually leaves a conflict list that already fits the
+    # driver (or is empty); the loop only runs when it does not
+    run_loop = n_edges > 0 and not (
+        0 < driver_max_edges and n_edges <= driver_max_edges
+    )
+    for _ in range(max_iters if run_loop else 0):
         t0 = time.perf_counter()
         # one shuffle: all of a node's edges land together (sym holds
         # both directions, so partitioning by u co-locates full
@@ -275,6 +383,17 @@ def connected_components(
             break
     fin = None
     if n_edges:
+        # guard the post-loop collect: a non-converged run (max_iters
+        # exhausted, or driver_max_edges=0 forcing the loop dry on a
+        # graph it could not empty) must fail loudly, not OOM the driver
+        collect_cap = max(driver_max_edges, 5_000_000)
+        if n_edges > collect_cap:
+            raise RuntimeError(
+                f"connected_components did not converge: {n_edges} edges"
+                f" remain after {round_no} rounds (max_iters={max_iters}),"
+                f" above the driver collect bound {collect_cap}; raise"
+                " max_iters or driver_max_edges"
+            )
         comp = _driver_uf(cur)
         fin = spark.createDataFrame(
             list(comp.items()), f"cur {id_type}, fcomp {id_type}"
@@ -283,10 +402,10 @@ def connected_components(
         # the survivor edge list is collected (or empty); nothing reads it
         # again — the labels below derive from sym + maps + fin only
         prev_persisted.unpersist()
-    # backward composition: g_i(x) = "apply m_i, then m_{i+1..K}" —
-    # g = m_K; then per earlier round, remap m_i's roots through g and
-    # union in g's rows outside dom(m_i). Every join is mapping-sized
-    # (geometric), never node-sized.
+    # backward composition of the LOOP maps: g_i(x) = "apply m_i, then
+    # m_{i+1..K}" — g = m_K; then per earlier round, remap m_i's roots
+    # through g and union in g's rows outside dom(m_i). Every join is
+    # mapping-sized (geometric, conflict-edge scale), never node-sized.
     g = None
     for m in reversed(maps):
         if g is None:
@@ -302,14 +421,27 @@ def connected_components(
         )
         rest = g.join(m.select("node"), "node", "left_anti")
         g = remapped.unionByName(rest).localCheckpoint(eager=False)
-    nodes = sym.select(F.col("u").alias("id")).distinct()
+    # apply the round-0 map LAST. dom(m0) is exactly the node set
+    # (identity rows included), so labels come straight off m0 — the
+    # single node-sized composition join; no separate distinct-nodes
+    # extraction or left-coalesce pass. Loop-map domains are local
+    # roots, all of which appear in m0's node column, so no rest branch.
     if g is not None:
         labels = (
-            nodes.join(g.withColumnRenamed("node", "id"), "id", "left")
-            .select("id", F.coalesce("root", "id").alias("cur"))
+            m0.join(
+                g.select(F.col("node").alias("root"), F.col("root").alias("g_root")),
+                "root",
+                "left",
+            )
+            .select(
+                F.col("node").alias("id"),
+                F.coalesce("g_root", "root").alias("cur"),
+            )
         )
     else:
-        labels = nodes.select("id", F.col("id").alias("cur"))
+        labels = m0.select(
+            F.col("node").alias("id"), F.col("root").alias("cur")
+        )
     if fin is not None:
         labels = labels.join(F.broadcast(fin), "cur", "left").select(
             "id", F.coalesce("fcomp", "cur").alias("cur")

@@ -402,10 +402,12 @@ def bpe_main() -> None:
     base_sec, base_got = train(n_docs, 10)
     full_sec, full_got = train(n_docs, n_merges)
     quarter_sec, quarter_got = train(n_docs // 4, n_merges)
-    quarter_base_sec, _ = train(n_docs // 4, 10)
+    quarter_base_sec, quarter_base_got = train(n_docs // 4, 10)
     marginal_full = round((full_sec - base_sec) / max(full_got - base_got, 1), 4)
+    # mirror the full-size computation: the baseline may learn FEWER than
+    # the 10 requested merges, so divide by the actually-learned delta
     marginal_quarter = round(
-        (quarter_sec - quarter_base_sec) / max(quarter_got - 10, 1), 4
+        (quarter_sec - quarter_base_sec) / max(quarter_got - quarter_base_got, 1), 4
     )
     print(json.dumps({
         "mode": "bpe", "n_docs": n_docs, "n_word_instances": n_docs * 20,
@@ -416,6 +418,7 @@ def bpe_main() -> None:
         "quarter_corpus": {
             "sec": quarter_sec, "merges_learned": quarter_got,
             "baseline_sec": quarter_base_sec,
+            "baseline_merges_learned": quarter_base_got,
         },
         "marginal_sec_per_merge_full": marginal_full,
         "marginal_sec_per_merge_quarter": marginal_quarter,
@@ -688,7 +691,9 @@ def main() -> None:
     # run; the repo-wide 8g default driver heap can exhaust the unified
     # pool mid-probe (observed r4: UNABLE_TO_ACQUIRE_MEMORY in the sweep's
     # window sort). The probe sizes its own heap like any scale job would.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "64g" if total_rows > 20_000_000 else "32g"
+    )
     spark = get_spark("bfdl-scale")
 
     stages: dict[str, dict] = {}
@@ -750,6 +755,18 @@ def main() -> None:
             m1c.unionByName(m1c.limit(100_000)), ["symbol", "open_time_ms"], ["ts"]
         )),
     )
+
+    # --trading-only (VERDICT r9 #3): stop after the reference's own
+    # flagship path — generate -> resample-complete -> window_features ->
+    # EWM -> asof -> dedup — so the bars family gets a 100M-row scaling
+    # row without dragging the 10M-calibrated llm/media stages along
+    if "--trading-only" in sys.argv:
+        print(json.dumps({
+            "mode": "trading_only", "rows": total_rows,
+            "n_symbols": n_symbols, "stages": stages,
+        }))
+        spark.stop()
+        return
 
     # rollup cascade: h1 and d1 each derive from the PREVIOUS level's
     # partials — the raw 10M rows are scanned once (for m5), then each
