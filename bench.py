@@ -152,15 +152,21 @@ def _persist_canary_floor(best: float) -> None:
         pass  # read-only checkout: floor just stays session-scoped
 
 
-def load_canary(sf_dir: str, max_wait_sec: float = 120.0) -> dict:
+def load_canary(sf_dir: str, max_wait_sec: float = 300.0) -> dict:
     """Ambient-load canary (VERDICT r7 #3): the r7 bench session ran on a
     loaded machine — provable only because the DuckDB side of the same
     session inflated too (oracle ``dedup_keep_last`` 8× its r6 floor). So
     price the machine FIRST with a fixed DuckDB aggregation whose idle
-    floor is pinned above: best-of-3; if > 1.5× floor, wait and retry
-    (bounded), then record the final state either way. The driver parses
-    the last stdout line, so a loaded machine must surface as a field,
-    never an abort."""
+    floor is pinned above: best-of-3; if above the threshold, wait and
+    retry (bounded), then record the final state either way. The driver
+    parses the last stdout line, so a loaded machine must surface as a
+    field, never an abort.
+
+    Threshold 1.2× floor (VERDICT r9 #4 tightened it from 1.5×: the r9
+    bench ran on a ~30% slower boot that 1.5× let through, costing the
+    round its wall-to-wall comparability), wait bounded at 5 min so a
+    driver whose correctness gate just released its JVM gets time to
+    settle without ever stalling the artifact."""
     import duckdb
 
     q = (
@@ -180,7 +186,7 @@ def load_canary(sf_dir: str, max_wait_sec: float = 120.0) -> dict:
             con.sql(q).fetchall()
             best = min(best, time.perf_counter() - t0)
         calibrating = floor is None
-        loaded = (not calibrating) and best > 1.5 * floor
+        loaded = (not calibrating) and best > 1.2 * floor
         if not loaded or waited >= max_wait_sec:
             con.close()
             _persist_canary_floor(best)
@@ -192,7 +198,7 @@ def load_canary(sf_dir: str, max_wait_sec: float = 120.0) -> dict:
                 "waited_sec": round(waited, 1),
             }
         print(
-            f"load_canary: {best:.4f}s > 1.5x floor {floor}s; waiting",
+            f"load_canary: {best:.4f}s > 1.2x floor {floor}s; waiting",
             file=sys.stderr,
         )
         time.sleep(15.0)

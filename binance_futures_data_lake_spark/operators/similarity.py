@@ -1650,79 +1650,12 @@ def pq_codebooks_lloyd(
     shape, directly consumable by :func:`pq_adc_topk` /
     :func:`pq_rerank_topk`.
     """
-    import numpy as np
-    import pyarrow as pa
-
     books = pq_codebooks(corpus, n_sub=n_sub, ks=ks, id_col=id_col,
                          vec_col=vec_col)
-    sub = len(books[0][0])
-    dim = n_sub * sub
     base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
     sv = base.select(_scaled_unit(F.col("vec"), F.col("nrm")).alias("s")).cache()
     try:
-        for _ in range(iters):
-            C = [np.array(b, dtype=np.float64) for b in books]
-            kcur = [c.shape[0] for c in C]
-
-            def _partials(batches, _C=C, _k=kcur):
-                for rb in batches:
-                    n = rb.num_rows
-                    if n == 0:
-                        continue
-                    flat = np.asarray(rb.column(0).flatten(), dtype=np.float64)
-                    mat = flat.reshape(n, dim)
-                    for m in range(n_sub):
-                        sm = mat[:, m * sub : (m + 1) * sub]
-                        d2 = (
-                            np.einsum("ij,ij->i", sm, sm)[:, None]
-                            - 2.0 * (sm @ _C[m].T)
-                            + np.einsum("ij,ij->i", _C[m], _C[m])[None, :]
-                        )
-                        code = np.argmin(d2, axis=1)
-                        cnt = np.bincount(code, minlength=_k[m])
-                        sums = np.zeros((_k[m], sub))
-                        np.add.at(sums, code, sm)
-                        live = np.flatnonzero(cnt)
-                        yield pa.record_batch(
-                            [
-                                pa.array(np.full(live.size, m, dtype=np.int64)),
-                                pa.array(live.astype(np.int64)),
-                                pa.array(cnt[live].astype(np.int64)),
-                                pa.array(
-                                    [r.astype(np.int64) for r in sums[live]],
-                                    type=pa.list_(pa.int64()),
-                                ),
-                            ],
-                            names=["m", "j", "cnt", "sums"],
-                        )
-
-            rows = sv.mapInArrow(
-                _partials, "m long, j long, cnt long, sums array<long>"
-            ).collect()
-            cnts: dict = {}
-            acc: dict = {}
-            for r in rows:
-                key = (int(r["m"]), int(r["j"]))
-                cnts[key] = cnts.get(key, 0) + int(r["cnt"])
-                if key not in acc:
-                    acc[key] = [0] * sub
-                dst = acc[key]
-                for i, v in enumerate(r["sums"]):
-                    dst[i] += int(v)
-            books = [
-                [
-                    (
-                        [
-                            _round_half_away_int(s, cnts[(m, j)])
-                            for s in acc[(m, j)]
-                        ]
-                        if (m, j) in acc
-                        else books[m][j]  # empty codeword: keep previous
-                    )
-                    for j in range(len(books[m]))
-                ]
-                for m in range(n_sub)
-            ]
+        books = _pq_lloyd_refine(sv, books, n_sub, iters)
     finally:
         sv.unpersist()
     return books
@@ -1882,6 +1815,448 @@ def pq_rerank_topk(
     """
     cand = pq_adc_topk(
         corpus, queries, books, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "neighbor_id")
+    nb = normalized(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("n_vec"), F.col("nrm").alias("n_nrm"),
+    )
+    qn = normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
+    )
+    sim = _dot(F.col("n_vec"), F.col("q_vec")) / (F.col("n_nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        nb.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qn), "q_id")
+        .select("q_id", "neighbor_id", round6(sim).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _grid_assign_residual(cents: list[tuple[int, list[int]]]):
+    """Closure pieces for IVFADC kernels: given fixed-point centroids,
+    return ``(cell_ids, c_mat, assign)`` where ``assign(smat)`` maps a
+    grid-scaled batch (n × dim float64 holding exact ints) to
+    ``(cent_index, residual)`` by exact integer squared-L2 with
+    ``np.argmin`` first-min — cents are sorted by cell id, so first-min
+    IS the min-cell-id tiebreak the SQL oracle replays. Grid components
+    are ≤ 1e6 in magnitude, so every d² term ≤ 4e12 and every 64-dim sum
+    ≤ 2.6e14 — float64 is exact throughout."""
+    import numpy as np
+
+    cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    c_mat = np.array([v for _, v in cents], dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", c_mat, c_mat)
+
+    def assign(smat):
+        d2 = (
+            np.einsum("ij,ij->i", smat, smat)[:, None]
+            - 2.0 * (smat @ c_mat.T)
+            + c2[None, :]
+        )
+        idx = np.argmin(d2, axis=1)
+        return idx, smat - c_mat[idx]
+
+    return cell_ids, c_mat, assign
+
+
+def pq_residual_codebooks(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    n_sub: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Seeded RESIDUAL codebooks — the IVFADC index build (Jégou et al.
+    2011 §IV-B: encode the residual after coarse quantization, not the
+    vector). Flat PQ on clustered data wastes its codewords re-stating
+    which cluster a vector sits in (the cell id already says so);
+    subtracting the assigned centroid leaves only the within-cell
+    offset, which is where the neighbors-within-a-cluster information
+    lives. Same deterministic draw as :func:`pq_codebooks`: the ``ks``
+    smallest-hash corpus vectors, grid-scaled, assigned to their nearest
+    centroid by exact integer L2 (min-cell-id tiebreak), residual-sliced
+    into ``n_sub`` sub-vectors. The collect is ``ks`` rows, bounded by
+    contract; every arithmetic step is exact integers, so a SQL oracle
+    replays the build bit-for-bit.
+
+    Residual components are ≤ 2e6 on the grid (difference of two unit-
+    grid vectors), so ADC sums stay ≤ ~1e15 < 2^53 — the exactness
+    argument of the flat tier survives the residual shift.
+    """
+    from binance_futures_data_lake_spark.operators.sketch import uniform_hash
+
+    import numpy as np
+
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    rows = (
+        base.withColumn("hv", uniform_hash(F.col("id")))
+        .orderBy("hv", "id")
+        .limit(ks)
+        .select(_scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_residual_codebooks: empty corpus")
+    dim = len(rows[0].s)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    smat = np.array([[int(x) for x in r.s] for r in rows], dtype=np.float64)
+    _, _, assign = _grid_assign_residual(cents)
+    _, res = assign(smat)
+    books: list[list[list[int]]] = [[] for _ in range(n_sub)]
+    for row in res:
+        for m in range(n_sub):
+            books[m].append([int(v) for v in row[m * sub : (m + 1) * sub]])
+    return books
+
+
+def _pq_lloyd_refine(sv, books, n_sub: int, iters: int):
+    """Shared per-subspace Lloyd loop over a cached frame whose single
+    column is a grid-integer vector (``pq_codebooks_lloyd`` passes
+    scaled-unit vectors; the residual tier passes residuals). One
+    ``mapInArrow`` corpus pass per iteration trains all subspaces;
+    per-batch partial sums are exact integers in float64, the driver
+    reduce is bounded (≤ batches·n_sub·ks rows) and integer-exact, new
+    codewords round half-away-from-zero, ``np.argmin`` first-min =
+    smallest-code-id tiebreak, empty codewords keep their previous
+    value — bit-identical across runs and partitionings."""
+    import numpy as np
+    import pyarrow as pa
+
+    sub = len(books[0][0])
+    dim = n_sub * sub
+    for _ in range(iters):
+        C = [np.array(b, dtype=np.float64) for b in books]
+        kcur = [c.shape[0] for c in C]
+
+        def _partials(batches, _C=C, _k=kcur):
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                flat = np.asarray(rb.column(0).flatten(), dtype=np.float64)
+                mat = flat.reshape(n, dim)
+                for m in range(n_sub):
+                    sm = mat[:, m * sub : (m + 1) * sub]
+                    d2 = (
+                        np.einsum("ij,ij->i", sm, sm)[:, None]
+                        - 2.0 * (sm @ _C[m].T)
+                        + np.einsum("ij,ij->i", _C[m], _C[m])[None, :]
+                    )
+                    code = np.argmin(d2, axis=1)
+                    cnt = np.bincount(code, minlength=_k[m])
+                    sums = np.zeros((_k[m], sub))
+                    np.add.at(sums, code, sm)
+                    live = np.flatnonzero(cnt)
+                    yield pa.record_batch(
+                        [
+                            pa.array(np.full(live.size, m, dtype=np.int64)),
+                            pa.array(live.astype(np.int64)),
+                            pa.array(cnt[live].astype(np.int64)),
+                            pa.array(
+                                [r.astype(np.int64) for r in sums[live]],
+                                type=pa.list_(pa.int64()),
+                            ),
+                        ],
+                        names=["m", "j", "cnt", "sums"],
+                    )
+
+        rows = sv.mapInArrow(
+            _partials, "m long, j long, cnt long, sums array<long>"
+        ).collect()
+        cnts: dict = {}
+        acc: dict = {}
+        for r in rows:
+            key = (int(r["m"]), int(r["j"]))
+            cnts[key] = cnts.get(key, 0) + int(r["cnt"])
+            if key not in acc:
+                acc[key] = [0] * sub
+            dst = acc[key]
+            for i, v in enumerate(r["sums"]):
+                dst[i] += int(v)
+        books = [
+            [
+                (
+                    [
+                        _round_half_away_int(s, cnts[(m, j)])
+                        for s in acc[(m, j)]
+                    ]
+                    if (m, j) in acc
+                    else books[m][j]  # empty codeword: keep previous
+                )
+                for j in range(len(books[m]))
+            ]
+            for m in range(n_sub)
+        ]
+    return books
+
+
+def pq_residual_codebooks_lloyd(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    n_sub: int = 8,
+    ks: int = 256,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Lloyd-refined RESIDUAL codebooks — the deploy-quality IVFADC
+    build (the :func:`pq_codebooks_lloyd` treatment applied to
+    residuals). One ``mapInArrow`` pass materializes each vector's
+    residual against its nearest centroid (exact integer grid, min-cell
+    tiebreak); the cached residual frame then feeds the shared
+    per-subspace Lloyd loop (:func:`_pq_lloyd_refine`). Same fixed-point
+    determinism contract as every trained tier: codebooks are a pure
+    function of (corpus, cents, n_sub, ks, iters)."""
+    import numpy as np
+    import pyarrow as pa
+
+    books = pq_residual_codebooks(
+        corpus, cents, n_sub=n_sub, ks=ks, id_col=id_col, vec_col=vec_col
+    )
+    sub = len(books[0][0])
+    dim = n_sub * sub
+    _, _, assign = _grid_assign_residual(cents)
+
+    def _residuals(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            flat = np.asarray(rb.column(0).flatten(), dtype=np.float64)
+            _, res = assign(flat.reshape(n, dim))
+            yield pa.record_batch(
+                [pa.array([r.astype(np.int64) for r in res],
+                          type=pa.list_(pa.int64()))],
+                names=["r"],
+            )
+
+    base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
+    rv = (
+        base.select(_scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
+        .mapInArrow(_residuals, "r array<long>")
+        .cache()
+    )
+    try:
+        books = _pq_lloyd_refine(rv, books, n_sub, iters)
+    finally:
+        rv.unpersist()
+    return books
+
+
+def pq_ivf_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    books: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV-B): the inverted-file + residual-PQ
+    composition that FAISS calls IVFPQ, and the full memory-compression
+    scale path — a 100 TB corpus stores (cell id + n_sub bytes) per
+    vector, queries probe ``nprobe`` cells and rank candidates by
+    residual-ADC table lookups.
+
+    Query side: collected behind the :data:`IVF_MAX_QUERIES` hard cap
+    (the ``limit(cap+1)`` loud-failure contract), cells ranked by exact
+    integer L2 on the grid (cell-id tiebreak); per probed cell the query
+    precomputes an ``n_sub × ks`` table of residual distances
+    ``(q_s − cent) vs codewords``. Corpus side: ONE zero-shuffle
+    ``mapInArrow`` pass — grid-scale, assign cell (same exact argmin as
+    the index build), residual-encode, then rows grouped by cell score
+    ONLY against the queries probing that cell, partial top-k per batch
+    (k-th ties kept, the window breaks them). At 100 TB the cell id is
+    the partition key, so a probe reads nprobe/num_cells of the corpus
+    via partition pruning — the scan shape of :func:`ivf_lloyd_topk`
+    with the candidate arithmetic of :func:`pq_adc_topk`.
+
+    Exactness: residual components ≤ 2e6 ⇒ per-term d² ≤ 1.6e13, ADC
+    sums ≤ ~1e15 < 2^53 — float64 IS the BIGINT arithmetic the oracle
+    runs; distances are exact integers, ties break by neighbor id.
+
+    Output: ``q_id, neighbor_id, adc_dist (BIGINT), rnk``; self-matches
+    excluded, zero-norm vectors out of domain on both sides.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    n_sub = len(books)
+    ks = len(books[0])
+    sub = len(books[0][0])
+    dim = n_sub * sub
+    C = [np.array(b, dtype=np.float64) for b in books]
+    cell_ids, c_mat, assign = _grid_assign_residual(cents)
+    q_id_type = dict(queries.dtypes)[id_col]
+    n_id_type = dict(corpus.dtypes)[id_col]
+    spark = corpus.sparkSession
+    empty_schema = (
+        f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long, rnk int"
+    )
+
+    max_q = int(os.environ.get("BFDL_IVF_MAX_QUERIES", IVF_MAX_QUERIES))
+    q_pdf = (
+        normalized(queries, id_col, vec_col)
+        .filter(F.col("nrm") > 0)
+        .select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
+        .limit(max_q + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > max_q:
+        raise ValueError(
+            f"IVF query side exceeds {max_q} rows; it is collected to the "
+            "driver and shipped in every task closure, so it must stay "
+            "broadcast-sized. Batch the query set or raise "
+            "BFDL_IVF_MAX_QUERIES if the rig has the memory."
+        )
+    if q_pdf.empty:
+        return spark.createDataFrame([], empty_schema)
+    q_ids = q_pdf["id"].to_numpy()
+    qs = np.array(q_pdf["s"].tolist(), dtype=np.float64)
+    nq = q_ids.size
+    npb = min(nprobe, len(cents))
+    # rank cells per query: exact integer d², cell-id tiebreak (cents
+    # sorted ⇒ argsort on (d2, index) = (d2, cell id))
+    qd2 = (
+        np.einsum("ij,ij->i", qs, qs)[:, None]
+        - 2.0 * (qs @ c_mat.T)
+        + np.einsum("ij,ij->i", c_mat, c_mat)[None, :]
+    )
+    order = np.argsort(qd2, axis=1, kind="stable")[:, :npb]
+    # per (query, probed cell): residual distance table (n_sub × ks)
+    probes: dict[int, list[int]] = {}
+    qdt: dict[tuple[int, int], list] = {}
+    for qi in range(nq):
+        for ci in order[qi]:
+            cid = int(cell_ids[ci])
+            probes.setdefault(cid, []).append(qi)
+            rq = qs[qi] - c_mat[ci]
+            qdt[(qi, cid)] = [
+                (
+                    (rq[m * sub : (m + 1) * sub][None, :] - C[m]) ** 2
+                ).sum(axis=1)
+                for m in range(n_sub)
+            ]
+
+    def _kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat = np.asarray(rb.column(1).flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"ragged embedding column: {flat.size} values for "
+                    f"{n} rows × dim {dim}"
+                )
+            mat = flat.reshape(n, dim)
+            nrm = _fold_sq_norms(mat)
+            live = np.flatnonzero(nrm > 0)
+            if live.size == 0:
+                continue
+            v = mat[live] / nrm[live, None] * 1e6
+            s = np.sign(v) * np.floor(np.abs(v) + 0.5)
+            cidx, res = assign(s)
+            codes = np.empty((live.size, n_sub), dtype=np.int64)
+            for m in range(n_sub):
+                rm = res[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    np.einsum("ij,ij->i", rm, rm)[:, None]
+                    - 2.0 * (rm @ C[m].T)
+                    + np.einsum("ij,ij->i", C[m], C[m])[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)
+            row_cells = cell_ids[cidx]
+            cids_live = ids[live]
+            # per-query accumulation across this batch's probed cells,
+            # then ONE partial top-k per query
+            acc: dict[int, list] = {}
+            for cid in np.unique(row_cells):
+                qlist = probes.get(int(cid))
+                if not qlist:
+                    continue
+                sel = np.flatnonzero(row_cells == cid)
+                csel = codes[sel]
+                for qi in qlist:
+                    tabs = qdt[(qi, int(cid))]
+                    ad = tabs[0][csel[:, 0]]
+                    for m in range(1, n_sub):
+                        ad = ad + tabs[m][csel[:, m]]
+                    acc.setdefault(qi, []).append((cids_live[sel], ad))
+            q_out, n_out, d_out = [], [], []
+            for qi, parts in acc.items():
+                cand_id = np.concatenate([p[0] for p in parts])
+                cand_d = np.concatenate([p[1] for p in parts])
+                keep = cand_id != q_ids[qi]
+                cand_id, cand_d = cand_id[keep], cand_d[keep]
+                if cand_d.size > k:
+                    thr = np.partition(cand_d, k - 1)[k - 1]
+                    kp = cand_d <= thr  # k-th ties kept; window breaks
+                    cand_id, cand_d = cand_id[kp], cand_d[kp]
+                q_out.append(np.full(cand_id.size, q_ids[qi]))
+                n_out.append(cand_id)
+                d_out.append(cand_d.astype(np.int64))
+            if not q_out:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(q_out)),
+                    pa.array(np.concatenate(n_out)),
+                    pa.array(np.concatenate(d_out)),
+                ],
+                names=["q_id", "neighbor_id", "adc_dist"],
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInArrow(
+        _kernel, f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long"
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def pq_ivf_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    books: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC + exact re-rank — the full FAISS-style production recipe:
+    :func:`pq_ivf_adc_topk` surfaces a ``shortlist`` from (cell id +
+    codes) alone, exact cosine re-ranks only those |Q|·shortlist
+    survivors via a broadcast semi-join back onto the corpus scan (no
+    corpus shuffle; the :func:`pq_rerank_topk` tail).
+
+    Output: ``q_id, neighbor_id, cosine, rnk``.
+    """
+    cand = pq_ivf_adc_topk(
+        corpus, queries, cents, books, k=shortlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
     ).select("q_id", "neighbor_id")
     nb = normalized(corpus, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"),

@@ -7890,6 +7890,165 @@ def q_pq_rerank_topk(spark, sf_dir):
                           k=5, shortlist=50)
 
 
+# IVFADC CTE chain (r10, shared by pq_ivf_adc_topk and its re-ranked
+# tier): seeded coarse quantizer (4 smallest-hash cells), exact
+# integer-L2 cell assignment with RESIDUAL extraction, residual seed
+# codebooks, residual encoding, per-(query, probed-cell) distance
+# tables with nprobe=2, ADC sums restricted to probed cells; `r` holds
+# the ranked candidates. Residual components are ≤ 2e6 on the grid, so
+# every d² term ≤ 1.6e13 and every ADC sum ≤ ~1e15 — exact BIGINTs.
+_PQ_IVF_CTES = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ), sv AS (
+      SELECT vec_id,
+             list_transform(vec, x -> CAST(round(x / nrm * 1000000.0, 0) AS BIGINT)) AS s
+      FROM n WHERE nrm > 0
+    ), hv AS (
+      SELECT vec_id,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               / power(2, 60) AS h
+      FROM sv
+    ), ct AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, s
+      FROM hv JOIN sv USING (vec_id)
+      ORDER BY h, vec_id LIMIT 4
+    ), asg AS (
+      SELECT vec_id, cell, r FROM (
+        SELECT sv.vec_id, ct.cell,
+               list_transform(range(1, 65), i -> sv.s[i] - ct.s[i]) AS r,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (sv.s[i] - ct.s[i]) * (sv.s[i] - ct.s[i]))), ct.cell
+               ) AS rk
+        FROM sv CROSS JOIN ct
+      ) WHERE rk = 1
+    ), cb AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, r
+      FROM hv JOIN asg USING (vec_id)
+      ORDER BY h, vec_id LIMIT 8
+    ), enc AS (
+      SELECT asg.vec_id, m.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+               i -> (asg.r[m.m * 16 + i] - cb.r[m.m * 16 + i])
+                    * (asg.r[m.m * 16 + i] - cb.r[m.m * 16 + i]))) AS d2
+      FROM asg CROSS JOIN range(0, 4) m(m) CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, cell, m, j AS code FROM (
+        SELECT e.vec_id, a.cell, e.m, e.j,
+               row_number() OVER (PARTITION BY e.vec_id, e.m
+                                  ORDER BY e.d2, e.j) AS rk
+        FROM enc e JOIN asg a USING (vec_id)
+      ) WHERE rk = 1
+    ), qcell AS (
+      SELECT q_id, cell, rq FROM (
+        SELECT sv.vec_id AS q_id, ct.cell,
+               list_transform(range(1, 65), i -> sv.s[i] - ct.s[i]) AS rq,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (sv.s[i] - ct.s[i]) * (sv.s[i] - ct.s[i]))), ct.cell
+               ) AS rk
+        FROM sv CROSS JOIN ct WHERE sv.vec_id < 10
+      ) WHERE rk <= 2
+    ), qdt AS (
+      SELECT q.q_id, q.cell, m.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+               i -> (q.rq[m.m * 16 + i] - cb.r[m.m * 16 + i])
+                    * (q.rq[m.m * 16 + i] - cb.r[m.m * 16 + i]))) AS d2
+      FROM qcell q CROSS JOIN range(0, 4) m(m) CROSS JOIN cb
+    ), ad AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id, CAST(sum(q.d2) AS BIGINT) AS adc_dist
+      FROM codes c JOIN qdt q ON q.cell = c.cell AND q.m = c.m AND q.j = c.code
+      WHERE c.vec_id <> q.q_id
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT q_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM ad
+    )
+"""
+
+
+@register(
+    "pq_ivf_adc_topk",
+    sql=_PQ_IVF_CTES + """
+    SELECT q_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q_pq_ivf_adc_topk(spark, sf_dir):
+    """IVFADC (r10 — Jégou et al. 2011 §IV-B, the FAISS IVFPQ shape):
+    coarse quantizer of 4 seeded cells, corpus encoded as (cell id +
+    4 one-byte RESIDUAL codes), queries probe their 2 nearest cells by
+    exact integer L2 and rank candidates by residual-ADC table lookups
+    (operators/similarity.py pq_residual_codebooks / pq_ivf_adc_topk;
+    assign + residual-encode + probed-cell lookup + partial top-k fused
+    in one zero-shuffle mapInArrow pass). Flat PQ spends its codewords
+    re-stating cluster identity; the residual shift spends them on the
+    within-cell offsets where neighbor information lives — and the cell
+    id becomes the partition key at 100 TB, so a probe reads
+    nprobe/num_cells of the corpus via partition pruning. Every
+    distance is an exact integer; the oracle replays quantizer, cell
+    assignment, residual codebooks, encoding, and probed-cell ADC
+    bit-for-bit."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_codebooks, pq_ivf_adc_topk, pq_residual_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # the 4 smallest-hash grid vectors ARE the seeded coarse cells
+    # (pq_codebooks with n_sub=1 returns whole scaled vectors in hash
+    # order — the same draw the ct CTE replays)
+    cents = list(enumerate(pq_codebooks(emb, n_sub=1, ks=4)[0]))
+    books = pq_residual_codebooks(emb, cents, n_sub=4, ks=8)
+    return pq_ivf_adc_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                           books, k=5, nprobe=2)
+
+
+@register(
+    "pq_ivf_rerank_topk",
+    sql=_PQ_IVF_CTES + """
+    , sl AS (
+      SELECT q_id, neighbor_id FROM r WHERE rnk <= 50
+    ), rrk AS (
+      SELECT sl.q_id, sl.neighbor_id,
+             round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+      FROM sl
+      JOIN n a ON a.vec_id = sl.q_id
+      JOIN n b ON b.vec_id = sl.neighbor_id
+    ), rr2 AS (
+      SELECT q_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM rrk
+    )
+    SELECT q_id, neighbor_id, cosine, rnk FROM rr2 WHERE rnk <= 5
+    """,
+)
+def q_pq_ivf_rerank_topk(spark, sf_dir):
+    """IVFADC + exact re-rank (r10) — the full FAISS-style production
+    recipe: the probed-cell residual-ADC shortlist (top-50 from cell id
+    + codes alone) broadcast back onto the corpus scan for an exact
+    cosine re-rank of only |Q|·50 survivors (operators/similarity.py
+    pq_ivf_rerank_topk). Keeps IVFPQ's memory compression AND cell
+    pruning while recovering exact-scoring precision on everything the
+    codes surface."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_codebooks, pq_ivf_rerank_topk, pq_residual_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = list(enumerate(pq_codebooks(emb, n_sub=1, ks=4)[0]))
+    books = pq_residual_codebooks(emb, cents, n_sub=4, ks=8)
+    return pq_ivf_rerank_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                              books, k=5, shortlist=50, nprobe=2)
+
+
 @register(
     "pretrain_data_pipeline",
     sql=f"""
@@ -8736,77 +8895,40 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-9 rotation (executing the r8 NOTE at this spot + VERDICT r8
+    # Round-10 rotation (executing the r9 NOTE at this spot + VERDICT r9
     # #1). Invariant: every oracle query driver-green within the last
-    # THREE rounds, SELFCHECK-green every round. Ages entering r9:
-    # 41 r6-checked (3 rounds old — MANDATORY, the whole head block of
-    # the r8 tail), 43 r7-checked, 50 r8-checked, 1 rows-only-by-design
-    # (ml_lr_embeddings). No r9-NEW queries (r9 work was probes,
-    # calibration and engine-path changes), so the prefix is exactly:
-    # 41 mandatory + 9 behavior-touched fills (engine paths changed
-    # since their last driver row):
-    #   bpe_learn_merges / bpe_tokenize_stats — batched-pass trainer
-    #     rewrite (bb28078) replaced the per-merge aggregation loop;
-    #   kmv_distinct_users — kmv_distinct rerouted through the
-    #     kmv_state k-min fold + include_exact opt-out (e8e2121);
-    #   streaming_kmv_distinct — kmv_estimate_from_state divisor guard
-    #     + the compaction-aware _read_state self-heal (c502ad4);
-    #   streaming_cms_heavy_hitters — _read_state self-heal, and the
-    #     OLDEST streaming-sketch row (r7);
-    #   streaming_sessionization — fixed-point sum overflow poison;
-    #   dedup_clusters / knn_graph_components — connected_components r9
-    #     rewrite (backward-composed label maps, adaptive width, round
-    #     eviction, on_round hook);
-    #   token_weighted_sample — weighted_sample_topk two-phase rank
-    #     rewrite (r9) AND the oldest candidate row (r7); took the slot
-    #     the guard-only _cell_scored_topk change (ann_ivf_topk) held
-    #     first — the IVF family's r9 change is a row-cap guard +
-    #     per-side id typing pinned by the e8e2121 pytest additions,
-    #     all five queries r8-checked.
-    # Not re-checked despite a touched read path (documented trade —
-    # the prefix is 50): ann_ivf_topk, ann_ivf_seeded_topk, retrieval_eval_ivf,
-    # retrieval_pipeline, hard_negative_mining (same shared kernel as
-    # ann_ivf_topk), streaming_hll_distinct, streaming_simhash_dedup
-    # (read-path-only _read_state change; r8-checked; compaction tests
-    # pin read-equality), cluster_split, curation_pipeline*,
-    # incremental_corpus_dedup* (CC consumers — *already in the
-    # mandatory 41 or covered by the dedup_clusters fill). All 134
-    # oracle queries stay SELFCHECK-green at HEAD regardless.
+    # THREE rounds, SELFCHECK-green every round. Ages entering r10:
+    # 41 r7-checked (3 rounds old — MANDATORY, the whole head block of
+    # the r9 tail), 37 r8-checked, 50 r9-checked, 1 rows-only-by-design
+    # (ml_lr_embeddings). The prefix is exactly 41 mandatory + 9 fills.
+    # Fill rationale:
+    #   pq_ivf_adc_topk / pq_ivf_rerank_topk — r10-NEW (the IVFADC
+    #     residual-PQ tier); new queries always enter the prefix.
+    #   dedup_clusters / knn_graph_components / cluster_split /
+    #     curation_pipeline — the four connected_components consumers.
+    #     The CC round-0 local pre-contraction rewrite (adbd190)
+    #     POSTDATES the r9 gate artifacts (final r9-attested commit
+    #     30e2a0f, gate 06:55; adbd190 landed 08:28), so their last
+    #     driver row attests the PREVIOUS engine path. Re-attesting all
+    #     four pins the rewrite end-to-end.
+    #   ann_ivf_topk / ann_ivf_seeded_topk / retrieval_eval_ivf — the
+    #     oldest r8-checked entries among the five the r9 prefix
+    #     explicitly deferred despite a touched read path (the
+    #     _cell_scored_topk cap + _read_state self-heal): these three
+    #     re-attest the shared kernel itself, closing that documented
+    #     trade; the two kernel CONSUMERS (retrieval_pipeline,
+    #     hard_negative_mining) and streaming_hll_distinct lost their
+    #     fill slots to the r10-NEW pair and head the r11 mandatory
+    #     block instead (all three stay within the 3-round invariant).
     #
-    # r10 NOTE (execute next round): entering r10, the 42 r7-checked
-    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r07 row
-    # that is 3 rounds old — they are the MANDATORY core of the r10
-    # prefix (42 + any r10-NEW/behavior-touched leaves ~8 fill slots
-    # from the 42-entry r8-checked block that follows, oldest
+    # r11 NOTE (execute next round): entering r11, the 39 r8-checked
+    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r08 row
+    # that is 3 rounds old — they are the MANDATORY core of the r11
+    # prefix (39 + any r11-NEW/behavior-touched leaves ~11 fill slots
+    # from the 47-entry r9-checked block that follows, oldest
     # capabilities first). The names checked THIS round (this _FRONT)
-    # are 1 round old entering r10 and sit freshest.
-    # --- the 41 r6-aged (CORRECTNESS_r06 row is 3 rounds old) ---
-    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
-    "media_image_near_dup", "media_audio_near_dup",
-    "streaming_incremental_dedup", "token_budget_plan",
-    "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
-    "kmv_quantile_value_by_type", "priority_ship_exists",
-    "backtest_range_kernel", "backtest_equity_curve",
-    "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
-    "quality_classifier_train_score", "pack_manifest",
-    "scrub_cross_doc_spans", "ml_net_confidence_keep",
-    "backtest_trend_kernel", "market_regime_pipeline", "curation_pipeline",
-    "ml_lr_gd_weights", "benchmark_decontam", "domain_caps",
-    "dup_spans_cross_doc", "doc_unigram_logprob", "pii_profile",
-    "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
-    "doc_repetition", "gopher_quality_flags", "retention_cohorts",
-    "top_ngrams", "export_shard_manifest", "mixture_sample_sources",
-    "rma_atr_hourly",
-    # --- 9 r9 behavior-touched fills (rationale above) ---
-    "bpe_learn_merges", "bpe_tokenize_stats", "kmv_distinct_users",
-    "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
-    "streaming_sessionization", "dedup_clusters", "knn_graph_components",
-    "token_weighted_sample",
-]
-_ORACLE_TAIL = [
-    # Head block: the 42 r7-checked queries not reached by the r8/r9
-    # prefixes — 3 rounds old entering r10, the MANDATORY core of the
-    # r10 prefix.
+    # are 1 round old entering r11 and sit freshest.
+    # --- the 41 r7-aged (CORRECTNESS_r07 row is 3 rounds old) ---
     "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
     "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
     "pretrain_data_pipeline",
@@ -8822,12 +8944,19 @@ _ORACLE_TAIL = [
     "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
     "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
     "ichimoku_hourly",
-    # r8-checked block (CORRECTNESS_r08 row; 2 rounds old entering r10
-    # — the r10 fill pool, oldest capabilities first).
-    "streaming_hll_distinct", "ann_ivf_topk", "ann_ivf_seeded_topk",
-    "retrieval_eval_ivf",
-    "retrieval_pipeline", "hard_negative_mining", "hll_distinct_users",
-    "user_interaction_pagerank", "corpus_release_diff", "cluster_split",
+    # --- 9 fills (rationale above) ---
+    "pq_ivf_adc_topk", "pq_ivf_rerank_topk",
+    "dedup_clusters", "knn_graph_components", "cluster_split",
+    "curation_pipeline",
+    "ann_ivf_topk", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
+]
+_ORACLE_TAIL = [
+    # Head block: the 39 r8-checked queries not reached by the r9/r10
+    # prefixes — 3 rounds old entering r11, the MANDATORY core of the
+    # r11 prefix.
+    "streaming_hll_distinct", "retrieval_pipeline",
+    "hard_negative_mining", "hll_distinct_users",
+    "user_interaction_pagerank", "corpus_release_diff",
     "semantic_dedup", "incremental_semantic_dedup",
     "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
     "user_sessions", "zscore_er_slope", "asof_user_hourly",
@@ -8840,6 +8969,27 @@ _ORACLE_TAIL = [
     "rolling_stats", "sampled_revenue_by_nation", "top_orders",
     "true_range_atr", "vwap_daily", "streaming_simhash_dedup",
     "c4_quality_flags",
+    # r9-checked block (CORRECTNESS_r09 row; 2 rounds old entering r11
+    # — the r11 fill pool, oldest capabilities first).
+    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
+    "media_image_near_dup", "media_audio_near_dup",
+    "streaming_incremental_dedup", "token_budget_plan",
+    "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
+    "kmv_quantile_value_by_type", "priority_ship_exists",
+    "backtest_range_kernel", "backtest_equity_curve",
+    "media_image_features", "incremental_corpus_dedup", "bpe_token_stats",
+    "quality_classifier_train_score", "pack_manifest",
+    "scrub_cross_doc_spans", "ml_net_confidence_keep",
+    "backtest_trend_kernel", "market_regime_pipeline",
+    "ml_lr_gd_weights", "benchmark_decontam", "domain_caps",
+    "dup_spans_cross_doc", "doc_unigram_logprob", "pii_profile",
+    "stratified_sample_langs", "tfidf_top_terms", "doc_chunks",
+    "doc_repetition", "gopher_quality_flags", "retention_cohorts",
+    "top_ngrams", "export_shard_manifest", "mixture_sample_sources",
+    "rma_atr_hourly",
+    "bpe_learn_merges", "bpe_tokenize_stats", "kmv_distinct_users",
+    "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
+    "streaming_sessionization", "token_weighted_sample",
 ]
 
 def _reorder_registry() -> None:

@@ -254,9 +254,190 @@ def pq_recall_main() -> None:
                 lambda sl=sl: pq_rerank_topk(ann, annq, trained, k=ann_k, shortlist=sl),
                 {"shortlist_pct_of_corpus": round(100.0 * sl / n_vecs, 3)})
 
+    # IVFADC rows (r10): residual encoding against Lloyd cell MEANS —
+    # the tier where raw ADC recall is bought with arithmetic instead
+    # of shortlist. Same 16×256 code budget as the flat trained books;
+    # nprobe sweeps the probe-vs-recall trade.
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids,
+        pq_ivf_adc_topk,
+        pq_ivf_rerank_topk,
+        pq_residual_codebooks_lloyd,
+    )
+
+    t0 = time.perf_counter()
+    cents = ivf_lloyd_centroids(ann, num_cells=32, iters=2)
+    cents_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    res_books = pq_residual_codebooks_lloyd(ann, cents, n_sub=16, ks=256,
+                                            iters=2)
+    res_sec = round(time.perf_counter() - t0, 2)
+    for npb in (4, 8):
+        measure(
+            f"pq_ivfadc_nprobe{npb}", "residual",
+            lambda npb=npb: pq_ivf_adc_topk(
+                ann, annq, cents, res_books, k=ann_k, nprobe=npb),
+            {"codebook_sec": res_sec, "centroids_sec": cents_sec,
+             "num_cells": 32},
+        )
+    measure(
+        "pq_ivfadc_rerank_1000", "residual",
+        lambda: pq_ivf_rerank_topk(
+            ann, annq, cents, res_books, k=ann_k, shortlist=1000, nprobe=8),
+        {"num_cells": 32},
+    )
+
     print(json.dumps({
         "mode": "pq_recall", "n_vectors": n_vecs, "dim": dim,
         "n_queries": 100, "k": ann_k, "n_sub": 16, "ks": 256, "rows": rows,
+    }))
+    spark.stop()
+
+
+def pq_opq_main() -> None:
+    """OPQ-lite coordinate-permutation experiment (VERDICT r9 #6): does
+    re-ordering coordinates before the contiguous subspace slice lift
+    trained-book ADC recall? Two deterministic permutations against the
+    identity baseline, same clustered generator as ``--pq-recall``:
+
+    - ``splitmix``: coordinates ordered by splitmix64(j) — a fixed
+      pseudo-random deal that decorrelates subspaces from any
+      coordinate-block structure (the cheap half of OPQ's rotation);
+    - ``varbalance``: per-coordinate corpus variance (one aggregation
+      pass), coordinates sorted by variance descending and LPT-dealt so
+      every subspace carries equal energy (OPQ's eigenvalue-allocation
+      heuristic without the rotation).
+
+    A permutation is orthogonal, so cosine ranks are unchanged — truth
+    is computed once on the identity layout and recall is measured in id
+    space. Expected outcome on THIS generator is a NULL: every
+    coordinate is built from the same (cluster, noise) recipe, so the
+    layout is exchangeable and no permutation can beat identity by more
+    than sampling noise — committing the measured row either way is the
+    point (the r9 width-sweep negative is the model). The probe exists
+    because production embeddings are NOT exchangeable (PCA-rotated or
+    Matryoshka-truncated models front-load variance), and there the
+    varbalance deal is the documented first lever."""
+    n_vecs = _arg("--rows", 1_000_000)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = get_spark("bfdl-pq-opq")
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebooks_lloyd,
+        pq_rerank_topk,
+    )
+
+    dim, n_latent, ann_k, n_sub = 64, 32, 10, 16
+    block = n_vecs // n_latent
+
+    def _h01(*cols):
+        return ((F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003) / 1_000_003.0
+
+    clus = F.floor(F.col("vec_id") / block).cast("int")
+    comps = [
+        (
+            (2.0 * _h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.35 * (2.0 * _h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    ann = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+        .cache()
+    )
+    ann.count()
+    annq = ann.filter(
+        (F.col("vec_id") % block < 20) & (F.col("vec_id") < 5 * block)
+    )
+    truth = {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(ann, annq, k=ann_k).collect()
+    }
+
+    def _splitmix(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return (z ^ (z >> 31)) & 0x7FFFFFFFFFFFFFFF
+
+    # per-coordinate variance: one posexplode + 64-group agg. Sums are
+    # float64 (ordering input only, never a result): variances are
+    # rounded to 1e-9 with index tiebreak, so only a tie at that
+    # granularity could flip the deal — and any such near-tie means the
+    # two layouts are equivalent anyway.
+    vr = (
+        ann.select(F.posexplode("embedding").alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            F.avg(F.col("x") * F.col("x")).alias("ex2"),
+            F.avg("x").alias("ex"),
+        )
+        .select("j", (F.col("ex2") - F.col("ex") * F.col("ex")).alias("var"))
+        .collect()
+    )
+    variances = {int(r.j): round(float(r.var), 9) for r in vr}
+
+    def _varbalance_perm() -> list[int]:
+        order = sorted(range(dim), key=lambda j: (-variances[j], j))
+        sub = dim // n_sub
+        groups: list[list[int]] = [[] for _ in range(n_sub)]
+        loads = [0.0] * n_sub
+        for j in order:  # LPT: next-largest coord -> lightest open subspace
+            m = min(
+                (i for i in range(n_sub) if len(groups[i]) < sub),
+                key=lambda i: (loads[i], i),
+            )
+            groups[m].append(j)
+            loads[m] += variances[j]
+        return [j for g in groups for j in sorted(g)]
+
+    perms = {
+        "identity": list(range(dim)),
+        "splitmix": sorted(range(dim), key=lambda j: (_splitmix(j), j)),
+        "varbalance": _varbalance_perm(),
+    }
+
+    rows: list[dict] = []
+    for name, perm in perms.items():
+        if perm == perms["identity"] and name != "identity":
+            rows.append({"layout": name, "note": "degenerated to identity"})
+            continue
+        pc = ann.withColumn(
+            "embedding", F.array(*[F.col("embedding")[p] for p in perm])
+        ).cache()
+        pc.count()
+        pq = pc.filter(
+            (F.col("vec_id") % block < 20) & (F.col("vec_id") < 5 * block)
+        )
+        t0 = time.perf_counter()
+        books = pq_codebooks_lloyd(pc, n_sub=n_sub, ks=256, iters=2)
+        book_sec = round(time.perf_counter() - t0, 2)
+        for stage_name, thunk in (
+            ("pq_adc", lambda: pq_adc_topk(pc, pq, books, k=ann_k)),
+            ("pq_rerank_1000",
+             lambda: pq_rerank_topk(pc, pq, books, k=ann_k, shortlist=1000)),
+        ):
+            t0 = time.perf_counter()
+            found = {(r.q_id, r.neighbor_id) for r in thunk().collect()}
+            rows.append({
+                "layout": name, "stage": stage_name,
+                "recall_at_10": round(len(found & truth) / len(truth), 4),
+                "sec": round(time.perf_counter() - t0, 2),
+                "codebook_sec": book_sec,
+            })
+        if pc is not ann:
+            pc.unpersist()
+
+    print(json.dumps({
+        "mode": "pq_opq", "n_vectors": n_vecs, "dim": dim, "n_sub": n_sub,
+        "ks": 256, "n_queries": 100, "k": ann_k,
+        "variance_spread": {
+            "min": min(variances.values()), "max": max(variances.values()),
+        },
+        "rows": rows,
     }))
     spark.stop()
 
@@ -668,6 +849,9 @@ def streaming_dedup_main() -> None:
 def main() -> None:
     if "--flagship" in sys.argv:
         flagship_main()
+        return
+    if "--pq-opq" in sys.argv:
+        pq_opq_main()
         return
     if "--pq-recall" in sys.argv:
         pq_recall_main()
