@@ -878,16 +878,52 @@ def main() -> None:
     os.environ.setdefault(
         "SPARK_DRIVER_MEMORY", "64g" if total_rows > 20_000_000 else "32g"
     )
-    spark = get_spark("bfdl-scale")
+    spark = get_spark("bfdl-scale", overrides={"spark.ui.enabled": "true"})
+
+    import urllib.request
+
+    def ui_totals() -> dict:
+        """Cumulative shuffle/spill from the REST status API (the cc_main
+        instrumentation) — per-stage deltas name super-linear walls
+        (sort spill vs plan change) with numbers instead of hypotheses."""
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete"
+            ) as r:
+                st = json.load(r)
+        except Exception:
+            return {}
+        tot = dict.fromkeys(
+            ("shuffle_read_gb", "shuffle_write_gb", "mem_spill_gb", "disk_spill_gb"), 0.0
+        )
+        for s in st:
+            tot["shuffle_read_gb"] += s.get("shuffleReadBytes", 0) / 2**30
+            tot["shuffle_write_gb"] += s.get("shuffleWriteBytes", 0) / 2**30
+            tot["mem_spill_gb"] += s.get("memoryBytesSpilled", 0) / 2**30
+            tot["disk_spill_gb"] += s.get("diskBytesSpilled", 0) / 2**30
+        return {k: round(v, 3) for k, v in tot.items()}
 
     stages: dict[str, dict] = {}
+    ui_snap = {"prev": ui_totals()}
 
     def stage(name: str, thunk):
         t0 = time.perf_counter()
         df = thunk()
         dt = time.perf_counter() - t0
         n = df.count()  # outside the timer; pruned count is cheap
-        stages[name] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt) if dt else None, "rows": n}
+        cur = ui_totals()
+        deltas = {
+            k: round(cur[k] - ui_snap["prev"].get(k, 0.0), 3) for k in cur
+        }
+        ui_snap["prev"] = cur
+        stages[name] = {
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n / dt) if dt else None,
+            "rows": n,
+            **deltas,
+        }
         return n
 
     symbols = tuple(f"SYM{i:03d}" for i in range(n_symbols))
