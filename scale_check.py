@@ -846,9 +846,134 @@ def streaming_dedup_main() -> None:
     spark.stop()
 
 
+def trading_bucketed_main() -> None:
+    """The storage-side answer to the generic-layout window-sort spill
+    (SCALE_PROBE_r10 trading_100m: 12.7 GB mem + 5.2 GB disk in
+    window_features at 1M-row symbol runs): write the same ``--rows``
+    bars bucketBy(symbol) + sortBy(symbol, ts) with ONE file per bucket
+    (repartition on the bucket key — the bucketing hash IS the
+    repartition hash), read under
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true, and run the
+    window-feature pass. Expected: ZERO exchanges, ZERO sorts, ZERO
+    spill — the pass degrades to a streaming map over pre-sorted runs
+    (pytest pins the plan shape at test scale:
+    tests/test_bucketed.py::test_bucket_sorted_window_zero_exchange_zero_sort).
+    The day-anchored VWAP runs as its OWN stage: its required ordering
+    (symbol, date, ts) is satisfied by the file order but not PROVABLY
+    so (date derives from ts), so Spark re-sorts — the stage prices
+    exactly what that unprovable ordering costs at scale."""
+    import re
+    import shutil
+    import tempfile
+
+    total_rows = _arg("--rows", 100_000_000)
+    n_symbols = 100
+    n_buckets = 32
+    n_minutes = max(1440, total_rows // n_symbols)
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "64g" if total_rows > 20_000_000 else "32g"
+    )
+    spark = get_spark("bfdl-scale-bucketed", overrides={
+        "spark.ui.enabled": "true",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    })
+    from binance_futures_data_lake_spark.sources.bucketed import (
+        exchange_count, read_bucketed, write_bucketed,
+    )
+
+    import urllib.request
+
+    def ui_totals() -> dict:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete"
+            ) as r:
+                st = json.load(r)
+        except Exception:
+            return {}
+        tot = dict.fromkeys(
+            ("shuffle_read_gb", "shuffle_write_gb", "mem_spill_gb", "disk_spill_gb"), 0.0
+        )
+        for s in st:
+            tot["shuffle_read_gb"] += s.get("shuffleReadBytes", 0) / 2**30
+            tot["shuffle_write_gb"] += s.get("shuffleWriteBytes", 0) / 2**30
+            tot["mem_spill_gb"] += s.get("memoryBytesSpilled", 0) / 2**30
+            tot["disk_spill_gb"] += s.get("diskBytesSpilled", 0) / 2**30
+        return {k: round(v, 3) for k, v in tot.items()}
+
+    stages: dict[str, dict] = {}
+    snap = {"prev": ui_totals()}
+
+    def stage(name: str, df, extra=None):
+        t0 = time.perf_counter()
+        force(df)
+        dt = time.perf_counter() - t0
+        n = df.count()
+        cur = ui_totals()
+        deltas = {k: round(cur[k] - snap["prev"].get(k, 0.0), 3) for k in cur}
+        snap["prev"] = cur
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        stages[name] = {
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n / dt) if dt else None,
+            "rows": n,
+            "shuffle_exchanges": exchange_count(df, execute=False),
+            "sort_nodes": len(re.findall(r"\bSort\b", plan)),
+            **deltas,
+            **(extra or {}),
+        }
+
+    symbols = tuple(f"SYM{i:03d}" for i in range(n_symbols))
+    m1 = synthetic_klines_m1(
+        spark, symbols=symbols, n_minutes=n_minutes, trend_amp=0.05
+    )
+    table = "bfdl_scale_m1_bsorted"
+    path = tempfile.mkdtemp(prefix="bfdl_bsorted_")
+    try:
+        t0 = time.perf_counter()
+        write_bucketed(
+            m1.repartition(n_buckets, "symbol"), table, "symbol", n_buckets,
+            sort_cols=["symbol", "ts"], path=path,
+        )
+        write_sec = round(time.perf_counter() - t0, 2)
+        snap["prev"] = ui_totals()
+        t = read_bucketed(spark, table)
+
+        by, order = ["symbol"], ["ts"]
+        feats = (
+            t.withColumn("prev_close", W.lag_col("close", 1, by, order))
+            .withColumn("ret", W.pct_change("close", by, order))
+            .withColumn("roll_mean20", W.rolling_mean("close", 20, by, order, min_periods=20))
+            .withColumn("close_z20", W.rolling_zscore("close", 20, by, order))
+            .withColumn("tr", W.true_range(by, order))
+            .withColumn("atr14", W.atr_sma(14, by, order))
+        )
+        stage("window_features_bucketed", feats, {"write_sec": write_sec})
+        vwap = t.withColumn(
+            "vwap_d",
+            W.anchored_vwap("close", "volume_base", by, order,
+                            anchor=F.to_date("ts")),
+        )
+        stage("vwap_day_anchored_bucketed", vwap)
+        print(json.dumps({
+            "mode": "trading_bucketed", "rows": total_rows,
+            "n_symbols": n_symbols, "n_buckets": n_buckets,
+            "stages": stages,
+        }))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     if "--flagship" in sys.argv:
         flagship_main()
+        return
+    if "--trading-bucketed" in sys.argv:
+        trading_bucketed_main()
         return
     if "--pq-opq" in sys.argv:
         pq_opq_main()

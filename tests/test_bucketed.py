@@ -178,3 +178,64 @@ def test_exchange_count_sees_round_robin(spark):
     (r3 ADVICE)."""
     df = spark.range(1000).repartition(4)
     assert exchange_count(df) == 1
+
+
+def test_bucket_sorted_window_zero_exchange_zero_sort(spark, tmp_path_factory):
+    """The 100 TB answer to the window-sort spill the 100M trading probe
+    measured (SCALE_PROBE_r10 trading_100m: 12.7 GB mem + 5.2 GB disk in
+    window_features once symbol runs hit 1M rows): a table written
+    bucketBy(symbol) + a sortBy covering the window's REQUIRED ordering
+    (partition keys ++ order keys) with ONE file per bucket
+    (repartition on the bucket key before the write — the bucketing hash
+    IS the repartition hash) and read under
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true runs a
+    partitionBy(symbol).orderBy(ts) window with ZERO exchanges AND ZERO
+    sorts — the pass becomes a streaming map over pre-sorted runs, so
+    the spill source does not exist. The conf is runtime-settable and
+    only reports ordering when each bucket has exactly one file, so it
+    can never claim an ordering the files do not have."""
+    import re
+
+    from pyspark.sql import Window
+
+    root = tmp_path_factory.mktemp("bucketed_win")
+    ev = load_table(spark, "events", SF).select("user_id", "ts", "value")
+    write_bucketed(
+        ev.repartition(N_BUCKETS, "user_id"),
+        "bfdl_test_events_bsorted",
+        "user_id",
+        N_BUCKETS,
+        sort_cols=["user_id", "ts", "value"],
+        path=str(root / "events_bsorted"),
+    )
+    prev = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        t = read_bucketed(spark, "bfdl_test_events_bsorted")
+        w = Window.partitionBy("user_id").orderBy("ts", "value")
+        d = t.withColumn("prev_value", F.lag("value").over(w))
+        assert exchange_count(d, execute=False) == 0
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"\bSort\b", plan), plan
+        # and the elision changed nothing: same rows as the plain path
+        base = (
+            load_table(spark, "events", SF)
+            .select("user_id", "ts", "value")
+            .withColumn("prev_value", F.lag("value").over(w))
+        )
+        got = sorted(
+            map(tuple, d.select("user_id", "ts", "prev_value").collect())
+        )
+        want = sorted(
+            map(tuple, base.select("user_id", "ts", "prev_value").collect())
+        )
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS bfdl_test_events_bsorted")
