@@ -53,6 +53,7 @@ def connected_components(
     driver_max_edges: int = 500_000,
     target_edges_per_partition: int = 2_000_000,
     prepass_flush_nodes: int = 8_000_000,
+    prepass: bool = True,
     on_round=None,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the min node id
@@ -94,6 +95,19 @@ def connected_components(
     MIN ID — so the result is identical on either path and independent
     of partitioning, which is what keeps the operator
     DuckDB-oracle-checkable (recursive-CTE transitive closure).
+
+    ``prepass`` (r10): round 0 below is ON by default — it pays for
+    itself whenever the input pair list has duplicate pairs (multi-band
+    LSH emitters), locality (banded near-dup groups, id-clustered
+    chains), or is large enough that the loop's first full-width
+    exchange would spill (the instrumented 100M probe: spill 37.6 GB →
+    zero). On a DISTINCT, scattered sparse graph it folds almost
+    nothing and its extra pass is pure overhead (measured +53% on a
+    1M-node/3M-edge random graph: conflict list 5.58M sym rows vs 6.0M
+    raw) — consumers that construct such lists (mutual-kNN:
+    similarity.knn_graph_components) pass ``prepass=False`` to take the
+    r9 shape, whose results are IDENTICAL (parity pytest). Both paths
+    share the loop, label composition, and min-id normalization.
 
     r10 round-0 local pre-contraction (the remaining r9 lever — results
     unchanged): the instrumented 100M probe showed 345 s of 747 s wall
@@ -246,24 +260,38 @@ def connected_components(
                 yield from flush()
         yield from flush()
 
-    raw0 = base.mapInPandas(_local_star, f"node {id_type}, root {id_type}")
-    # ONE node-sized exchange resolves the round-0 map AND derives the
-    # conflict edges; dom(m0) is every node that appears in any edge
-    res0 = (
-        raw0.groupBy("node")
-        .agg(
-            F.min("root").alias("root"),
-            F.collect_set("root").alias("all_roots"),
+    if prepass:
+        raw0 = base.mapInPandas(_local_star, f"node {id_type}, root {id_type}")
+        # ONE node-sized exchange resolves the round-0 map AND derives the
+        # conflict edges; dom(m0) is every node that appears in any edge
+        res0 = (
+            raw0.groupBy("node")
+            .agg(
+                F.min("root").alias("root"),
+                F.collect_set("root").alias("all_roots"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
-    m0 = res0.select("node", "root")
-    e1 = res0.select(
-        F.explode("all_roots").alias("u"), F.col("root").alias("v")
-    ).filter(F.col("u") != F.col("v"))
-    sym = e1.union(
-        e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+        m0 = res0.select("node", "root")
+        e1 = res0.select(
+            F.explode("all_roots").alias("u"), F.col("root").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        sym = e1.union(
+            e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=False)
+    else:
+        # prepass=False: the r9 shape — loop straight on the symmetric
+        # raw list; m0 degrades to the identity map over the node set,
+        # so label recovery below is unchanged
+        sym = base.union(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=False)
+        m0 = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("root", F.col("node"))
+            .localCheckpoint(eager=False)
+        )
     n_edges = sym.count()
     if on_round is not None:
         on_round({

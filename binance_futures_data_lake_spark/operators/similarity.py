@@ -1464,7 +1464,16 @@ def knn_graph_components(
         corpus, cents, kk=kk, threshold=threshold,
         id_col=id_col, vec_col=vec_col,
     ).localCheckpoint(eager=False)
-    comp = connected_components(edges, src="u", dst="v")
+    # prepass=False (r10): the round-0 local pre-contraction pays for
+    # itself on dup-heavy / locality-rich pair lists (banded LSH dedup,
+    # where it eliminated ALL the 100M-probe spill) but this edge list
+    # is distinct-by-construction (mutual top-k pairs) and scattered by
+    # the mutual self-join's hash partitioning, so round 0 folds almost
+    # nothing and its extra pass is pure overhead — measured +53% on a
+    # 1M-node/3M-edge scattered graph and +59% on the 1M knn suite
+    # stage (SCALE_PROBE_r10 full_10m_suite vs r9; parity of both paths
+    # pinned in tests/test_graph.py).
+    comp = connected_components(edges, src="u", dst="v", prepass=False)
     deg = (
         edges.select(F.col("u").alias("id"))
         .unionAll(edges.select(F.col("v").alias("id")))
@@ -2275,4 +2284,229 @@ def pq_ivf_rerank_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVFPQ INDEX: one zero-shuffle pass encoding every
+    corpus vector to ``(id, cell, n_sub codes)`` — the form a 100 TB
+    deployment persists (``.write.partitionBy("cell")``), because query
+    time then reads codes instead of vectors (≈ 64× fewer bytes for
+    64-dim float64 at n_sub=16) and a probe's ``cell IN (...)`` filter
+    partition-prunes to nprobe/num_cells of the files before a single
+    byte is scanned. Encoding is the same exact integer-grid arithmetic
+    as :func:`pq_ivf_adc_topk`'s inline path — the two are bit-equal by
+    construction (pinned in tests/test_pq_ivf.py). Zero-norm vectors
+    are out of cosine domain and dropped, matching every PQ/IVF tier.
+
+    Output: ``id, cell (int), codes (array<smallint>, length n_sub)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n_sub = len(books)
+    sub = len(books[0][0])
+    dim = n_sub * sub
+    C = [np.array(b, dtype=np.float64) for b in books]
+    cell_ids, _, assign = _grid_assign_residual(cents)
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def _kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat = np.asarray(rb.column(1).flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"ragged embedding column: {flat.size} values for "
+                    f"{n} rows × dim {dim}"
+                )
+            mat = flat.reshape(n, dim)
+            nrm = _fold_sq_norms(mat)
+            live = np.flatnonzero(nrm > 0)
+            if live.size == 0:
+                continue
+            v = mat[live] / nrm[live, None] * 1e6
+            s = np.sign(v) * np.floor(np.abs(v) + 0.5)
+            cidx, res = assign(s)
+            codes = np.empty((live.size, n_sub), dtype=np.int16)
+            for m in range(n_sub):
+                rm = res[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    np.einsum("ij,ij->i", rm, rm)[:, None]
+                    - 2.0 * (rm @ C[m].T)
+                    + np.einsum("ij,ij->i", C[m], C[m])[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pa.record_batch(
+                [
+                    pa.array(ids[live]),
+                    pa.array(cell_ids[cidx].astype(np.int32)),
+                    pa.array(list(codes), type=pa.list_(pa.int16())),
+                ],
+                names=["id", "cell", "codes"],
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInArrow(_kernel, f"id {id_type}, cell int, codes array<smallint>")
+
+
+def pq_ivf_adc_codes_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    books: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC over a MATERIALIZED code index (:func:`pq_encode` output)
+    — the query-time half of the deployed IVFPQ split: the probed-cell
+    filter is a plain ``cell IN (...)`` predicate, so over a
+    cell-partitioned parquet index it partition-prunes to
+    nprobe/num_cells of the files, and the scan carries (id, cell,
+    n_sub smallints) per row instead of dim doubles. Scoring is pure
+    table lookup (no encode work — that was paid once at index build),
+    fused with the per-batch partial top-k. Results are BIT-EQUAL to
+    :func:`pq_ivf_adc_topk` on the same (corpus, cents, books): same
+    tables, same exact-integer distances, same tiebreaks.
+
+    Output: ``q_id, neighbor_id, adc_dist (BIGINT), rnk``.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    n_sub = len(books)
+    sub = len(books[0][0])
+    C = [np.array(b, dtype=np.float64) for b in books]
+    cell_ids, c_mat, _ = _grid_assign_residual(cents)
+    q_id_type = dict(queries.dtypes)[id_col]
+    n_id_type = dict(codes_df.dtypes)["id"]
+    spark = codes_df.sparkSession
+    empty_schema = (
+        f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long, rnk int"
+    )
+
+    max_q = int(os.environ.get("BFDL_IVF_MAX_QUERIES", IVF_MAX_QUERIES))
+    q_pdf = (
+        normalized(queries, id_col, vec_col)
+        .filter(F.col("nrm") > 0)
+        .select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
+        .limit(max_q + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > max_q:
+        raise ValueError(
+            f"IVF query side exceeds {max_q} rows; it is collected to the "
+            "driver and shipped in every task closure, so it must stay "
+            "broadcast-sized. Batch the query set or raise "
+            "BFDL_IVF_MAX_QUERIES if the rig has the memory."
+        )
+    if q_pdf.empty:
+        return spark.createDataFrame([], empty_schema)
+    q_ids = q_pdf["id"].to_numpy()
+    qs = np.array(q_pdf["s"].tolist(), dtype=np.float64)
+    nq = q_ids.size
+    npb = min(nprobe, len(cents))
+    qd2 = (
+        np.einsum("ij,ij->i", qs, qs)[:, None]
+        - 2.0 * (qs @ c_mat.T)
+        + np.einsum("ij,ij->i", c_mat, c_mat)[None, :]
+    )
+    order = np.argsort(qd2, axis=1, kind="stable")[:, :npb]
+    probes: dict[int, list[int]] = {}
+    qdt: dict[tuple[int, int], list] = {}
+    for qi in range(nq):
+        for ci in order[qi]:
+            cid = int(cell_ids[ci])
+            probes.setdefault(cid, []).append(qi)
+            rq = qs[qi] - c_mat[ci]
+            qdt[(qi, cid)] = [
+                (
+                    (rq[m * sub : (m + 1) * sub][None, :] - C[m]) ** 2
+                ).sum(axis=1)
+                for m in range(n_sub)
+            ]
+    probed_cells = sorted(probes)
+
+    def _kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            row_cells = rb.column(1).to_numpy(zero_copy_only=False)
+            codes = np.asarray(rb.column(2).flatten(), dtype=np.int64)
+            if codes.size != n * n_sub:
+                raise ValueError(
+                    f"ragged codes column: {codes.size} values for "
+                    f"{n} rows × n_sub {n_sub}"
+                )
+            codes = codes.reshape(n, n_sub)
+            acc: dict[int, list] = {}
+            for cid in np.unique(row_cells):
+                qlist = probes.get(int(cid))
+                if not qlist:
+                    continue
+                sel = np.flatnonzero(row_cells == cid)
+                csel = codes[sel]
+                for qi in qlist:
+                    tabs = qdt[(qi, int(cid))]
+                    ad = tabs[0][csel[:, 0]]
+                    for m in range(1, n_sub):
+                        ad = ad + tabs[m][csel[:, m]]
+                    acc.setdefault(qi, []).append((ids[sel], ad))
+            q_out, n_out, d_out = [], [], []
+            for qi, parts in acc.items():
+                cand_id = np.concatenate([p[0] for p in parts])
+                cand_d = np.concatenate([p[1] for p in parts])
+                keep = cand_id != q_ids[qi]
+                cand_id, cand_d = cand_id[keep], cand_d[keep]
+                if cand_d.size > k:
+                    thr = np.partition(cand_d, k - 1)[k - 1]
+                    kp = cand_d <= thr  # k-th ties kept; window breaks
+                    cand_id, cand_d = cand_id[kp], cand_d[kp]
+                q_out.append(np.full(cand_id.size, q_ids[qi]))
+                n_out.append(cand_id)
+                d_out.append(cand_d.astype(np.int64))
+            if not q_out:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(q_out)),
+                    pa.array(np.concatenate(n_out)),
+                    pa.array(np.concatenate(d_out)),
+                ],
+                names=["q_id", "neighbor_id", "adc_dist"],
+            )
+
+    # the probed-cell predicate is WHERE-clause visible, so a
+    # cell-partitioned parquet index partition-prunes before the scan
+    pruned = codes_df.filter(F.col("cell").isin(probed_cells)).select(
+        F.col("id"), F.col("cell").cast("int").alias("cell"), F.col("codes")
+    )
+    partial = pruned.mapInArrow(
+        _kernel, f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long"
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rnk")
     )

@@ -442,6 +442,124 @@ def pq_opq_main() -> None:
     spark.stop()
 
 
+def pq_ivf_scan_main() -> None:
+    """IVFADC scan economics at ``--rows`` (default 10M) vectors: the
+    headline scale property of the inverted file is that the ADC scan
+    touches ~nprobe/num_cells of the corpus (cell-id partition pruning
+    at 100 TB; an in-kernel cell mask here), so the compressed-tier
+    query cost drops by the pruning factor ON TOP of the recall lift
+    the 1M probe measured. Seeded books/cells both sides (throughput
+    row — recall is the 1M probe's job): flat full-scan ADC vs IVFADC
+    at nprobe 4 and 8 of 32 cells, same 16×256 code budget, 100
+    queries."""
+    n_vecs = _arg("--rows", 10_000_000)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+    spark = get_spark("bfdl-pq-ivf-scan")
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_ivf_adc_topk,
+        pq_residual_codebooks,
+    )
+
+    dim, n_latent, ann_k = 64, 32, 10
+    block = n_vecs // n_latent
+
+    def _h01(*cols):
+        return ((F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003) / 1_000_003.0
+
+    clus = F.floor(F.col("vec_id") / block).cast("int")
+    comps = [
+        (
+            (2.0 * _h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.35 * (2.0 * _h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    ann = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+        .cache()
+    )
+    ann.count()
+    annq = ann.filter(
+        (F.col("vec_id") % block < 20) & (F.col("vec_id") < 5 * block)
+    )
+    import shutil
+    import tempfile
+
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_encode, pq_ivf_adc_codes_topk,
+    )
+
+    t0 = time.perf_counter()
+    flat_books = pq_codebooks(ann, n_sub=16, ks=256)
+    cents = list(enumerate(pq_codebooks(ann, n_sub=1, ks=32)[0]))
+    res_books = pq_residual_codebooks(ann, cents, n_sub=16, ks=256)
+    books_sec = round(time.perf_counter() - t0, 2)
+
+    def du(path: str) -> int:
+        tot = 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                tot += os.path.getsize(os.path.join(root, fn))
+        return tot
+
+    rows = []
+
+    def run(name, thunk, extra=None):
+        t0 = time.perf_counter()
+        n = thunk().count()
+        rows.append({
+            "stage": name, "sec": round(time.perf_counter() - t0, 2),
+            "result_rows": n, **(extra or {}),
+        })
+
+    raw_dir = tempfile.mkdtemp(prefix="bfdl_pqraw_")
+    idx_dir = tempfile.mkdtemp(prefix="bfdl_pqidx_")
+    try:
+        # the raw corpus as parquet — what the full-scan tier reads at
+        # deploy (the in-memory `ann` cache would flatter it)
+        ann.write.mode("overwrite").parquet(raw_dir)
+        raw = spark.read.parquet(raw_dir)
+        # the IVFPQ index: encode once, persist partitioned by cell
+        t0 = time.perf_counter()
+        pq_encode(ann, cents, res_books).write.mode("overwrite") \
+            .partitionBy("cell").parquet(idx_dir)
+        encode_sec = round(time.perf_counter() - t0, 2)
+        codes = spark.read.parquet(idx_dir)
+        sizes = {
+            "raw_parquet_mb": round(du(raw_dir) / 2**20, 1),
+            "codes_parquet_mb": round(du(idx_dir) / 2**20, 1),
+        }
+        run("pq_adc_full_scan_raw",
+            lambda: pq_adc_topk(raw, annq, flat_books, k=ann_k))
+        run("pq_ivfadc_inline_encode_nprobe4",
+            lambda: pq_ivf_adc_topk(raw, annq, cents, res_books, k=ann_k,
+                                    nprobe=4))
+        run("codes_all_cells", lambda: pq_ivf_adc_codes_topk(
+            codes, annq, cents, res_books, k=ann_k, nprobe=32),
+            {"corpus_fraction_scored": 1.0})
+        for npb in (4, 8):
+            run(
+                f"codes_nprobe{npb}",
+                lambda npb=npb: pq_ivf_adc_codes_topk(
+                    codes, annq, cents, res_books, k=ann_k, nprobe=npb),
+                {"corpus_fraction_scored": round(npb / 32, 4)},
+            )
+        print(json.dumps({
+            "mode": "pq_ivf_scan", "n_vectors": n_vecs, "dim": dim,
+            "n_queries": 100, "k": ann_k, "n_sub": 16, "ks": 256,
+            "num_cells": 32, "codebooks_sec": books_sec,
+            "encode_write_sec": encode_sec, **sizes, "rows": rows,
+        }))
+    finally:
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+
+
 def cc_main() -> None:
     """Instrumented contraction-CC probe (VERDICT r8 #3): the 10k-chain
     adversarial graph at ``--rows`` nodes with PER-ROUND shuffle
@@ -977,6 +1095,9 @@ def main() -> None:
         return
     if "--pq-opq" in sys.argv:
         pq_opq_main()
+        return
+    if "--pq-ivf-scan" in sys.argv:
+        pq_ivf_scan_main()
         return
     if "--pq-recall" in sys.argv:
         pq_recall_main()

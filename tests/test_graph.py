@@ -150,3 +150,39 @@ def test_cc_distributed_string_ids(spark):
     )
     lab = _labels(connected_components(df, driver_max_edges=0))
     assert lab == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_prepass_parity(spark):
+    """prepass=True (round-0 local pre-contraction) and prepass=False
+    (the r9 shape: loop straight on the symmetric raw list) must be
+    bit-identical — same components, min-id labels, one row per node —
+    on a graph that exercises dup pairs, chains, a dense clique, and
+    isolated-pair structure, on BOTH the driver short-circuit and the
+    distributed path."""
+    rows = (
+        [(i, i + 1) for i in range(0, 40)]          # chain
+        + [(100 + a, 100 + b) for a in range(6) for b in range(a)]  # clique
+        + [(200, 201), (201, 200), (200, 201)]       # dup + reversed pairs
+        + [(300, 301)]
+    )
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    from binance_futures_data_lake_spark.operators.graph import (
+        connected_components,
+    )
+
+    for dme in (500_000, 0):  # driver short-circuit and distributed loop
+        on = {
+            r.id: r.comp
+            for r in connected_components(
+                edges, driver_max_edges=dme, prepass=True
+            ).collect()
+        }
+        off = {
+            r.id: r.comp
+            for r in connected_components(
+                edges, driver_max_edges=dme, prepass=False
+            ).collect()
+        }
+        assert on == off
+        assert on[40] == 0 and on[105] == 100 and on[201] == 200
+        assert on[301] == 300

@@ -240,3 +240,48 @@ def test_pq_ivf_validation_and_empty_queries(spark):
     assert [f.name for f in out.schema.fields] == [
         "q_id", "neighbor_id", "adc_dist", "rnk",
     ]
+
+
+def test_pq_encode_codes_path_bit_equal_and_pruned(spark, tmp_path):
+    """The deployed IVFPQ split: pq_encode materializes (id, cell,
+    codes); pq_ivf_adc_codes_topk over the stored index must be
+    BIT-EQUAL to the inline pq_ivf_adc_topk on the same (corpus, cents,
+    books) — same tables, same exact-integer distances, same tiebreaks
+    — including through a cell-partitioned parquet round trip, where
+    the probed-cell predicate must reach the scan as a partition
+    filter (nprobe/num_cells of the files read, before any IO)."""
+    emb = _clustered(spark).cache()
+    emb.count()
+    cents = _seed_cents(emb)
+    books = pq_residual_codebooks(emb, cents, n_sub=N_SUB, ks=KS)
+    q = emb.filter(F.col("vec_id") % 17 == 0)
+    want = {
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rnk)
+        for r in pq_ivf_adc_topk(emb, q, cents, books, k=4, nprobe=2).collect()
+    }
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_encode, pq_ivf_adc_codes_topk,
+    )
+
+    enc = pq_encode(emb, cents, books)
+    got_mem = {
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rnk)
+        for r in pq_ivf_adc_codes_topk(enc, q, cents, books, k=4,
+                                       nprobe=2).collect()
+    }
+    assert got_mem == want
+    idx = str(tmp_path / "pq_index")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(idx)
+    codes = spark.read.parquet(idx)
+    out = pq_ivf_adc_codes_topk(codes, q, cents, books, k=4, nprobe=2)
+    got_disk = {
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rnk) for r in out.collect()
+    }
+    assert got_disk == want
+    # the cell predicate must prune partitions at the scan, not filter
+    # rows after reading everything
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf, plan
