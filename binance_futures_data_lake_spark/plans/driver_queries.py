@@ -8011,6 +8011,37 @@ def q_pq_ivf_adc_topk(spark, sf_dir):
 
 
 @register(
+    "pq_ivf_codes_topk",
+    sql=_PQ_IVF_CTES + """
+    SELECT q_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q_pq_ivf_codes_topk(spark, sf_dir):
+    """IVFADC over the MATERIALIZED code index (r10) — the deployed
+    split of the tier: `pq_encode` builds (id, cell, codes) once (the
+    form a 100 TB corpus persists partitioned by cell, 64× denser than
+    the vectors), `pq_ivf_adc_codes_topk` queries it with the
+    probed-cell predicate as a plain filter (partition pruning at
+    scale) and pure table-lookup scoring. Bit-equal to the inline
+    `pq_ivf_adc_topk` by construction — SAME oracle SQL, so the driver
+    hash pins the index build + codes round trip end-to-end
+    (operators/similarity.py pq_encode / pq_ivf_adc_codes_topk)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_codebooks, pq_encode, pq_ivf_adc_codes_topk,
+        pq_residual_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = list(enumerate(pq_codebooks(emb, n_sub=1, ks=4)[0]))
+    books = pq_residual_codebooks(emb, cents, n_sub=4, ks=8)
+    codes = pq_encode(emb, cents, books)
+    return pq_ivf_adc_codes_topk(
+        codes, emb.filter(F.col("vec_id") < 10), cents, books,
+        k=5, nprobe=2,
+    )
+
+
+@register(
     "pq_ivf_rerank_topk",
     sql=_PQ_IVF_CTES + """
     , sl AS (
@@ -8921,10 +8952,10 @@ _FRONT = [
     #     fill slots to the r10-NEW pair and head the r11 mandatory
     #     block instead (all three stay within the 3-round invariant).
     #
-    # r11 NOTE (execute next round): entering r11, the 39 r8-checked
+    # r11 NOTE (execute next round): entering r11, the 40 r8-checked
     # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r08 row
     # that is 3 rounds old — they are the MANDATORY core of the r11
-    # prefix (39 + any r11-NEW/behavior-touched leaves ~11 fill slots
+    # prefix (40 + any r11-NEW/behavior-touched leaves ~10 fill slots
     # from the 47-entry r9-checked block that follows, oldest
     # capabilities first). The names checked THIS round (this _FRONT)
     # are 1 round old entering r11 and sit freshest.
@@ -8944,17 +8975,20 @@ _FRONT = [
     "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
     "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
     "ichimoku_hourly",
-    # --- 9 fills (rationale above) ---
-    "pq_ivf_adc_topk", "pq_ivf_rerank_topk",
+    # --- 9 fills (rationale above; pq_ivf_codes_topk is the third
+    # r10-NEW entry — the materialized-index twin — and took the
+    # retrieval_eval_ivf slot, which moves to the r11 mandatory head
+    # with its two kernel-consumer siblings) ---
+    "pq_ivf_adc_topk", "pq_ivf_rerank_topk", "pq_ivf_codes_topk",
     "dedup_clusters", "knn_graph_components", "cluster_split",
     "curation_pipeline",
-    "ann_ivf_topk", "ann_ivf_seeded_topk", "retrieval_eval_ivf",
+    "ann_ivf_topk", "ann_ivf_seeded_topk",
 ]
 _ORACLE_TAIL = [
-    # Head block: the 39 r8-checked queries not reached by the r9/r10
+    # Head block: the 40 r8-checked queries not reached by the r9/r10
     # prefixes — 3 rounds old entering r11, the MANDATORY core of the
     # r11 prefix.
-    "streaming_hll_distinct", "retrieval_pipeline",
+    "streaming_hll_distinct", "retrieval_pipeline", "retrieval_eval_ivf",
     "hard_negative_mining", "hll_distinct_users",
     "user_interaction_pagerank", "corpus_release_diff",
     "semantic_dedup", "incremental_semantic_dedup",
