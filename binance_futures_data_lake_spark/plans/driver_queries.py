@@ -8926,68 +8926,34 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-10 rotation (executing the r9 NOTE at this spot + VERDICT r9
-    # #1). Invariant: every oracle query driver-green within the last
-    # THREE rounds, SELFCHECK-green every round. Ages entering r10:
-    # 41 r7-checked (3 rounds old — MANDATORY, the whole head block of
-    # the r9 tail), 37 r8-checked, 50 r9-checked, 1 rows-only-by-design
-    # (ml_lr_embeddings). The prefix is exactly 41 mandatory + 9 fills.
-    # Fill rationale:
-    #   pq_ivf_adc_topk / pq_ivf_rerank_topk — r10-NEW (the IVFADC
-    #     residual-PQ tier); new queries always enter the prefix.
-    #   dedup_clusters / knn_graph_components / cluster_split /
-    #     curation_pipeline — the four connected_components consumers.
-    #     The CC round-0 local pre-contraction rewrite (adbd190)
-    #     POSTDATES the r9 gate artifacts (final r9-attested commit
-    #     30e2a0f, gate 06:55; adbd190 landed 08:28), so their last
-    #     driver row attests the PREVIOUS engine path. Re-attesting all
-    #     four pins the rewrite end-to-end.
-    #   ann_ivf_topk / ann_ivf_seeded_topk / retrieval_eval_ivf — the
-    #     oldest r8-checked entries among the five the r9 prefix
-    #     explicitly deferred despite a touched read path (the
-    #     _cell_scored_topk cap + _read_state self-heal): these three
-    #     re-attest the shared kernel itself, closing that documented
-    #     trade; the two kernel CONSUMERS (retrieval_pipeline,
-    #     hard_negative_mining) and streaming_hll_distinct lost their
-    #     fill slots to the r10-NEW pair and head the r11 mandatory
-    #     block instead (all three stay within the 3-round invariant).
+    # Round-11 rotation (executing the r10 NOTE at this spot + VERDICT
+    # r10 #1). Invariant: every oracle query driver-green within the
+    # last THREE rounds, SELFCHECK-green every round. Ages entering
+    # r11 (computed by set-difference over CORRECTNESS_r01..r10):
+    # 40 r8-checked (3 rounds old — MANDATORY, the whole head block of
+    # the r10 tail), 47 r9-checked, 50 r10-checked, 1 rows-only-by-
+    # design (ml_lr_embeddings). The prefix is exactly 40 mandatory +
+    # 10 fills. Fill rationale:
+    #   pq_ivf_adc_topk / pq_ivf_rerank_topk / pq_ivf_codes_topk —
+    #     BEHAVIOR-TOUCHED this round: the ADVICE r10 refactor extracts
+    #     the shared query-side probe/table/accumulate helper for the
+    #     inline and stored-codes IVFADC paths and adds the cents-sort
+    #     + code-range loud-failure guards, so their r10 rows attest
+    #     the pre-refactor code; re-attesting pins the shared kernel.
+    #   temperature_mixture / bm25_topk / dsir_select / bloom_decontam
+    #     / media_image_near_dup / media_audio_near_dup /
+    #     streaming_incremental_dedup — the 7 oldest-capability entries
+    #     of the 47-strong r9-checked block (its documented fill order),
+    #     leaving 40 r9-checked entries as the mandatory core of r12.
     #
-    # r11 NOTE (execute next round): entering r11, the 40 r8-checked
-    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r08 row
-    # that is 3 rounds old — they are the MANDATORY core of the r11
-    # prefix (40 + any r11-NEW/behavior-touched leaves ~10 fill slots
-    # from the 47-entry r9-checked block that follows, oldest
+    # r12 NOTE (execute next round): entering r12, the 40 r9-checked
+    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r09 row
+    # that is 3 rounds old — they are the MANDATORY core of the r12
+    # prefix (40 + any r12-NEW/behavior-touched leaves ~10 fill slots
+    # from the 50-entry r10-checked block that follows, oldest
     # capabilities first). The names checked THIS round (this _FRONT)
-    # are 1 round old entering r11 and sit freshest.
-    # --- the 41 r7-aged (CORRECTNESS_r07 row is 3 rounds old) ---
-    "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
-    "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
-    "pretrain_data_pipeline",
-    "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
-    "minhash_signatures", "simhash_values", "case_label_ladder",
-    "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
-    "router_gate_from_cases", "ml_keep_frac_grid", "calendar_weekly_ohlcv",
-    "scrub_ffill_gates", "point_lookup_neighbors", "ann_lsh_topk",
-    "sweep_pipeline", "backtest_event_kernel", "range_boxes",
-    "sticky_regime_hourly", "regime_cases", "streaming_ohlcv_bars",
-    "streaming_doc_quality", "media_audio_features",
-    "pack_sequences_nextfit", "minhash_near_dup_pairs",
-    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
-    "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
-    "ichimoku_hourly",
-    # --- 9 fills (rationale above; pq_ivf_codes_topk is the third
-    # r10-NEW entry — the materialized-index twin — and took the
-    # retrieval_eval_ivf slot, which moves to the r11 mandatory head
-    # with its two kernel-consumer siblings) ---
-    "pq_ivf_adc_topk", "pq_ivf_rerank_topk", "pq_ivf_codes_topk",
-    "dedup_clusters", "knn_graph_components", "cluster_split",
-    "curation_pipeline",
-    "ann_ivf_topk", "ann_ivf_seeded_topk",
-]
-_ORACLE_TAIL = [
-    # Head block: the 40 r8-checked queries not reached by the r9/r10
-    # prefixes — 3 rounds old entering r11, the MANDATORY core of the
-    # r11 prefix.
+    # are 1 round old entering r12 and sit freshest.
+    # --- the 40 r8-aged (CORRECTNESS_r08 row is 3 rounds old) ---
     "streaming_hll_distinct", "retrieval_pipeline", "retrieval_eval_ivf",
     "hard_negative_mining", "hll_distinct_users",
     "user_interaction_pagerank", "corpus_release_diff",
@@ -9003,11 +8969,17 @@ _ORACLE_TAIL = [
     "rolling_stats", "sampled_revenue_by_nation", "top_orders",
     "true_range_atr", "vwap_daily", "streaming_simhash_dedup",
     "c4_quality_flags",
-    # r9-checked block (CORRECTNESS_r09 row; 2 rounds old entering r11
-    # — the r11 fill pool, oldest capabilities first).
+    # --- 10 fills (rationale above) ---
+    "pq_ivf_adc_topk", "pq_ivf_rerank_topk", "pq_ivf_codes_topk",
     "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
     "media_image_near_dup", "media_audio_near_dup",
-    "streaming_incremental_dedup", "token_budget_plan",
+    "streaming_incremental_dedup",
+]
+_ORACLE_TAIL = [
+    # Head block: the 40 r9-checked queries not reached by the r10/r11
+    # prefixes — 3 rounds old entering r12, the MANDATORY core of the
+    # r12 prefix (oldest capabilities first within the block).
+    "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "kmv_quantile_value_by_type", "priority_ship_exists",
     "backtest_range_kernel", "backtest_equity_curve",
@@ -9024,6 +8996,26 @@ _ORACLE_TAIL = [
     "bpe_learn_merges", "bpe_tokenize_stats", "kmv_distinct_users",
     "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
     "streaming_sessionization", "token_weighted_sample",
+    # r10-checked block (CORRECTNESS_r10 row; 2 rounds old entering
+    # r12 — the r12 fill pool, oldest capabilities first).
+    "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
+    "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
+    "pretrain_data_pipeline",
+    "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
+    "minhash_signatures", "simhash_values", "case_label_ladder",
+    "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
+    "router_gate_from_cases", "ml_keep_frac_grid", "calendar_weekly_ohlcv",
+    "scrub_ffill_gates", "point_lookup_neighbors", "ann_lsh_topk",
+    "sweep_pipeline", "backtest_event_kernel", "range_boxes",
+    "sticky_regime_hourly", "regime_cases", "streaming_ohlcv_bars",
+    "streaming_doc_quality", "media_audio_features",
+    "pack_sequences_nextfit", "minhash_near_dup_pairs",
+    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
+    "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
+    "ichimoku_hourly",
+    "dedup_clusters", "knn_graph_components", "cluster_split",
+    "curation_pipeline",
+    "ann_ivf_topk", "ann_ivf_seeded_topk",
 ]
 
 def _reorder_registry() -> None:
