@@ -1850,12 +1850,14 @@ def _grid_assign_residual(cents: list[tuple[int, list[int]]]):
     return ``(cell_ids, c_mat, assign)`` where ``assign(smat)`` maps a
     grid-scaled batch (n × dim float64 holding exact ints) to
     ``(cent_index, residual)`` by exact integer squared-L2 with
-    ``np.argmin`` first-min — cents are sorted by cell id, so first-min
-    IS the min-cell-id tiebreak the SQL oracle replays. Grid components
+    ``np.argmin`` first-min — cents are sorted by cell id HERE (not
+    assumed of the caller), so first-min IS the min-cell-id tiebreak
+    the SQL oracle replays regardless of input order. Grid components
     are ≤ 1e6 in magnitude, so every d² term ≤ 4e12 and every 64-dim sum
     ≤ 2.6e14 — float64 is exact throughout."""
     import numpy as np
 
+    cents = sorted(cents, key=lambda c: c[0])
     cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
     c_mat = np.array([v for _, v in cents], dtype=np.float64)
     c2 = np.einsum("ij,ij->i", c_mat, c_mat)
@@ -1870,6 +1872,135 @@ def _grid_assign_residual(cents: list[tuple[int, list[int]]]):
         return idx, smat - c_mat[idx]
 
     return cell_ids, c_mat, assign
+
+
+def _ivf_query_probe_tables(
+    queries: DataFrame,
+    C: list,
+    cell_ids,
+    c_mat,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    sub: int,
+):
+    """Shared query-side setup for the IVFADC tiers (inline
+    :func:`pq_ivf_adc_topk` and materialized
+    :func:`pq_ivf_adc_codes_topk`): collect the query set behind the
+    :data:`IVF_MAX_QUERIES` loud-failure cap, rank cells per query by
+    exact integer L2 (stable argsort over cell-id-sorted centroids =
+    min-cell-id tiebreak), and precompute per (query, probed cell) the
+    ``n_sub × ks`` residual-distance tables. ONE implementation so the
+    pinned bit-equality contract between the two paths cannot silently
+    diverge (ADVICE r10). Returns ``None`` when no live queries, else
+    ``(q_ids, probes, qdt)``.
+    """
+    import os
+
+    import numpy as np
+
+    n_sub = len(C)
+    max_q = int(os.environ.get("BFDL_IVF_MAX_QUERIES", IVF_MAX_QUERIES))
+    q_pdf = (
+        normalized(queries, id_col, vec_col)
+        .filter(F.col("nrm") > 0)
+        .select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
+        .limit(max_q + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > max_q:
+        raise ValueError(
+            f"IVF query side exceeds {max_q} rows; it is collected to the "
+            "driver and shipped in every task closure, so it must stay "
+            "broadcast-sized. Batch the query set or raise "
+            "BFDL_IVF_MAX_QUERIES if the rig has the memory."
+        )
+    if q_pdf.empty:
+        return None
+    q_ids = q_pdf["id"].to_numpy()
+    qs = np.array(q_pdf["s"].tolist(), dtype=np.float64)
+    npb = min(nprobe, int(cell_ids.size))
+    # rank cells per query: exact integer d², cell-id tiebreak (cents
+    # sorted ⇒ argsort on (d2, index) = (d2, cell id))
+    qd2 = (
+        np.einsum("ij,ij->i", qs, qs)[:, None]
+        - 2.0 * (qs @ c_mat.T)
+        + np.einsum("ij,ij->i", c_mat, c_mat)[None, :]
+    )
+    order = np.argsort(qd2, axis=1, kind="stable")[:, :npb]
+    # per (query, probed cell): residual distance table (n_sub × ks)
+    probes: dict[int, list[int]] = {}
+    qdt: dict[tuple[int, int], list] = {}
+    for qi in range(int(q_ids.size)):
+        for ci in order[qi]:
+            cid = int(cell_ids[ci])
+            probes.setdefault(cid, []).append(qi)
+            rq = qs[qi] - c_mat[ci]
+            qdt[(qi, cid)] = [
+                (
+                    (rq[m * sub : (m + 1) * sub][None, :] - C[m]) ** 2
+                ).sum(axis=1)
+                for m in range(n_sub)
+            ]
+    return q_ids, probes, qdt
+
+
+def _ivf_accumulate_partial_topk(ids, row_cells, codes, q_ids, probes, qdt, k):
+    """Per-batch ADC accumulate + partial top-k shared by the inline and
+    stored-codes IVFADC kernels (the bit-equality contract between the
+    two paths is pinned to THIS one copy — ADVICE r10). For each probed
+    cell present in the batch, table-look-up distances for every query
+    probing it, drop self-matches, keep each query's k smallest (k-th
+    ties kept; the downstream window breaks them). Returns
+    ``(q_out, n_out, d_out)`` 1-D arrays, or ``None`` if nothing
+    scored."""
+    import numpy as np
+
+    n_sub = codes.shape[1]
+    acc: dict[int, list] = {}
+    for cid in np.unique(row_cells):
+        qlist = probes.get(int(cid))
+        if not qlist:
+            continue
+        sel = np.flatnonzero(row_cells == cid)
+        csel = codes[sel]
+        for qi in qlist:
+            tabs = qdt[(qi, int(cid))]
+            ad = tabs[0][csel[:, 0]]
+            for m in range(1, n_sub):
+                ad = ad + tabs[m][csel[:, m]]
+            acc.setdefault(qi, []).append((ids[sel], ad))
+    q_out, n_out, d_out = [], [], []
+    for qi, parts in acc.items():
+        cand_id = np.concatenate([p[0] for p in parts])
+        cand_d = np.concatenate([p[1] for p in parts])
+        keep = cand_id != q_ids[qi]
+        cand_id, cand_d = cand_id[keep], cand_d[keep]
+        if cand_d.size > k:
+            thr = np.partition(cand_d, k - 1)[k - 1]
+            kp = cand_d <= thr  # k-th ties kept; window breaks
+            cand_id, cand_d = cand_id[kp], cand_d[kp]
+        q_out.append(np.full(cand_id.size, q_ids[qi]))
+        n_out.append(cand_id)
+        d_out.append(cand_d.astype(np.int64))
+    if not q_out:
+        return None
+    return (
+        np.concatenate(q_out),
+        np.concatenate(n_out),
+        np.concatenate(d_out),
+    )
+
+
+def _rank_adc_topk(partial: DataFrame, k: int) -> DataFrame:
+    """Global window rank over the kernels' partial top-k output —
+    shared tail of both IVFADC paths."""
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rnk")
+    )
 
 
 def pq_residual_codebooks(
@@ -2095,8 +2226,6 @@ def pq_ivf_adc_topk(
     Output: ``q_id, neighbor_id, adc_dist (BIGINT), rnk``; self-matches
     excluded, zero-norm vectors out of domain on both sides.
     """
-    import os
-
     import numpy as np
     import pyarrow as pa
 
@@ -2105,7 +2234,6 @@ def pq_ivf_adc_topk(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     n_sub = len(books)
-    ks = len(books[0])
     sub = len(books[0][0])
     dim = n_sub * sub
     C = [np.array(b, dtype=np.float64) for b in books]
@@ -2117,49 +2245,12 @@ def pq_ivf_adc_topk(
         f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long, rnk int"
     )
 
-    max_q = int(os.environ.get("BFDL_IVF_MAX_QUERIES", IVF_MAX_QUERIES))
-    q_pdf = (
-        normalized(queries, id_col, vec_col)
-        .filter(F.col("nrm") > 0)
-        .select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
-        .limit(max_q + 1)
-        .toPandas()
+    qp = _ivf_query_probe_tables(
+        queries, C, cell_ids, c_mat, nprobe, id_col, vec_col, sub
     )
-    if len(q_pdf) > max_q:
-        raise ValueError(
-            f"IVF query side exceeds {max_q} rows; it is collected to the "
-            "driver and shipped in every task closure, so it must stay "
-            "broadcast-sized. Batch the query set or raise "
-            "BFDL_IVF_MAX_QUERIES if the rig has the memory."
-        )
-    if q_pdf.empty:
+    if qp is None:
         return spark.createDataFrame([], empty_schema)
-    q_ids = q_pdf["id"].to_numpy()
-    qs = np.array(q_pdf["s"].tolist(), dtype=np.float64)
-    nq = q_ids.size
-    npb = min(nprobe, len(cents))
-    # rank cells per query: exact integer d², cell-id tiebreak (cents
-    # sorted ⇒ argsort on (d2, index) = (d2, cell id))
-    qd2 = (
-        np.einsum("ij,ij->i", qs, qs)[:, None]
-        - 2.0 * (qs @ c_mat.T)
-        + np.einsum("ij,ij->i", c_mat, c_mat)[None, :]
-    )
-    order = np.argsort(qd2, axis=1, kind="stable")[:, :npb]
-    # per (query, probed cell): residual distance table (n_sub × ks)
-    probes: dict[int, list[int]] = {}
-    qdt: dict[tuple[int, int], list] = {}
-    for qi in range(nq):
-        for ci in order[qi]:
-            cid = int(cell_ids[ci])
-            probes.setdefault(cid, []).append(qi)
-            rq = qs[qi] - c_mat[ci]
-            qdt[(qi, cid)] = [
-                (
-                    (rq[m * sub : (m + 1) * sub][None, :] - C[m]) ** 2
-                ).sum(axis=1)
-                for m in range(n_sub)
-            ]
+    q_ids, probes, qdt = qp
 
     def _kernel(batches):
         for rb in batches:
@@ -2190,44 +2281,13 @@ def pq_ivf_adc_topk(
                     + np.einsum("ij,ij->i", C[m], C[m])[None, :]
                 )
                 codes[:, m] = np.argmin(d2, axis=1)
-            row_cells = cell_ids[cidx]
-            cids_live = ids[live]
-            # per-query accumulation across this batch's probed cells,
-            # then ONE partial top-k per query
-            acc: dict[int, list] = {}
-            for cid in np.unique(row_cells):
-                qlist = probes.get(int(cid))
-                if not qlist:
-                    continue
-                sel = np.flatnonzero(row_cells == cid)
-                csel = codes[sel]
-                for qi in qlist:
-                    tabs = qdt[(qi, int(cid))]
-                    ad = tabs[0][csel[:, 0]]
-                    for m in range(1, n_sub):
-                        ad = ad + tabs[m][csel[:, m]]
-                    acc.setdefault(qi, []).append((cids_live[sel], ad))
-            q_out, n_out, d_out = [], [], []
-            for qi, parts in acc.items():
-                cand_id = np.concatenate([p[0] for p in parts])
-                cand_d = np.concatenate([p[1] for p in parts])
-                keep = cand_id != q_ids[qi]
-                cand_id, cand_d = cand_id[keep], cand_d[keep]
-                if cand_d.size > k:
-                    thr = np.partition(cand_d, k - 1)[k - 1]
-                    kp = cand_d <= thr  # k-th ties kept; window breaks
-                    cand_id, cand_d = cand_id[kp], cand_d[kp]
-                q_out.append(np.full(cand_id.size, q_ids[qi]))
-                n_out.append(cand_id)
-                d_out.append(cand_d.astype(np.int64))
-            if not q_out:
+            out = _ivf_accumulate_partial_topk(
+                ids[live], cell_ids[cidx], codes, q_ids, probes, qdt, k
+            )
+            if out is None:
                 continue
             yield pa.record_batch(
-                [
-                    pa.array(np.concatenate(q_out)),
-                    pa.array(np.concatenate(n_out)),
-                    pa.array(np.concatenate(d_out)),
-                ],
+                [pa.array(out[0]), pa.array(out[1]), pa.array(out[2])],
                 names=["q_id", "neighbor_id", "adc_dist"],
             )
 
@@ -2236,12 +2296,7 @@ def pq_ivf_adc_topk(
     ).mapInArrow(
         _kernel, f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long"
     )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        partial.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "neighbor_id", "adc_dist", "rnk")
-    )
+    return _rank_adc_topk(partial, k)
 
 
 def pq_ivf_rerank_topk(
@@ -2383,8 +2438,6 @@ def pq_ivf_adc_codes_topk(
 
     Output: ``q_id, neighbor_id, adc_dist (BIGINT), rnk``.
     """
-    import os
-
     import numpy as np
     import pyarrow as pa
 
@@ -2393,6 +2446,7 @@ def pq_ivf_adc_codes_topk(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     n_sub = len(books)
+    ks = len(books[0])
     sub = len(books[0][0])
     C = [np.array(b, dtype=np.float64) for b in books]
     cell_ids, c_mat, _ = _grid_assign_residual(cents)
@@ -2403,46 +2457,12 @@ def pq_ivf_adc_codes_topk(
         f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long, rnk int"
     )
 
-    max_q = int(os.environ.get("BFDL_IVF_MAX_QUERIES", IVF_MAX_QUERIES))
-    q_pdf = (
-        normalized(queries, id_col, vec_col)
-        .filter(F.col("nrm") > 0)
-        .select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
-        .limit(max_q + 1)
-        .toPandas()
+    qp = _ivf_query_probe_tables(
+        queries, C, cell_ids, c_mat, nprobe, id_col, vec_col, sub
     )
-    if len(q_pdf) > max_q:
-        raise ValueError(
-            f"IVF query side exceeds {max_q} rows; it is collected to the "
-            "driver and shipped in every task closure, so it must stay "
-            "broadcast-sized. Batch the query set or raise "
-            "BFDL_IVF_MAX_QUERIES if the rig has the memory."
-        )
-    if q_pdf.empty:
+    if qp is None:
         return spark.createDataFrame([], empty_schema)
-    q_ids = q_pdf["id"].to_numpy()
-    qs = np.array(q_pdf["s"].tolist(), dtype=np.float64)
-    nq = q_ids.size
-    npb = min(nprobe, len(cents))
-    qd2 = (
-        np.einsum("ij,ij->i", qs, qs)[:, None]
-        - 2.0 * (qs @ c_mat.T)
-        + np.einsum("ij,ij->i", c_mat, c_mat)[None, :]
-    )
-    order = np.argsort(qd2, axis=1, kind="stable")[:, :npb]
-    probes: dict[int, list[int]] = {}
-    qdt: dict[tuple[int, int], list] = {}
-    for qi in range(nq):
-        for ci in order[qi]:
-            cid = int(cell_ids[ci])
-            probes.setdefault(cid, []).append(qi)
-            rq = qs[qi] - c_mat[ci]
-            qdt[(qi, cid)] = [
-                (
-                    (rq[m * sub : (m + 1) * sub][None, :] - C[m]) ** 2
-                ).sum(axis=1)
-                for m in range(n_sub)
-            ]
+    q_ids, probes, qdt = qp
     probed_cells = sorted(probes)
 
     def _kernel(batches):
@@ -2459,40 +2479,23 @@ def pq_ivf_adc_codes_topk(
                     f"{n} rows × n_sub {n_sub}"
                 )
             codes = codes.reshape(n, n_sub)
-            acc: dict[int, list] = {}
-            for cid in np.unique(row_cells):
-                qlist = probes.get(int(cid))
-                if not qlist:
-                    continue
-                sel = np.flatnonzero(row_cells == cid)
-                csel = codes[sel]
-                for qi in qlist:
-                    tabs = qdt[(qi, int(cid))]
-                    ad = tabs[0][csel[:, 0]]
-                    for m in range(1, n_sub):
-                        ad = ad + tabs[m][csel[:, m]]
-                    acc.setdefault(qi, []).append((ids[sel], ad))
-            q_out, n_out, d_out = [], [], []
-            for qi, parts in acc.items():
-                cand_id = np.concatenate([p[0] for p in parts])
-                cand_d = np.concatenate([p[1] for p in parts])
-                keep = cand_id != q_ids[qi]
-                cand_id, cand_d = cand_id[keep], cand_d[keep]
-                if cand_d.size > k:
-                    thr = np.partition(cand_d, k - 1)[k - 1]
-                    kp = cand_d <= thr  # k-th ties kept; window breaks
-                    cand_id, cand_d = cand_id[kp], cand_d[kp]
-                q_out.append(np.full(cand_id.size, q_ids[qi]))
-                n_out.append(cand_id)
-                d_out.append(cand_d.astype(np.int64))
-            if not q_out:
+            # a stale/mismatched index must fail loudly, not wrap:
+            # negative numpy indices would silently read the wrong
+            # codeword; >= ks raises anyway but check both for the
+            # same ragged-column-style message (ADVICE r10)
+            if codes.size and (codes.min() < 0 or codes.max() >= ks):
+                raise ValueError(
+                    f"codes out of range [0, {ks}): min {codes.min()}, "
+                    f"max {codes.max()} — stale or mismatched code index "
+                    "for these codebooks"
+                )
+            out = _ivf_accumulate_partial_topk(
+                ids, row_cells, codes, q_ids, probes, qdt, k
+            )
+            if out is None:
                 continue
             yield pa.record_batch(
-                [
-                    pa.array(np.concatenate(q_out)),
-                    pa.array(np.concatenate(n_out)),
-                    pa.array(np.concatenate(d_out)),
-                ],
+                [pa.array(out[0]), pa.array(out[1]), pa.array(out[2])],
                 names=["q_id", "neighbor_id", "adc_dist"],
             )
 
@@ -2504,9 +2507,4 @@ def pq_ivf_adc_codes_topk(
     partial = pruned.mapInArrow(
         _kernel, f"q_id {q_id_type}, neighbor_id {n_id_type}, adc_dist long"
     )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        partial.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "neighbor_id", "adc_dist", "rnk")
-    )
+    return _rank_adc_topk(partial, k)

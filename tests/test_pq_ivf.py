@@ -285,3 +285,53 @@ def test_pq_encode_codes_path_bit_equal_and_pruned(spark, tmp_path):
     import re
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "cell" in pf, plan
+
+
+def test_unsorted_cents_give_identical_results(spark):
+    """_grid_assign_residual sorts cents by cell id itself (ADVICE r10):
+    a caller passing centroids in any order must get bit-identical
+    assignments, probe order, and top-k — the min-cell-id tiebreak is a
+    property of the operator, not a caller precondition."""
+    emb = _clustered(spark).cache()
+    emb.count()
+    cents = _seed_cents(emb)
+    shuffled = list(reversed(cents))
+    books = pq_residual_codebooks(emb, cents, n_sub=N_SUB, ks=KS)
+    assert books == pq_residual_codebooks(emb, shuffled, n_sub=N_SUB, ks=KS)
+    q = emb.filter(F.col("vec_id") % 17 == 0)
+    want = {
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rnk)
+        for r in pq_ivf_adc_topk(emb, q, cents, books, k=4, nprobe=2).collect()
+    }
+    got = {
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rnk)
+        for r in pq_ivf_adc_topk(
+            emb, q, shuffled, books, k=4, nprobe=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_codes_out_of_range_fail_loudly(spark):
+    """A stale or mismatched code index must raise, not silently wrap
+    negative codes into the distance tables (ADVICE r10)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_encode, pq_ivf_adc_codes_topk,
+    )
+
+    emb = _clustered(spark).cache()
+    emb.count()
+    cents = _seed_cents(emb)
+    books = pq_residual_codebooks(emb, cents, n_sub=N_SUB, ks=KS)
+    q = emb.filter(F.col("vec_id") % 17 == 0)
+    enc = pq_encode(emb, cents, books)
+    bad_neg = enc.withColumn(
+        "codes", F.transform("codes", lambda c: (c - F.lit(KS)).cast("smallint"))
+    )
+    with pytest.raises(Exception, match="out of range"):
+        pq_ivf_adc_codes_topk(bad_neg, q, cents, books, k=4, nprobe=2).collect()
+    bad_hi = enc.withColumn(
+        "codes", F.transform("codes", lambda c: (c + F.lit(KS)).cast("smallint"))
+    )
+    with pytest.raises(Exception, match="out of range"):
+        pq_ivf_adc_codes_topk(bad_hi, q, cents, books, k=4, nprobe=2).collect()
