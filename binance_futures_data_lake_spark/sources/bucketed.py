@@ -68,6 +68,20 @@ def write_bucketed(
     sort spill (generic layout) to 76 s / zero spill — SCALE_PROBE_r10
     ``trading_100m_bucketed``, plan shape pinned by
     tests/test_bucketed.py::test_bucket_sorted_window_zero_exchange_zero_sort.
+
+    DERIVED-ANCHOR corollary (r11): a window anchored on an expression
+    of the sort key — ``partitionBy(key, to_date(ts)).orderBy(ts)`` —
+    is satisfied by the ``(key, ts)`` file order but not PROVABLY so
+    (Spark cannot know ``to_date(ts)`` is monotone in ``ts``), so it
+    re-sorts every bucket (8.9 s at 100M, SCALE_PROBE_r10). Fix at the
+    layout: MATERIALIZE the anchor as a stored column and put it in
+    ``sort_cols`` (``sortBy(key, ds, ts)`` — the physical row order is
+    unchanged because the anchor is monotone in the key it derives
+    from), then reference the stored column in the window (anchored
+    windows partition on it; plain per-key windows lead their orderBy
+    with it so the required ordering stays a prefix of the file order).
+    Both window families then run sort-free — pinned by
+    tests/test_bucketed.py::test_materialized_anchor_windows_zero_sort.
     """
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     w = df.write.format("parquet").mode("overwrite")

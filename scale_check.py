@@ -976,10 +976,16 @@ def trading_bucketed_main() -> None:
     spill — the pass degrades to a streaming map over pre-sorted runs
     (pytest pins the plan shape at test scale:
     tests/test_bucketed.py::test_bucket_sorted_window_zero_exchange_zero_sort).
-    The day-anchored VWAP runs as its OWN stage: its required ordering
-    (symbol, date, ts) is satisfied by the file order but not PROVABLY
-    so (date derives from ts), so Spark re-sorts — the stage prices
-    exactly what that unprovable ordering costs at scale."""
+
+    r11 (VERDICT r10 #7): the day-anchored VWAP's required ordering is
+    (symbol, day, ts); with day DERIVED from ts the file order
+    satisfies it but not PROVABLY (r10 measured the 8.9 s re-sort that
+    costs at 100M). The layout now MATERIALIZES the day column into
+    sortBy(symbol, ds, ts) — same physical row order, since ds is
+    monotone in ts per symbol — and every window references the stored
+    ``ds``: the anchored VWAP partitions on it, the feature windows
+    lead their order with it. Both stages are then provably ordered:
+    zero exchanges, zero Sort nodes, zero spill."""
     import re
     import shutil
     import tempfile
@@ -1046,20 +1052,23 @@ def trading_bucketed_main() -> None:
     symbols = tuple(f"SYM{i:03d}" for i in range(n_symbols))
     m1 = synthetic_klines_m1(
         spark, symbols=symbols, n_minutes=n_minutes, trend_amp=0.05
-    )
+    ).withColumn("ds", F.to_date("ts"))
     table = "bfdl_scale_m1_bsorted"
     path = tempfile.mkdtemp(prefix="bfdl_bsorted_")
     try:
         t0 = time.perf_counter()
         write_bucketed(
             m1.repartition(n_buckets, "symbol"), table, "symbol", n_buckets,
-            sort_cols=["symbol", "ts"], path=path,
+            sort_cols=["symbol", "ds", "ts"], path=path,
         )
         write_sec = round(time.perf_counter() - t0, 2)
         snap["prev"] = ui_totals()
         t = read_bucketed(spark, table)
 
-        by, order = ["symbol"], ["ts"]
+        # leading the order with the STORED ds keeps the required
+        # ordering (symbol, ds, ts) == the file order — provable, so no
+        # Sort node; semantics unchanged (ds is monotone in ts)
+        by, order = ["symbol"], ["ds", "ts"]
         feats = (
             t.withColumn("prev_close", W.lag_col("close", 1, by, order))
             .withColumn("ret", W.pct_change("close", by, order))
@@ -1071,8 +1080,8 @@ def trading_bucketed_main() -> None:
         stage("window_features_bucketed", feats, {"write_sec": write_sec})
         vwap = t.withColumn(
             "vwap_d",
-            W.anchored_vwap("close", "volume_base", by, order,
-                            anchor=F.to_date("ts")),
+            W.anchored_vwap("close", "volume_base", by, ["ts"],
+                            anchor=F.col("ds")),
         )
         stage("vwap_day_anchored_bucketed", vwap)
         print(json.dumps({

@@ -239,3 +239,77 @@ def test_bucket_sorted_window_zero_exchange_zero_sort(spark, tmp_path_factory):
             "spark.sql.legacy.bucketedTableScan.outputOrdering", prev
         )
         spark.sql("DROP TABLE IF EXISTS bfdl_test_events_bsorted")
+
+
+def test_materialized_anchor_windows_zero_sort(spark, tmp_path_factory):
+    """DERIVED-ANCHOR corollary (VERDICT r10 #7): a day-anchored window
+    over a (key, ts)-sorted bucketed table re-sorts because Spark cannot
+    prove to_date(ts) is monotone in ts. Materializing the anchor into
+    the layout — sortBy(key, ds, ts), same physical row order — and
+    referencing the STORED column makes BOTH window families provably
+    ordered: the anchored window (partitionBy(key, ds).orderBy(ts)) and
+    the plain per-key window with ds leading its orderBy. Zero
+    exchanges, zero Sort nodes, and bit-identical results to the
+    derived-anchor baseline."""
+    import re
+
+    from pyspark.sql import Window
+
+    root = tmp_path_factory.mktemp("bucketed_anchor")
+    ev = (
+        load_table(spark, "events", SF)
+        .select("user_id", "ts", "value")
+        .withColumn("ds", F.to_date("ts"))
+    )
+    write_bucketed(
+        ev.repartition(N_BUCKETS, "user_id"),
+        "bfdl_test_events_anchor",
+        "user_id",
+        N_BUCKETS,
+        sort_cols=["user_id", "ds", "ts"],
+        path=str(root / "events_anchor"),
+    )
+    prev = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        t = read_bucketed(spark, "bfdl_test_events_anchor")
+        # anchored window on the STORED ds: required ordering
+        # (user_id, ds, ts) == file order
+        w_anchor = Window.partitionBy("user_id", "ds").orderBy("ts").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        anchored = t.withColumn("cum_v", F.sum("value").over(w_anchor))
+        assert exchange_count(anchored, execute=False) == 0
+        plan = anchored._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"\bSort\b", plan), plan
+        # plain per-key window leading its order with ds: still a prefix
+        w_key = Window.partitionBy("user_id").orderBy("ds", "ts")
+        lagged = t.withColumn("prev_value", F.lag("value").over(w_key))
+        assert exchange_count(lagged, execute=False) == 0
+        plan = lagged._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"\bSort\b", plan), plan
+        # the DERIVED anchor on the same layout re-sorts (the negative
+        # this recipe removes) ...
+        w_derived = Window.partitionBy(
+            "user_id", F.to_date("ts")
+        ).orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+        derived = t.withColumn("cum_v", F.sum("value").over(w_derived))
+        plan = derived._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"\bSort\b", plan), plan
+        # ... and results are identical either way
+        got = sorted(
+            map(tuple, anchored.select("user_id", "ts", "cum_v").collect())
+        )
+        want = sorted(
+            map(tuple, derived.select("user_id", "ts", "cum_v").collect())
+        )
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS bfdl_test_events_anchor")
