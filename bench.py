@@ -131,23 +131,43 @@ CANARY_FLOOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".bfdl_canary_floor.json")
 
 
-def _resolve_canary_floor() -> float | None:
+def _resolve_canary_floor(sf: str) -> float | None:
     env = os.environ.get("BFDL_CANARY_FLOOR_SEC")
     if env is not None:
         return float(env)
     try:
         with open(CANARY_FLOOR_FILE) as f:
-            return float(json.load(f)["floor_sec"])
-    except (OSError, ValueError, KeyError):
+            data = json.load(f)
+    except (OSError, ValueError):
         return None
+    # Floors key by SCALE FACTOR (r11): the canary query scans sf_dir's
+    # lineitem, so its idle floor is a property of (host, sf) — a bench
+    # run at sf0.01 once persisted its ~4x-faster floor into the shared
+    # slot and every later sf0.1 run would have read as "loaded" and
+    # stalled the full settle wait. Legacy single-floor files predate
+    # the keying and were always measured at the headline sf0.1.
+    if "floors" in data:
+        v = data["floors"].get(sf)
+        return float(v) if v is not None else None
+    return float(data["floor_sec"]) if sf == "0.1" else None
 
 
-def _persist_canary_floor(best: float) -> None:
-    prior = _resolve_canary_floor()
+def _persist_canary_floor(best: float, sf: str) -> None:
+    prior = _resolve_canary_floor(sf)
     floor = best if prior is None else min(prior, best)
+    floors: dict = {}
+    try:
+        with open(CANARY_FLOOR_FILE) as f:
+            data = json.load(f)
+        floors = dict(data.get("floors") or {})
+        if "floor_sec" in data and "0.1" not in floors:
+            floors["0.1"] = data["floor_sec"]  # migrate the legacy slot
+    except (OSError, ValueError):
+        pass
+    floors[sf] = round(floor, 4)
     try:
         with open(CANARY_FLOOR_FILE, "w") as f:
-            json.dump({"floor_sec": round(floor, 4)}, f)
+            json.dump({"floors": floors}, f)
     except OSError:
         pass  # read-only checkout: floor just stays session-scoped
 
@@ -177,7 +197,8 @@ def load_canary(sf_dir: str, max_wait_sec: float = 300.0) -> dict:
     )
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
-    floor = _resolve_canary_floor()
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    floor = _resolve_canary_floor(sf)
     waited = 0.0
     while True:
         best = float("inf")
@@ -189,7 +210,7 @@ def load_canary(sf_dir: str, max_wait_sec: float = 300.0) -> dict:
         loaded = (not calibrating) and best > 1.2 * floor
         if not loaded or waited >= max_wait_sec:
             con.close()
-            _persist_canary_floor(best)
+            _persist_canary_floor(best, sf)
             return {
                 "sec": round(best, 4),
                 "floor_sec": round(best if calibrating else floor, 4),
