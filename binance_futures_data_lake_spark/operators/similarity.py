@@ -2250,9 +2250,16 @@ def pq_ivf_adc_topk(
     )
     if qp is None:
         return spark.createDataFrame([], empty_schema)
-    q_ids, probes, qdt = qp
+    # the per-(query, probed cell) tables are nq·nprobe·n_sub·ks floats
+    # — tens of MB at deploy shapes (100 queries × nprobe 16 × 16×256
+    # ≈ 52 MB). BROADCAST them: closure capture re-ships that with
+    # every task, which the r11 --pq-cells probe measured as the
+    # dominant query cost once num_cells (= task count over a
+    # partitioned index) reaches the thousands.
+    bc = spark.sparkContext.broadcast(qp)
 
     def _kernel(batches):
+        q_ids, probes, qdt = bc.value
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -2462,10 +2469,14 @@ def pq_ivf_adc_codes_topk(
     )
     if qp is None:
         return spark.createDataFrame([], empty_schema)
-    q_ids, probes, qdt = qp
-    probed_cells = sorted(probes)
+    probed_cells = sorted(qp[1])
+    # broadcast, not closure capture: see pq_ivf_adc_topk — over a
+    # cell-partitioned index the task count is the partition count, so
+    # re-shipping the query tables per task dominates at 1k+ cells
+    bc = spark.sparkContext.broadcast(qp)
 
     def _kernel(batches):
+        q_ids, probes, qdt = bc.value
         for rb in batches:
             n = rb.num_rows
             if n == 0:

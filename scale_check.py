@@ -560,6 +560,184 @@ def pq_ivf_scan_main() -> None:
     spark.stop()
 
 
+def pq_cells_main() -> None:
+    """IVFADC at REALISTIC cell counts (VERDICT r10 #2). The committed
+    r10 rows ran num_cells=32 at 1M/10M — each probe scans 3.1% of the
+    corpus per cell and nprobe 4 vs 8 TIE, so the recall/probe-cost
+    trade was unmeasured in the regime a deployment runs
+    (num_cells ≈ √N). This probe runs ``--cells`` (default 1024) cells
+    over ``--rows`` (default 1M) vectors with an nprobe sweep, plus the
+    code-index layout economics at thousands of partitions:
+
+    * TRAINING stays bounded by a deterministic hash-mod SAMPLE
+      (``--train-rows`` cap, FAISS-style ~64-256 points/cell): the
+      centroid/codebook builders take any DataFrame, so sampled Lloyd
+      is composition, not a new operator — the driver-side reduce is
+      batches×num_cells rows and would otherwise scale with the full
+      corpus at thousands of cells.
+    * RECALL-vs-nprobe on the trained index against brute-force truth
+      (same clustered generator as --pq-recall: 32 latent blocks, so at
+      1k+ cells each block spans ~cells/32 cells and nprobe must climb
+      to cover a block — the regime where the trade exists at all).
+    * LAYOUT: the materialized code index written (a) partitionBy(cell)
+      — nprobe/num_cells pruning but num_cells directories/files — vs
+      (b) partitionBy(cell_grp = cell % --groups) with cells SORTED
+      inside each partition file — fewer, bigger files; pruning reads
+      whole groups but parquet row-group stats skip non-probed cells
+      inside. File counts, written bytes, write wall, and per-nprobe
+      query wall for both.
+    """
+    import shutil
+    import tempfile
+
+    n_vecs = _arg("--rows", 1_000_000)
+    num_cells = _arg("--cells", 1024)
+    train_cap = _arg("--train-rows", 262_144)
+    n_groups = _arg("--groups", 128)
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "64g" if n_vecs > 2_000_000 else "32g"
+    )
+    spark = get_spark("bfdl-pq-cells")
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_centroids,
+        pq_encode,
+        pq_ivf_adc_codes_topk,
+        pq_residual_codebooks_lloyd,
+    )
+
+    dim, n_latent, ann_k = 64, 32, 10
+    block = n_vecs // n_latent
+
+    def _h01(*cols):
+        return ((F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003) / 1_000_003.0
+
+    clus = F.floor(F.col("vec_id") / block).cast("int")
+    comps = [
+        (
+            (2.0 * _h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.35 * (2.0 * _h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    ann = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+        .cache()
+    )
+    ann.count()
+    annq = ann.filter(
+        (F.col("vec_id") % block < 20) & (F.col("vec_id") < 5 * block)
+    )
+
+    # deterministic training sample (hash-mod: replayable, order-free)
+    mod = max(1, n_vecs // train_cap)
+    train = (
+        ann.filter(F.xxhash64("vec_id") % mod == 0) if mod > 1 else ann
+    )
+    n_train = train.count()
+    t0 = time.perf_counter()
+    cents = ivf_lloyd_centroids(train, num_cells=num_cells, iters=2)
+    cents_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    res_books = pq_residual_codebooks_lloyd(
+        train, cents, n_sub=16, ks=256, iters=2
+    )
+    books_sec = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    truth = {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(ann, annq, k=ann_k).collect()
+    }
+    truth_sec = round(time.perf_counter() - t0, 2)
+
+    def du_and_files(path: str) -> tuple[float, int]:
+        tot, nf = 0, 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    nf += 1
+                tot += os.path.getsize(os.path.join(root, fn))
+        return round(tot / 2**20, 1), nf
+
+    enc = pq_encode(ann, cents, res_books)
+    layouts: dict[str, dict] = {}
+    idx_cell = tempfile.mkdtemp(prefix="bfdl_pqcells_")
+    idx_grp = tempfile.mkdtemp(prefix="bfdl_pqgrp_")
+    try:
+        t0 = time.perf_counter()
+        # repartition ON the partition column: one task per cell group
+        # of the shuffle → exactly one file per cell directory instead
+        # of (tasks × cells) fragments
+        enc.repartition("cell").write.mode("overwrite") \
+            .partitionBy("cell").parquet(idx_cell)
+        w1 = round(time.perf_counter() - t0, 2)
+        mb1, nf1 = du_and_files(idx_cell)
+        layouts["partition_per_cell"] = {
+            "write_sec": w1, "files": nf1, "mb": mb1,
+            "partitions": num_cells,
+        }
+        t0 = time.perf_counter()
+        enc.withColumn("cell_grp", F.col("cell") % n_groups) \
+            .repartition("cell_grp") \
+            .sortWithinPartitions("cell_grp", "cell") \
+            .write.mode("overwrite") \
+            .partitionBy("cell_grp").parquet(idx_grp)
+        w2 = round(time.perf_counter() - t0, 2)
+        mb2, nf2 = du_and_files(idx_grp)
+        layouts["partition_per_group"] = {
+            "write_sec": w2, "files": nf2, "mb": mb2,
+            "partitions": n_groups,
+        }
+
+        codes_cell = spark.read.parquet(idx_cell)
+        codes_grp = spark.read.parquet(idx_grp)
+        rows: list[dict] = []
+        for npb in (1, 2, 4, 8, 16, 32):
+            if npb > num_cells:
+                continue
+            t0 = time.perf_counter()
+            found = {
+                (r.q_id, r.neighbor_id)
+                for r in pq_ivf_adc_codes_topk(
+                    codes_cell, annq, cents, res_books, k=ann_k, nprobe=npb
+                ).collect()
+            }
+            sec_cell = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            found_g = {
+                (r.q_id, r.neighbor_id)
+                for r in pq_ivf_adc_codes_topk(
+                    codes_grp.drop("cell_grp"), annq, cents, res_books,
+                    k=ann_k, nprobe=npb
+                ).collect()
+            }
+            sec_grp = round(time.perf_counter() - t0, 2)
+            assert found_g == found  # layout must not change results
+            rows.append({
+                "nprobe": npb,
+                "recall_at_10": round(len(found & truth) / len(truth), 4),
+                "sec_partition_per_cell": sec_cell,
+                "sec_partition_per_group": sec_grp,
+                "corpus_fraction": round(npb / num_cells, 5),
+            })
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({
+            "mode": "pq_cells", "n_vectors": n_vecs, "dim": dim,
+            "num_cells": num_cells, "n_train": n_train,
+            "train_mod": mod, "n_queries": 100, "k": ann_k,
+            "n_sub": 16, "ks": 256,
+            "centroids_sec": cents_sec, "res_books_sec": books_sec,
+            "truth_sec": truth_sec, "layouts": layouts, "rows": rows,
+        }))
+    finally:
+        shutil.rmtree(idx_cell, ignore_errors=True)
+        shutil.rmtree(idx_grp, ignore_errors=True)
+    spark.stop()
+
+
 def cc_main() -> None:
     """Instrumented contraction-CC probe (VERDICT r8 #3): the 10k-chain
     adversarial graph at ``--rows`` nodes with PER-ROUND shuffle
@@ -1104,6 +1282,9 @@ def main() -> None:
         return
     if "--pq-opq" in sys.argv:
         pq_opq_main()
+        return
+    if "--pq-cells" in sys.argv:
+        pq_cells_main()
         return
     if "--pq-ivf-scan" in sys.argv:
         pq_ivf_scan_main()
