@@ -745,8 +745,16 @@ def cc_main() -> None:
     super-linear-wall question (spill vs plan re-materialization) is
     answered with numbers instead of an asserted analysis. Timing span
     matches the r8 probe (operator construction through label force), so
-    walls are comparable round over round."""
+    walls are comparable round over round.
+
+    ``--flush-nodes`` (default 8M, the operator default) sweeps the
+    round-0 pre-contraction's per-partition dict bound (VERDICT r10 #5:
+    round-0 heap peaked at 55.4/64 GB at 100M — the flush bounds it,
+    but the default was never sensitivity-swept; a skewed partition
+    would flush often and silently degrade the fold, so the sweep
+    records wall + conflict-edge count + heap per threshold)."""
     total_rows = _arg("--rows", 10_000_000)
+    flush_nodes = _arg("--flush-nodes", 8_000_000)
     # 64g, NOT 100g: the per-round union-find runs in 32 PYTHON workers
     # whose dicts are off-heap from the JVM's point of view (~1 GB each
     # at the 2M-edge target width) — a 100g JVM + 32 workers exceeds the
@@ -804,7 +812,10 @@ def cc_main() -> None:
         rounds.append(info)
 
     t0 = time.perf_counter()
-    df = connected_components(cc_edges, max_iters=30, on_round=on_round)
+    df = connected_components(
+        cc_edges, max_iters=30, prepass_flush_nodes=flush_nodes,
+        on_round=on_round,
+    )
     force(df)
     wall = round(time.perf_counter() - t0, 2)
     label_phase = ui_totals()
@@ -814,6 +825,7 @@ def cc_main() -> None:
     print(json.dumps({
         "mode": "cc", "stage": f"contraction_cc_{total_rows // 1_000_000}m_chains",
         "sec": wall, "n_nodes": n_cc, "chain_len": chain,
+        "prepass_flush_nodes": flush_nodes,
         "mislabeled": mislabeled,
         "rows_per_sec": int(n_cc / wall) if wall else None,
         "heap_used_gb": round((rt.totalMemory() - rt.freeMemory()) / 2**30, 2),
@@ -823,6 +835,279 @@ def cc_main() -> None:
             k: round(label_phase.get(k, 0.0) - snap["prev"].get(k, 0.0), 3)
             for k in label_phase
         },
+    }))
+    spark.stop()
+
+
+def cc_scattered_main() -> None:
+    """Adversarial-shape CC at depth (VERDICT r10 #4): a scattered
+    random graph — ``--rows`` nodes (default 10M) × ``--edges-per-node``
+    (default 3) hash-random edges, near-one-giant-component — through
+    the FULL distributed contraction loop (``prepass=False``,
+    ``driver_max_edges=0`` so neither the round-0 fold nor the driver
+    short-circuit can hide the multi-round regime), with per-round
+    edge counts and shuffle/spill deltas. This is the regime the 100M
+    chain probe cannot see: chains collapse in round 0; a scattered
+    graph folds nothing locally and must shrink geometrically through
+    the shuffle loop.
+
+    Correctness is pinned against a DRIVER ground truth: the edge list
+    is collected (bounded: rows×epn×16 bytes, ~480 MB at 10M×3) and a
+    union-find replay computes every node's min-id component; the probe
+    asserts ZERO mislabels by exact comparison, plus zero cross-edge
+    label violations Spark-side."""
+    total_rows = _arg("--rows", 10_000_000)
+    epn = _arg("--edges-per-node", 3)
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "64g" if total_rows > 2_000_000 else "32g"
+    )
+    spark = get_spark("bfdl-cc-scattered",
+                      overrides={"spark.ui.enabled": "true"})
+    from binance_futures_data_lake_spark.operators.graph import (
+        connected_components,
+    )
+
+    import urllib.request
+
+    def ui_totals() -> dict:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete"
+            ) as r:
+                st = json.load(r)
+        except Exception:
+            return {}
+        tot = dict.fromkeys(
+            ("shuffle_read_gb", "shuffle_write_gb", "mem_spill_gb", "disk_spill_gb"), 0.0
+        )
+        for s in st:
+            tot["shuffle_read_gb"] += s.get("shuffleReadBytes", 0) / 2**30
+            tot["shuffle_write_gb"] += s.get("shuffleWriteBytes", 0) / 2**30
+            tot["mem_spill_gb"] += s.get("memoryBytesSpilled", 0) / 2**30
+            tot["disk_spill_gb"] += s.get("diskBytesSpilled", 0) / 2**30
+        return {k: round(v, 3) for k, v in tot.items()}
+
+    n = total_rows
+    edges = (
+        spark.range(n * epn)
+        .select(
+            (((F.xxhash64(F.col("id"), F.lit("u")) % n) + n) % n).alias("doc_a"),
+            (((F.xxhash64(F.col("id"), F.lit("v")) % n) + n) % n).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .cache()
+    )
+    n_edges = edges.count()
+
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    rounds: list[dict] = []
+    snap = {"prev": ui_totals()}
+
+    def on_round(info: dict) -> None:
+        cur = ui_totals()
+        info.update({
+            k: round(cur[k] - snap["prev"].get(k, 0.0), 3) for k in cur
+        })
+        info["heap_used_gb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 2**30, 2
+        )
+        snap["prev"] = cur
+        rounds.append(info)
+        print(json.dumps(info), file=sys.stderr)
+
+    t0 = time.perf_counter()
+    df = connected_components(
+        edges, max_iters=30, driver_max_edges=0, prepass=False,
+        on_round=on_round,
+    ).cache()
+    force(df)
+    wall = round(time.perf_counter() - t0, 2)
+
+    # Spark-side consistency: no edge may cross components
+    lbl_a = df.select(F.col("id").alias("doc_a"), F.col("comp").alias("ca"))
+    lbl_b = df.select(F.col("id").alias("doc_b"), F.col("comp").alias("cb"))
+    violations = (
+        edges.join(lbl_a, "doc_a").join(lbl_b, "doc_b")
+        .filter(F.col("ca") != F.col("cb")).count()
+    )
+    n_comp_spark = df.select("comp").distinct().count()
+
+    # driver ground truth: exact union-find replay over the same edges
+    t0 = time.perf_counter()
+    epdf = edges.toPandas()
+    import numpy as np
+
+    ua = epdf["doc_a"].to_numpy()
+    ub = epdf["doc_b"].to_numpy()
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, int(parent[x])
+        return root
+
+    for i in range(ua.size):
+        ra, rb = find(int(ua[i])), find(int(ub[i]))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    # resolve every edge-touched node to its min-id root (roots were
+    # always merged toward the smaller id, so the root IS the min id)
+    touched = np.union1d(np.unique(ua), np.unique(ub))
+    truth = {int(x): find(int(x)) for x in touched}
+    truth_sec = round(time.perf_counter() - t0, 2)
+
+    got = {int(r["id"]): int(r["comp"]) for r in df.toPandas().to_dict("records")}
+    mislabeled = sum(1 for k, v in truth.items() if got.get(k) != v)
+    n_comp_truth = len({v for v in truth.values()})
+
+    print(json.dumps({
+        "mode": "cc_scattered", "n_nodes": n, "n_edges": n_edges,
+        "edges_per_node": epn, "sec": wall,
+        "rows_per_sec": int(n / wall) if wall else None,
+        "mislabeled": mislabeled, "cross_edge_violations": violations,
+        "n_components_spark": n_comp_spark,
+        "n_components_truth": n_comp_truth,
+        "truth_replay_sec": truth_sec,
+        "heap_max_gb": round(rt.maxMemory() / 2**30, 2),
+        "rounds": rounds,
+    }))
+    spark.stop()
+
+
+def ambient_main() -> None:
+    """Fork/exec-storm experiment (VERDICT r10 #3): two rounds of
+    ambient caveats named "fork/exec storms of 32 Python workers" as
+    the suspected cause of the 29.9/81.1/70.4 s spread on identical
+    CC-10M runs, but nothing tested it. This mode runs ``--reps``
+    (default 3) back-to-back CC probes at ``--rows`` (default 10M) in
+    ONE session, and for each rep records (a) wall, (b) the number of
+    DISTINCT pyspark worker/daemon processes observed via a 0.2 s
+    /proc ancestry sampler — the direct fork-storm signal — and (c) a
+    single-process CPU microbenchmark between reps (machine-load
+    control). ``--no-worker-reuse`` flips
+    ``spark.python.worker.reuse=false`` so the reuse hypothesis is
+    testable by diffing two invocations: if reuse=true pins worker
+    count near 32 and the spread persists, forks are exonerated; if
+    reuse=false multiplies spawns AND wall, the storm is confirmed
+    and probe/bench sessions adopt the pin."""
+    import threading
+
+    total_rows = _arg("--rows", 10_000_000)
+    reps = _arg("--reps", 3)
+    reuse = "false" if "--no-worker-reuse" in sys.argv else "true"
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "64g" if total_rows > 20_000_000 else "32g"
+    )
+    spark = get_spark(
+        "bfdl-ambient", overrides={"spark.python.worker.reuse": reuse}
+    )
+    from binance_futures_data_lake_spark.operators.graph import (
+        connected_components,
+    )
+
+    me = os.getpid()
+
+    def _ancestors(pid: int) -> list[int]:
+        out = []
+        for _ in range(32):
+            try:
+                with open(f"/proc/{pid}/status") as f:
+                    txt = f.read()
+            except OSError:
+                return out
+            ppid = None
+            for line in txt.splitlines():
+                if line.startswith("PPid:"):
+                    ppid = int(line.split()[1])
+                    break
+            if ppid is None or ppid == 0:
+                return out
+            out.append(ppid)
+            pid = ppid
+        return out
+
+    seen: set[int] = set()
+    live_max = {"n": 0}
+    stop = threading.Event()
+
+    def _sampler():
+        while not stop.is_set():
+            live = 0
+            for d in os.listdir("/proc"):
+                if not d.isdigit():
+                    continue
+                pid = int(d)
+                if pid in seen:
+                    live += 1
+                    continue
+                try:
+                    with open(f"/proc/{pid}/comm") as f:
+                        comm = f.read().strip()
+                except OSError:
+                    continue
+                if not comm.startswith("python"):
+                    continue
+                if me in _ancestors(pid):
+                    seen.add(pid)
+                    live += 1
+            live_max["n"] = max(live_max["n"], live)
+            stop.wait(0.2)
+
+    th = threading.Thread(target=_sampler, daemon=True)
+    th.start()
+
+    def cpu_microbench() -> float:
+        import numpy as np
+
+        a = np.arange(4_000_000, dtype=np.float64)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            (a * 1.0000001).sum()
+        return round(time.perf_counter() - t0, 3)
+
+    chain = 10_000
+    cc_edges = (
+        spark.range(total_rows)
+        .filter(F.col("id") % chain != chain - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    rep_rows = []
+    for rep in range(reps):
+        spawned_before = len(seen)
+        cpu_before = cpu_microbench()
+        t0 = time.perf_counter()
+        df = connected_components(cc_edges, max_iters=30)
+        force(df)
+        wall = round(time.perf_counter() - t0, 2)
+        mislabeled = df.filter(
+            F.col("comp") != (F.col("id") - F.col("id") % chain)
+        ).count()
+        rep_rows.append({
+            "rep": rep, "sec": wall, "mislabeled": mislabeled,
+            "workers_spawned_this_rep": len(seen) - spawned_before,
+            "workers_spawned_total": len(seen),
+            "cpu_microbench_sec": cpu_before,
+        })
+        print(json.dumps(rep_rows[-1]), file=sys.stderr)
+    stop.set()
+    th.join(timeout=2)
+    walls = [r["sec"] for r in rep_rows]
+    print(json.dumps({
+        "mode": "ambient", "rows": total_rows,
+        "worker_reuse": reuse, "reps": reps,
+        "wall_best": min(walls), "wall_worst": max(walls),
+        "spread_pct": round(100.0 * (max(walls) - min(walls)) / min(walls), 1),
+        "workers_distinct_total": len(seen),
+        "workers_live_max": live_max["n"],
+        "rep_rows": rep_rows,
     }))
     spark.stop()
 
@@ -1291,6 +1576,12 @@ def main() -> None:
         return
     if "--pq-recall" in sys.argv:
         pq_recall_main()
+        return
+    if "--cc-scattered" in sys.argv:
+        cc_scattered_main()
+        return
+    if "--ambient" in sys.argv:
+        ambient_main()
         return
     if "--cc" in sys.argv:
         cc_main()
