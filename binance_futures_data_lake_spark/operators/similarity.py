@@ -1893,7 +1893,8 @@ def _ivf_query_probe_tables(
     ``n_sub × ks`` residual-distance tables. ONE implementation so the
     pinned bit-equality contract between the two paths cannot silently
     diverge (ADVICE r10). Returns ``None`` when no live queries, else
-    ``(q_ids, probes, qdt)``.
+    the packed payload ``(q_ids, probes, qidx, qdt_arr)`` — feed it to
+    :func:`_ivf_unpack_tables` on the consumer side.
     """
     import os
 
@@ -1928,21 +1929,41 @@ def _ivf_query_probe_tables(
         + np.einsum("ij,ij->i", c_mat, c_mat)[None, :]
     )
     order = np.argsort(qd2, axis=1, kind="stable")[:, :npb]
-    # per (query, probed cell): residual distance table (n_sub × ks)
+    # per (query, probed cell): residual distance table (n_sub × ks),
+    # PACKED into one contiguous array + an index — a dict of nq·nprobe
+    # small arrays pickles each one separately, which dominates the
+    # broadcast cost at deploy shapes (100 queries × nprobe 16 ≈ 1,600
+    # tables); the consumer rebuilds a dict of zero-copy views
+    n_sub = len(C)
+    ks = C[0].shape[0]
     probes: dict[int, list[int]] = {}
-    qdt: dict[tuple[int, int], list] = {}
+    qidx: dict[tuple[int, int], int] = {}
+    tabs: list = []
     for qi in range(int(q_ids.size)):
         for ci in order[qi]:
             cid = int(cell_ids[ci])
             probes.setdefault(cid, []).append(qi)
             rq = qs[qi] - c_mat[ci]
-            qdt[(qi, cid)] = [
+            qidx[(qi, cid)] = len(tabs)
+            tabs.append([
                 (
                     (rq[m * sub : (m + 1) * sub][None, :] - C[m]) ** 2
                 ).sum(axis=1)
                 for m in range(n_sub)
-            ]
-    return q_ids, probes, qdt
+            ])
+    qdt_arr = (
+        np.array(tabs, dtype=np.float64)
+        if tabs else np.zeros((0, n_sub, ks))
+    )
+    return q_ids, probes, qidx, qdt_arr
+
+
+def _ivf_unpack_tables(qp):
+    """Worker-side twin of :func:`_ivf_query_probe_tables`: rebuild the
+    ``(q_ids, probes, qdt)`` lookup structure from the packed broadcast
+    payload (``qdt`` values are zero-copy views into the one array)."""
+    q_ids, probes, qidx, qdt_arr = qp
+    return q_ids, probes, {k: qdt_arr[i] for k, i in qidx.items()}
 
 
 def _ivf_accumulate_partial_topk(ids, row_cells, codes, q_ids, probes, qdt, k):
@@ -2259,7 +2280,7 @@ def pq_ivf_adc_topk(
     bc = spark.sparkContext.broadcast(qp)
 
     def _kernel(batches):
-        q_ids, probes, qdt = bc.value
+        q_ids, probes, qdt = _ivf_unpack_tables(bc.value)
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -2476,7 +2497,7 @@ def pq_ivf_adc_codes_topk(
     bc = spark.sparkContext.broadcast(qp)
 
     def _kernel(batches):
-        q_ids, probes, qdt = bc.value
+        q_ids, probes, qdt = _ivf_unpack_tables(bc.value)
         for rb in batches:
             n = rb.num_rows
             if n == 0:
