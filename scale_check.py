@@ -1046,7 +1046,7 @@ def ambient_main() -> None:
                     continue
                 pid = int(d)
                 if pid in seen:
-                    live += 1
+                    live += 1  # listed under /proc => currently alive
                     continue
                 try:
                     with open(f"/proc/{pid}/comm") as f:
