@@ -724,6 +724,29 @@ def pq_cells_main() -> None:
                 "corpus_fraction": round(npb / num_cells, 5),
             })
             print(json.dumps(rows[-1]), file=sys.stderr)
+        # the full production recipe at deploy cell counts: ADC
+        # shortlist (0.1% of corpus) + exact cosine re-rank — the row
+        # that says what recall the deployed tier actually ships
+        from binance_futures_data_lake_spark.operators.similarity import (
+            pq_ivf_rerank_topk,
+        )
+
+        sl = max(1000, n_vecs // 1000)
+        t0 = time.perf_counter()
+        found_rr = {
+            (r.q_id, r.neighbor_id)
+            for r in pq_ivf_rerank_topk(
+                ann, annq, cents, res_books, k=ann_k, shortlist=sl,
+                nprobe=16,
+            ).collect()
+        }
+        rerank = {
+            "nprobe": 16, "shortlist": sl,
+            "shortlist_pct_of_corpus": round(100.0 * sl / n_vecs, 3),
+            "recall_at_10": round(len(found_rr & truth) / len(truth), 4),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        print(json.dumps({"rerank": rerank}), file=sys.stderr)
         print(json.dumps({
             "mode": "pq_cells", "n_vectors": n_vecs, "dim": dim,
             "num_cells": num_cells, "n_train": n_train,
@@ -731,6 +754,7 @@ def pq_cells_main() -> None:
             "n_sub": 16, "ks": 256,
             "centroids_sec": cents_sec, "res_books_sec": books_sec,
             "truth_sec": truth_sec, "layouts": layouts, "rows": rows,
+            "rerank": rerank,
         }))
     finally:
         shutil.rmtree(idx_cell, ignore_errors=True)
