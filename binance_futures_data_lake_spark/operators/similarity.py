@@ -1800,31 +1800,22 @@ def pq_adc_topk(
     )
 
 
-def pq_rerank_topk(
+def _exact_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    books: list[list[list[int]]],
-    k: int = 5,
-    shortlist: int = 50,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """The production PQ recipe (Jégou et al. 2011 §V): ADC ranks a
-    ``shortlist`` of candidates from the compressed codes
-    (:func:`pq_adc_topk` — one zero-shuffle scan of 4-byte codes), then
-    EXACT cosine re-ranks only those |Q|·shortlist survivors. Re-rank
-    cost is corpus-size-independent: the shortlist broadcasts back onto
-    the corpus scan (map-side semi-join, no corpus shuffle) and the
-    exact dots run on shortlist rows only — so the tier keeps PQ's 64×
-    memory compression while recovering exact-scoring precision on
-    everything the codes surface. Scoring matches the other ANN tiers:
-    SQL-fold dots (boundary-safe by construction), round6, id tiebreak.
-
-    Output: ``q_id, neighbor_id, cosine, rnk``.
-    """
-    cand = pq_adc_topk(
-        corpus, queries, books, k=shortlist, id_col=id_col, vec_col=vec_col
-    ).select("q_id", "neighbor_id")
+    """Shared exact-rerank tail of every compressed-ANN recipe: the
+    ``(q_id, neighbor_id)`` shortlist broadcasts back onto the corpus
+    scan (map-side semi-join, no corpus shuffle) and exact cosine runs
+    on |Q|·shortlist rows only — corpus-size-independent. Scoring
+    matches the other ANN tiers: SQL-fold dots, round6, id tiebreak.
+    ONE copy (r11) — it was duplicated verbatim across the flat and
+    IVFADC rerank tiers, the same silent-divergence risk ADVICE r10
+    flagged on the query side."""
     nb = normalized(corpus, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("n_vec"), F.col("nrm").alias("n_nrm"),
@@ -1843,6 +1834,31 @@ def pq_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ recipe (Jégou et al. 2011 §V): ADC ranks a
+    ``shortlist`` of candidates from the compressed codes
+    (:func:`pq_adc_topk` — one zero-shuffle scan of 4-byte codes), then
+    EXACT cosine re-ranks only those |Q|·shortlist survivors
+    (:func:`_exact_rerank_topk`) — the tier keeps PQ's 64× memory
+    compression while recovering exact-scoring precision on everything
+    the codes surface.
+
+    Output: ``q_id, neighbor_id, cosine, rnk``.
+    """
+    cand = pq_adc_topk(
+        corpus, queries, books, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "neighbor_id")
+    return _exact_rerank_topk(corpus, queries, cand, k, id_col, vec_col)
 
 
 def _grid_assign_residual(cents: list[tuple[int, list[int]]]):
@@ -2341,8 +2357,11 @@ def pq_ivf_rerank_topk(
     """IVFADC + exact re-rank — the full FAISS-style production recipe:
     :func:`pq_ivf_adc_topk` surfaces a ``shortlist`` from (cell id +
     codes) alone, exact cosine re-ranks only those |Q|·shortlist
-    survivors via a broadcast semi-join back onto the corpus scan (no
-    corpus shuffle; the :func:`pq_rerank_topk` tail).
+    survivors (:func:`_exact_rerank_topk`). NOTE the shortlist here
+    INLINE-ENCODES the corpus per query run; when a materialized code
+    index exists, :func:`pq_ivf_rerank_codes_topk` is the deployed form
+    (the r11 1M probe measured the per-query encode as ~the whole
+    rerank wall).
 
     Output: ``q_id, neighbor_id, cosine, rnk``.
     """
@@ -2350,24 +2369,41 @@ def pq_ivf_rerank_topk(
         corpus, queries, cents, books, k=shortlist, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col,
     ).select("q_id", "neighbor_id")
-    nb = normalized(corpus, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("n_vec"), F.col("nrm").alias("n_nrm"),
-    )
-    qn = normalized(queries, id_col, vec_col).select(
-        F.col("id").alias("q_id"),
-        F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
-    )
-    sim = _dot(F.col("n_vec"), F.col("q_vec")) / (F.col("n_nrm") * F.col("q_nrm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        nb.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qn), "q_id")
-        .select("q_id", "neighbor_id", round6(sim).alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "neighbor_id", "cosine", "rnk")
-    )
+    return _exact_rerank_topk(corpus, queries, cand, k, id_col, vec_col)
+
+
+def pq_ivf_rerank_codes_topk(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    books: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deployed IVFPQ recipe END-TO-END: the ADC shortlist comes
+    from the MATERIALIZED code index (:func:`pq_ivf_adc_codes_topk` —
+    probed-cell partition pruning, pure table-lookup scoring, zero
+    per-query encode work; the encode was paid once by
+    :func:`pq_encode`), then :func:`_exact_rerank_topk` exact-scores
+    only the |Q|·shortlist survivors against the raw vectors via
+    broadcast semi-join. This is the query a 100 TB deployment actually
+    runs: the full corpus is read as codes (64× denser, nprobe/num_cells
+    of the files), raw vectors are touched for shortlist rows only.
+    Results are BIT-EQUAL to :func:`pq_ivf_rerank_topk` on the same
+    (corpus, cents, books) — the shortlist is bit-equal by the codes
+    contract and the tail is the same function.
+
+    Output: ``q_id, neighbor_id, cosine, rnk``.
+    """
+    cand = pq_ivf_adc_codes_topk(
+        codes_df, queries, cents, books, k=shortlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("q_id", "neighbor_id")
+    return _exact_rerank_topk(corpus, queries, cand, k, id_col, vec_col)
 
 
 def pq_encode(

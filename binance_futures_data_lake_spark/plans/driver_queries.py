@@ -8081,6 +8081,54 @@ def q_pq_ivf_rerank_topk(spark, sf_dir):
 
 
 @register(
+    "pq_ivf_rerank_codes_topk",
+    sql=_PQ_IVF_CTES + """
+    , sl AS (
+      SELECT q_id, neighbor_id FROM r WHERE rnk <= 50
+    ), rrk AS (
+      SELECT sl.q_id, sl.neighbor_id,
+             round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+      FROM sl
+      JOIN n a ON a.vec_id = sl.q_id
+      JOIN n b ON b.vec_id = sl.neighbor_id
+    ), rr2 AS (
+      SELECT q_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM rrk
+    )
+    SELECT q_id, neighbor_id, cosine, rnk FROM rr2 WHERE rnk <= 5
+    """,
+)
+def q_pq_ivf_rerank_codes_topk(spark, sf_dir):
+    """Deployed IVFPQ recipe end-to-end (r11): ADC shortlist from the
+    MATERIALIZED code index (`pq_encode` once; probed-cell partition
+    pruning, zero per-query encode — the r11 1M probe measured the
+    inline path's per-query corpus encode as ~the whole rerank wall),
+    exact cosine re-rank of the |Q|·shortlist survivors against the
+    raw vectors via broadcast semi-join. At 100 TB this is the query
+    that actually runs: codes for the scan, vectors for shortlist rows
+    only. Shortlist is bit-equal to the inline tier by the codes
+    contract and the re-rank tail is the same function, so the oracle
+    SQL is `pq_ivf_rerank_topk`'s verbatim — the driver hash pins
+    build + round trip + rerank in one row
+    (operators/similarity.py pq_ivf_rerank_codes_topk)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_codebooks, pq_encode, pq_ivf_rerank_codes_topk,
+        pq_residual_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = list(enumerate(pq_codebooks(emb, n_sub=1, ks=4)[0]))
+    books = pq_residual_codebooks(emb, cents, n_sub=4, ks=8)
+    codes = pq_encode(emb, cents, books)
+    return pq_ivf_rerank_codes_topk(
+        emb, codes, emb.filter(F.col("vec_id") < 10), cents, books,
+        k=5, shortlist=50, nprobe=2,
+    )
+
+
+@register(
     "pretrain_data_pipeline",
     sql=f"""
     WITH {_LINE_STATS}, {_BIGRAM_STATS}, gb AS (
@@ -8940,11 +8988,20 @@ _FRONT = [
     #     inline and stored-codes IVFADC paths and adds the cents-sort
     #     + code-range loud-failure guards, so their r10 rows attest
     #     the pre-refactor code; re-attesting pins the shared kernel.
+    #   pq_ivf_rerank_codes_topk — r11-NEW (the deployed codes-shortlist
+    #     + exact-rerank recipe); new queries always enter the prefix.
+    #     It took the 7th r9-fill slot: streaming_incremental_dedup
+    #     (r9-checked) moves to the tail HEAD instead — 3 rounds old
+    #     entering r12, first of the r12 mandatory core.
+    #   pq_rerank_topk — BEHAVIOR-TOUCHED: the exact-rerank tail it
+    #     shares with both IVFADC rerank tiers was extracted into ONE
+    #     function this round; all three consumers of the shared tail
+    #     re-attest in this prefix. media_audio_near_dup ceded its fill
+    #     slot (r9-checked; joins the r12 mandatory core).
     #   temperature_mixture / bm25_topk / dsir_select / bloom_decontam
-    #     / media_image_near_dup / media_audio_near_dup /
-    #     streaming_incremental_dedup — the 7 oldest-capability entries
-    #     of the 47-strong r9-checked block (its documented fill order),
-    #     leaving 40 r9-checked entries as the mandatory core of r12.
+    #     / media_image_near_dup — the 5 oldest-capability entries of
+    #     the 47-strong r9-checked block (its documented fill order),
+    #     leaving 42 r9-checked entries as the mandatory core of r12.
     #
     # r12 NOTE (execute next round): entering r12, the 40 r9-checked
     # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r09 row
@@ -8971,14 +9028,15 @@ _FRONT = [
     "c4_quality_flags",
     # --- 10 fills (rationale above) ---
     "pq_ivf_adc_topk", "pq_ivf_rerank_topk", "pq_ivf_codes_topk",
+    "pq_ivf_rerank_codes_topk", "pq_rerank_topk",
     "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
-    "media_image_near_dup", "media_audio_near_dup",
-    "streaming_incremental_dedup",
+    "media_image_near_dup",
 ]
 _ORACLE_TAIL = [
-    # Head block: the 40 r9-checked queries not reached by the r10/r11
+    # Head block: the 42 r9-checked queries not reached by the r10/r11
     # prefixes — 3 rounds old entering r12, the MANDATORY core of the
     # r12 prefix (oldest capabilities first within the block).
+    "media_audio_near_dup", "streaming_incremental_dedup",
     "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
     "kmv_quantile_value_by_type", "priority_ship_exists",
@@ -8999,7 +9057,7 @@ _ORACLE_TAIL = [
     # r10-checked block (CORRECTNESS_r10 row; 2 rounds old entering
     # r12 — the r12 fill pool, oldest capabilities first).
     "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
-    "toxicity_lexicon_score", "pq_ann_topk", "pq_rerank_topk",
+    "toxicity_lexicon_score", "pq_ann_topk",
     "pretrain_data_pipeline",
     "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
     "minhash_signatures", "simhash_values", "case_label_ladder",

@@ -335,3 +335,33 @@ def test_codes_out_of_range_fail_loudly(spark):
     )
     with pytest.raises(Exception, match="out of range"):
         pq_ivf_adc_codes_topk(bad_hi, q, cents, books, k=4, nprobe=2).collect()
+
+
+def test_rerank_codes_recipe_bit_equal(spark):
+    """pq_ivf_rerank_codes_topk (codes shortlist + exact rerank — the
+    deployed recipe) must be BIT-EQUAL to the inline pq_ivf_rerank_topk
+    on the same (corpus, cents, books): the shortlist is bit-equal by
+    the codes contract and the rerank tail is the same function."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        pq_encode, pq_ivf_rerank_codes_topk,
+    )
+
+    emb = _clustered(spark).cache()
+    emb.count()
+    cents = _seed_cents(emb)
+    books = pq_residual_codebooks(emb, cents, n_sub=N_SUB, ks=KS)
+    q = emb.filter(F.col("vec_id") % 17 == 0)
+    want = {
+        (r.q_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in pq_ivf_rerank_topk(
+            emb, q, cents, books, k=5, shortlist=20, nprobe=2
+        ).collect()
+    }
+    codes = pq_encode(emb, cents, books)
+    got = {
+        (r.q_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in pq_ivf_rerank_codes_topk(
+            emb, codes, q, cents, books, k=5, shortlist=20, nprobe=2
+        ).collect()
+    }
+    assert got == want
