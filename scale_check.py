@@ -744,8 +744,25 @@ def pq_cells_main() -> None:
             "nprobe": 16, "shortlist": sl,
             "shortlist_pct_of_corpus": round(100.0 * sl / n_vecs, 3),
             "recall_at_10": round(len(found_rr & truth) / len(truth), 4),
-            "sec": round(time.perf_counter() - t0, 2),
+            "sec_inline_encode": round(time.perf_counter() - t0, 2),
         }
+        # the deployed form: shortlist from the stored codes (no
+        # per-query encode), exact rerank over raw vectors — must be
+        # bit-equal and is the wall a deployment pays
+        from binance_futures_data_lake_spark.operators.similarity import (
+            pq_ivf_rerank_codes_topk,
+        )
+
+        t0 = time.perf_counter()
+        found_rc = {
+            (r.q_id, r.neighbor_id)
+            for r in pq_ivf_rerank_codes_topk(
+                ann, codes_cell, annq, cents, res_books, k=ann_k,
+                shortlist=sl, nprobe=16,
+            ).collect()
+        }
+        rerank["sec_codes_index"] = round(time.perf_counter() - t0, 2)
+        assert found_rc == found_rr  # deployed form is bit-equal
         print(json.dumps({"rerank": rerank}), file=sys.stderr)
         print(json.dumps({
             "mode": "pq_cells", "n_vectors": n_vecs, "dim": dim,
