@@ -9003,11 +9003,11 @@ _FRONT = [
     #     the 47-strong r9-checked block (its documented fill order),
     #     leaving 42 r9-checked entries as the mandatory core of r12.
     #
-    # r12 NOTE (execute next round): entering r12, the 40 r9-checked
+    # r12 NOTE (execute next round): entering r12, the 42 r9-checked
     # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r09 row
     # that is 3 rounds old — they are the MANDATORY core of the r12
-    # prefix (40 + any r12-NEW/behavior-touched leaves ~10 fill slots
-    # from the 50-entry r10-checked block that follows, oldest
+    # prefix (42 + any r12-NEW/behavior-touched leaves ~8 fill slots
+    # from the 46-entry r10-checked block that follows, oldest
     # capabilities first). The names checked THIS round (this _FRONT)
     # are 1 round old entering r12 and sit freshest.
     # --- the 40 r8-aged (CORRECTNESS_r08 row is 3 rounds old) ---
@@ -9055,7 +9055,8 @@ _ORACLE_TAIL = [
     "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
     "streaming_sessionization", "token_weighted_sample",
     # r10-checked block (CORRECTNESS_r10 row; 2 rounds old entering
-    # r12 — the r12 fill pool, oldest capabilities first).
+    # r12 — the r12 fill pool, oldest capabilities first;
+    # pq_ann_topk's three pq siblings re-attested in the r11 prefix).
     "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
     "toxicity_lexicon_score", "pq_ann_topk",
     "pretrain_data_pipeline",
