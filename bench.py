@@ -146,10 +146,16 @@ def _resolve_canary_floor(sf: str) -> float | None:
     # slot and every later sf0.1 run would have read as "loaded" and
     # stalled the full settle wait. Legacy single-floor files predate
     # the keying and were always measured at the headline sf0.1.
-    if "floors" in data:
-        v = data["floors"].get(sf)
-        return float(v) if v is not None else None
-    return float(data["floor_sec"]) if sf == "0.1" else None
+    try:
+        if "floors" in data:
+            v = data["floors"].get(sf)
+            return float(v) if v is not None else None
+        return float(data["floor_sec"]) if sf == "0.1" else None
+    except (KeyError, TypeError, ValueError):
+        # corrupt / hand-edited floor file (non-dict JSON, or a dict
+        # missing both keys): calibrate fresh rather than crash the
+        # canary (ADVICE r11)
+        return None
 
 
 def _persist_canary_floor(best: float, sf: str) -> None:

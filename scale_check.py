@@ -1075,7 +1075,19 @@ def ambient_main() -> None:
             pid = ppid
         return out
 
-    seen: set[int] = set()
+    def _starttime(pid: int):
+        # field 22 of /proc/<pid>/stat — (pid, starttime) uniquely
+        # identifies a process incarnation, so PID reuse by an
+        # unrelated process can't inflate the live count (ADVICE r11)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                stat = f.read()
+            return int(stat.rsplit(")", 1)[1].split()[19])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    seen: dict[int, int] = {}  # pid -> starttime at first sighting
+    spawns = {"n": 0}  # total registrations, counting pid-reuse re-spawns
     live_max = {"n": 0}
     stop = threading.Event()
 
@@ -1086,8 +1098,11 @@ def ambient_main() -> None:
                 if not d.isdigit():
                     continue
                 pid = int(d)
-                if pid in seen:
-                    live += 1  # listed under /proc => currently alive
+                st = _starttime(pid)
+                if st is None:
+                    continue
+                if seen.get(pid) == st:
+                    live += 1  # same incarnation still alive
                     continue
                 try:
                     with open(f"/proc/{pid}/comm") as f:
@@ -1097,7 +1112,8 @@ def ambient_main() -> None:
                 if not comm.startswith("python"):
                     continue
                 if me in _ancestors(pid):
-                    seen.add(pid)
+                    seen[pid] = st
+                    spawns["n"] += 1
                     live += 1
             live_max["n"] = max(live_max["n"], live)
             stop.wait(0.2)
@@ -1122,7 +1138,7 @@ def ambient_main() -> None:
     )
     rep_rows = []
     for rep in range(reps):
-        spawned_before = len(seen)
+        spawned_before = spawns["n"]
         cpu_before = cpu_microbench()
         t0 = time.perf_counter()
         df = connected_components(cc_edges, max_iters=30)
@@ -1133,8 +1149,8 @@ def ambient_main() -> None:
         ).count()
         rep_rows.append({
             "rep": rep, "sec": wall, "mislabeled": mislabeled,
-            "workers_spawned_this_rep": len(seen) - spawned_before,
-            "workers_spawned_total": len(seen),
+            "workers_spawned_this_rep": spawns["n"] - spawned_before,
+            "workers_spawned_total": spawns["n"],
             "cpu_microbench_sec": cpu_before,
         })
         print(json.dumps(rep_rows[-1]), file=sys.stderr)

@@ -61,3 +61,19 @@ def test_env_pin_wins(tmp_path, monkeypatch):
     monkeypatch.setenv("BFDL_CANARY_FLOOR_SEC", "0.05")
     assert b._resolve_canary_floor("0.1") == 0.05
     assert b._resolve_canary_floor("0.01") == 0.05
+
+
+def test_corrupt_floor_file_calibrates_fresh(tmp_path, monkeypatch):
+    """ADVICE r11: a hand-edited/corrupt floor file (dict missing both
+    'floors' and 'floor_sec', or a non-dict JSON value) must resolve to
+    None — first run recalibrates — not crash load_canary."""
+    b = _load_bench(tmp_path, monkeypatch)
+    for payload in ({"unexpected": 1}, [1, 2, 3], "oops", 42,
+                    {"floor_sec": "not-a-number"}):
+        with open(b.CANARY_FLOOR_FILE, "w") as f:
+            json.dump(payload, f)
+        assert b._resolve_canary_floor("0.1") is None
+        assert b._resolve_canary_floor("0.01") is None
+    # and a persist over the corrupt file heals it
+    b._persist_canary_floor(0.04, "0.1")
+    assert b._resolve_canary_floor("0.1") == 0.04
