@@ -55,6 +55,7 @@ def connected_components(
     prepass_flush_nodes: int = 8_000_000,
     prepass: bool = True,
     on_round=None,
+    on_stage=None,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the min node id
     of its component. Output: ``id, comp`` — one row per node that
@@ -158,6 +159,17 @@ def connected_components(
     - ``on_round`` (instrumentation only): called after each round with
       ``{"round", "n_edges", "width", "sec"}`` — scale probes attach
       REST-API shuffle/spill deltas per round; never affects results.
+    - ``on_stage`` (instrumentation only, r12 — VERDICT r11 #2): when
+      set, each loop round's two halves are FORCED separately (an extra
+      ``m.count()`` materializes the node→root map before the relabel
+      join plan references it) and the hook is called with
+      ``{"round", "stage": "map"|"relabel", "sec", "n_rows"}`` so a
+      probe can attribute the round wall between (a) the edge shuffle +
+      in-partition union-find + root-resolution groupBy and (b) the
+      relabel joins + distinct. The extra count re-reads a checkpointed
+      map (no recompute); results are unchanged. Leave ``None`` in
+      production — the forced boundary costs one node-map traversal per
+      round.
     """
     import time
 
@@ -368,7 +380,7 @@ def connected_components(
         0 < driver_max_edges and n_edges <= driver_max_edges
     )
     for _ in range(max_iters if run_loop else 0):
-        t0 = time.perf_counter()
+        t0 = t_round = time.perf_counter()
         # one shuffle: all of a node's edges land together (sym holds
         # both directions, so partitioning by u co-locates full
         # neighborhoods -> whole dense components contract in one pass);
@@ -383,6 +395,14 @@ def connected_components(
             .agg(F.min(F.struct("root_prio", "root"))["root"].alias("root"))
             .localCheckpoint(eager=False)
         )
+        if on_stage is not None:
+            n_map_rows = m.count()  # forces shuffle + UF + groupBy
+            on_stage({
+                "round": round_no + 1, "stage": "map",
+                "sec": round(time.perf_counter() - t0, 3),
+                "n_rows": n_map_rows,
+            })
+            t0 = time.perf_counter()
         maps.append(m)
         ru = m.withColumnRenamed("node", "u").withColumnRenamed("root", "ru")
         rv = m.select(F.col("node").alias("v"), F.col("root").alias("rv"))
@@ -398,6 +418,12 @@ def connected_components(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_edges = nxt.count()  # materializes nxt AND this round's m
+        if on_stage is not None:
+            on_stage({
+                "round": round_no + 1, "stage": "relabel",
+                "sec": round(time.perf_counter() - t0, 3),
+                "n_rows": n_edges,
+            })
         if prev_persisted is not None:
             prev_persisted.unpersist()
         prev_persisted = cur = nxt
@@ -405,7 +431,7 @@ def connected_components(
         if on_round is not None:
             on_round({
                 "round": round_no, "n_edges": n_edges, "width": width,
-                "sec": round(time.perf_counter() - t0, 3),
+                "sec": round(time.perf_counter() - t_round, 3),
             })
         if n_edges == 0 or (0 < driver_max_edges and n_edges <= driver_max_edges):
             break

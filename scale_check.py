@@ -910,25 +910,60 @@ def cc_scattered_main() -> None:
 
     import urllib.request
 
-    def ui_totals() -> dict:
+    def _rest_stages() -> list:
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
         try:
             with urllib.request.urlopen(
                 f"{base}/api/v1/applications/{app}/stages?status=complete"
             ) as r:
-                st = json.load(r)
+                return json.load(r)
         except Exception:
-            return {}
+            return []
+
+    def ui_totals() -> dict:
         tot = dict.fromkeys(
             ("shuffle_read_gb", "shuffle_write_gb", "mem_spill_gb", "disk_spill_gb"), 0.0
         )
-        for s in st:
+        for s in _rest_stages():
             tot["shuffle_read_gb"] += s.get("shuffleReadBytes", 0) / 2**30
             tot["shuffle_write_gb"] += s.get("shuffleWriteBytes", 0) / 2**30
             tot["mem_spill_gb"] += s.get("memoryBytesSpilled", 0) / 2**30
             tot["disk_spill_gb"] += s.get("diskBytesSpilled", 0) / 2**30
         return {k: round(v, 3) for k, v in tot.items()}
+
+    # --stage-detail (VERDICT r11 #2): attribute each loop round's wall
+    # between its two halves (map = edge shuffle + in-partition UF +
+    # root-resolution groupBy; relabel = the two label joins + distinct)
+    # and name the dominant SPARK stages inside each half from the REST
+    # API — executorRunTime separates Python-worker compute from
+    # exchange/scheduling cost, which the round wall alone can't see.
+    stage_detail = "--stage-detail" in sys.argv
+    seen_stage_ids: set = set()
+    stage_rows: list[dict] = []
+
+    def _new_stage_detail() -> list[dict]:
+        out = []
+        for s in _rest_stages():
+            sid = (s.get("stageId"), s.get("attemptId"))
+            if sid in seen_stage_ids:
+                continue
+            seen_stage_ids.add(sid)
+            out.append({
+                "stage_id": s.get("stageId"),
+                "name": (s.get("name") or "").split("\n")[0][:80],
+                "num_tasks": s.get("numTasks"),
+                "executor_run_sec": round(s.get("executorRunTime", 0) / 1e3, 1),
+                "shuffle_read_gb": round(s.get("shuffleReadBytes", 0) / 2**30, 3),
+                "shuffle_write_gb": round(s.get("shuffleWriteBytes", 0) / 2**30, 3),
+            })
+        out.sort(key=lambda r: -r["executor_run_sec"])
+        return out
+
+    def on_stage(info: dict) -> None:
+        info["spark_stages_top"] = _new_stage_detail()[:6]
+        stage_rows.append(info)
+        print(json.dumps(info), file=sys.stderr)
 
     n = total_rows
     edges = (
@@ -961,7 +996,7 @@ def cc_scattered_main() -> None:
     t0 = time.perf_counter()
     df = connected_components(
         edges, max_iters=30, driver_max_edges=0, prepass=False,
-        on_round=on_round,
+        on_round=on_round, on_stage=on_stage if stage_detail else None,
     ).cache()
     force(df)
     wall = round(time.perf_counter() - t0, 2)
@@ -1019,6 +1054,7 @@ def cc_scattered_main() -> None:
         "truth_replay_sec": truth_sec,
         "heap_max_gb": round(rt.maxMemory() / 2**30, 2),
         "rounds": rounds,
+        **({"stages": stage_rows} if stage_detail else {}),
     }))
     spark.stop()
 
