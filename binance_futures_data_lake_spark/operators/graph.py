@@ -45,6 +45,138 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _prio(x) -> int:
+    """Deterministic 63-bit priority: splitmix64 for integral ids, md5
+    otherwise. Only used for ORDERING — the ordering must merely be a
+    fixed total order uncorrelated with id layout."""
+    if isinstance(x, int):
+        z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return (z ^ (z >> 31)) & 0x7FFFFFFFFFFFFFFF
+    import hashlib
+
+    return (
+        int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8], "big") >> 1
+    )
+
+
+def _prio_vec(ids):
+    """Vectorized :func:`_prio` for an int64 numpy array — identical
+    bits: uint64 wraparound ≡ the scalar path's ``& 0xFFFF...``, and a
+    view (not a cast) reinterprets negative ids as the same
+    two's-complement bit pattern the scalar path masks to."""
+    import numpy as np
+
+    z = ids.astype(np.int64, copy=False).view(np.uint64) + np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = (z ^ (z >> np.uint64(31))) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    return z.astype(np.int64)
+
+
+def _minrank_nonroot_rows(u, v):
+    """Vectorized in-partition fragment labeling (r12 — the loop-round
+    kernel behind VERDICT r11 #2): label every node of the edge list
+    ``(u, v)`` with its connected fragment's (prio, id)-minimum member
+    and return the non-root rows ``(node, root, root_prio)`` — the
+    exact output set of the dict union-find it replaces (pinned by
+    tests/test_graph.py::test_vectorized_kernel_matches_dict_uf), at
+    numpy speed instead of ~120k Python dict ops/s.
+
+    Mechanics: compact ids to 0..m-1 (np.unique with return_inverse —
+    measured 2.5× faster than unique + searchsorted, whose random
+    binary searches are cache-hostile at millions of lookups), rank
+    nodes by (prio, id) (lexsort — the rank IS the total order the
+    union-find used), then alternate (a) edge relaxation
+    (``np.minimum.at`` both directions), (b) pointer-jumping closure
+    (``r = r[order[r]]``, monotone since a node's best-known rank only
+    decreases), and (c) EDGE CONTRACTION — relabel edges to current
+    roots, drop self-loops, dedupe — so each subsequent pass touches a
+    geometrically smaller list (4 passes on a scattered-random
+    partition, only the first at full width). Terminates when the
+    contracted list is empty; at the fixpoint r[i] is the min rank in
+    i's component — the same root the keyed union-find converges to."""
+    import numpy as np
+    import pandas as pd
+
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu = inv[: u.shape[0]]
+    iv = inv[u.shape[0]:]
+    prios = _prio_vec(ids)
+    m = int(ids.size)
+    order = np.lexsort((ids, prios))
+    rank = np.empty(m, dtype=np.int64)
+    rank[order] = np.arange(m, dtype=np.int64)
+    r = rank.copy()
+    eu, ev = iu.astype(np.int64, copy=False), iv.astype(np.int64, copy=False)
+    while eu.size:
+        np.minimum.at(r, eu, r[ev])
+        np.minimum.at(r, ev, r[eu])
+        while True:  # pointer jumping to closure (pure fancy-indexing)
+            r2 = r[order[r]]
+            if np.array_equal(r2, r):
+                break
+            r = r2
+        ea, eb = order[r[eu]], order[r[ev]]
+        live = ea != eb
+        if live.any():
+            # m ≤ 2·edges ≤ ~8M per partition, so ea·m + eb < 2^63
+            key = np.unique(ea[live] * m + eb[live])
+            eu, ev = key // m, key % m
+        else:
+            eu = ev = np.empty(0, dtype=np.int64)
+    root_idx = order[r]
+    nonroot = root_idx != np.arange(m, dtype=np.int64)
+    return pd.DataFrame({
+        "node": ids[nonroot],
+        "root": ids[root_idx[nonroot]],
+        "root_prio": prios[root_idx[nonroot]],
+    })
+
+
+def _dict_uf_nonroot_rows(us, vs):
+    """Dict union-find fallback for NON-INTEGER ids (md5 priorities
+    aren't vectorizable): same output contract as
+    :func:`_minrank_nonroot_rows`."""
+    import pandas as pd
+
+    parent: dict = {}
+    prio: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def key(x):
+        p = prio.get(x)
+        if p is None:
+            p = prio[x] = _prio(x)
+        return (p, x)
+
+    for su, sv in zip(us, vs):
+        for u, v in zip(su.tolist(), sv.tolist()):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru == rv:
+                continue
+            if key(rv) < key(ru):
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = [n for n in parent if find(n) != n]
+    roots = [parent[n] for n in nodes]
+    return pd.DataFrame(
+        {"node": nodes, "root": roots, "root_prio": [key(r)[0] for r in roots]}
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -312,59 +444,42 @@ def connected_components(
             "sec": round(time.perf_counter() - t0, 3),
         })
 
-    import hashlib
-
-    def _prio(x) -> int:
-        """Deterministic 63-bit priority: splitmix64 for integral ids,
-        md5 otherwise. Only used for ORDERING — the ordering must merely
-        be a fixed total order uncorrelated with id layout."""
-        if isinstance(x, int):
-            z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            return (z ^ (z >> 31)) & 0x7FFFFFFFFFFFFFFF
-        return (
-            int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8], "big") >> 1
-        )
-
     def _local_uf(batches):
-        """In-partition union-find; emits (node, root, root_prio) for
-        every non-root. Roots are fragment (prio, id)-minima, so the
+        """In-partition fragment labeling; emits (node, root, root_prio)
+        for every non-root. Roots are fragment (prio, id)-minima, so the
         mapping strictly decreases (prio, id) — no cycles, guaranteed
         progress; cross-partition candidates resolve by the same order
-        (min struct(root_prio, root))."""
-        parent: dict = {}
-        prio: dict = {}
+        (min struct(root_prio, root)). Integer ids take the VECTORIZED
+        numpy kernel (r12 — VERDICT r11 #2: the per-edge Python dict
+        loop measured 3,674 executor-core-seconds of the scattered-10M
+        probe's 138 s round-1 map half, ~55× round 0's per-edge cost;
+        min-rank propagation is bit-identical and C-speed); non-integer
+        ids keep the dict union-find."""
+        import pandas.api.types as ptypes
 
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        def key(x):
-            p = prio.get(x)
-            if p is None:
-                p = prio[x] = _prio(x)
-            return (p, x)
-
+        us, vs = [], []
+        vec = None
         for pdf in batches:
-            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
-                parent.setdefault(u, u)
-                parent.setdefault(v, v)
-                ru, rv = find(u), find(v)
-                if ru == rv:
-                    continue
-                if key(rv) < key(ru):
-                    ru, rv = rv, ru
-                parent[rv] = ru
-        nodes = [n for n in parent if find(n) != n]
-        roots = [parent[n] for n in nodes]
-        yield pd.DataFrame(
-            {"node": nodes, "root": roots, "root_prio": [key(r)[0] for r in roots]}
-        )
+            if not len(pdf):
+                continue
+            if vec is None:
+                vec = ptypes.is_integer_dtype(pdf["u"])
+            if vec:
+                us.append(pdf["u"].to_numpy())
+                vs.append(pdf["v"].to_numpy())
+            else:
+                us.append(pdf["u"])
+                vs.append(pdf["v"])
+        if vec is None:
+            return
+        if vec:
+            import numpy as np
+
+            yield _minrank_nonroot_rows(
+                np.concatenate(us), np.concatenate(vs)
+            )
+        else:
+            yield _dict_uf_nonroot_rows(us, vs)
 
     # per-round node->root mapping tables; composed BACKWARD after the
     # loop (see docstring) instead of maintaining a node-sized label

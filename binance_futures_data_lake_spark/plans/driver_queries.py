@@ -8974,68 +8974,42 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-11 rotation (executing the r10 NOTE at this spot + VERDICT
-    # r10 #1). Invariant: every oracle query driver-green within the
+    # Round-12 rotation (executing the r11 NOTE at this spot + VERDICT
+    # r11 #1). Invariant: every oracle query driver-green within the
     # last THREE rounds, SELFCHECK-green every round. Ages entering
-    # r11 (computed by set-difference over CORRECTNESS_r01..r10):
-    # 40 r8-checked (3 rounds old — MANDATORY, the whole head block of
-    # the r10 tail), 47 r9-checked, 50 r10-checked, 1 rows-only-by-
-    # design (ml_lr_embeddings). The prefix is exactly 40 mandatory +
-    # 10 fills. Fill rationale:
-    #   pq_ivf_adc_topk / pq_ivf_rerank_topk / pq_ivf_codes_topk —
-    #     BEHAVIOR-TOUCHED this round: the ADVICE r10 refactor extracts
-    #     the shared query-side probe/table/accumulate helper for the
-    #     inline and stored-codes IVFADC paths and adds the cents-sort
-    #     + code-range loud-failure guards, so their r10 rows attest
-    #     the pre-refactor code; re-attesting pins the shared kernel.
-    #   pq_ivf_rerank_codes_topk — r11-NEW (the deployed codes-shortlist
-    #     + exact-rerank recipe); new queries always enter the prefix.
-    #     It took the 7th r9-fill slot: streaming_incremental_dedup
-    #     (r9-checked) moves to the tail HEAD instead — 3 rounds old
-    #     entering r12, first of the r12 mandatory core.
-    #   pq_rerank_topk — BEHAVIOR-TOUCHED: the exact-rerank tail it
-    #     shares with both IVFADC rerank tiers was extracted into ONE
-    #     function this round; all three consumers of the shared tail
-    #     re-attest in this prefix. media_audio_near_dup ceded its fill
-    #     slot (r9-checked; joins the r12 mandatory core).
-    #   temperature_mixture / bm25_topk / dsir_select / bloom_decontam
-    #     / media_image_near_dup — the 5 oldest-capability entries of
-    #     the 47-strong r9-checked block (its documented fill order),
-    #     leaving 42 r9-checked entries as the mandatory core of r12.
+    # r12 (computed by set-difference over CORRECTNESS_r01..r11):
+    # 42 r9-checked (3 rounds old — MANDATORY, the whole head block of
+    # the r11 tail), 46 r10-checked, 50 r11-checked, 1 rows-only-by-
+    # design (ml_lr_embeddings). The prefix is exactly 42 mandatory +
+    # 8 BEHAVIOR-TOUCHED — behavior-touched outranks the r10-block
+    # oldest-first fill order, and this round produced exactly 8:
+    #   dedup_clusters / knn_graph_components / cluster_split /
+    #     curation_pipeline — the connected-components loop-round
+    #     kernel was VECTORIZED this round (graph.py
+    #     _minrank_nonroot_rows: numpy min-rank propagation + edge
+    #     contraction replaces the per-edge Python dict union-find for
+    #     integer ids; bit-identical output pinned by
+    #     test_vectorized_kernel_matches_dict_uf, VERDICT r11 #2), so
+    #     every CC-backed oracle query re-attests on the new kernel.
+    #   pq_ivf_adc_topk / pq_ivf_codes_topk — their query-table
+    #     broadcasts are now registry-tracked for
+    #     release_query_table_broadcasts (ADVICE r11); the touched
+    #     lines sit on the query path, so both re-attest.
+    #   pq_ivf_rerank_topk / pq_ivf_rerank_codes_topk — consumers of
+    #     the two touched shortlist producers (same precedent as the
+    #     r11 shared-tail re-attestation).
+    # No r10-block fills this round (46 r10-checked entries are 2
+    # rounds old — within invariant; they become the r13 mandatory
+    # core minus the 4 CC entries re-attested here).
     #
-    # r12 NOTE (execute next round): entering r12, the 42 r9-checked
-    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r09 row
-    # that is 3 rounds old — they are the MANDATORY core of the r12
-    # prefix (42 + any r12-NEW/behavior-touched leaves ~8 fill slots
-    # from the 46-entry r10-checked block that follows, oldest
+    # r13 NOTE (execute next round): entering r13, the 42 r10-checked
+    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r10 row
+    # that is 3 rounds old — they are the MANDATORY core of the r13
+    # prefix (42 + any r13-NEW/behavior-touched leaves ~8 fill slots
+    # from the 46-entry r11-checked block that follows, oldest
     # capabilities first). The names checked THIS round (this _FRONT)
-    # are 1 round old entering r12 and sit freshest.
-    # --- the 40 r8-aged (CORRECTNESS_r08 row is 3 rounds old) ---
-    "streaming_hll_distinct", "retrieval_pipeline", "retrieval_eval_ivf",
-    "hard_negative_mining", "hll_distinct_users",
-    "user_interaction_pagerank", "corpus_release_diff",
-    "semantic_dedup", "incremental_semantic_dedup",
-    "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
-    "user_sessions", "zscore_er_slope", "asof_user_hourly",
-    "bucket_stats_daily", "cosine_topk", "cumsum_runmax",
-    "dedup_keep_last", "doc_exact_dedup", "events_pivot_daily",
-    "funnel_click_purchase", "gap_ranges_hourly", "lag_lead_returns",
-    "lang_stats", "ohlcv_5m", "ohlcv_1h_right_closed",
-    "ohlcv_daily_cascade", "pricing_summary", "quantile_value_by_type",
-    "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
-    "rolling_stats", "sampled_revenue_by_nation", "top_orders",
-    "true_range_atr", "vwap_daily", "streaming_simhash_dedup",
-    "c4_quality_flags",
-    # --- 10 fills (rationale above) ---
-    "pq_ivf_adc_topk", "pq_ivf_rerank_topk", "pq_ivf_codes_topk",
-    "pq_ivf_rerank_codes_topk", "pq_rerank_topk",
-    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
-    "media_image_near_dup",
-]
-_ORACLE_TAIL = [
-    # Head block: the 42 r9-checked queries not reached by the r10/r11
-    # prefixes — 3 rounds old entering r12, the MANDATORY core of the
-    # r12 prefix (oldest capabilities first within the block).
+    # are 1 round old entering r13 and sit freshest.
+    # --- the 42 r9-aged (CORRECTNESS_r09 row is 3 rounds old) ---
     "media_audio_near_dup", "streaming_incremental_dedup",
     "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
@@ -9054,9 +9028,18 @@ _ORACLE_TAIL = [
     "bpe_learn_merges", "bpe_tokenize_stats", "kmv_distinct_users",
     "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
     "streaming_sessionization", "token_weighted_sample",
-    # r10-checked block (CORRECTNESS_r10 row; 2 rounds old entering
-    # r12 — the r12 fill pool, oldest capabilities first;
-    # pq_ann_topk's three pq siblings re-attested in the r11 prefix).
+    # --- 8 behavior-touched (rationale above) ---
+    "dedup_clusters", "knn_graph_components", "cluster_split",
+    "curation_pipeline",
+    "pq_ivf_adc_topk", "pq_ivf_codes_topk",
+    "pq_ivf_rerank_topk", "pq_ivf_rerank_codes_topk",
+]
+_ORACLE_TAIL = [
+    # Head block: the 42 r10-checked queries not re-attested by the
+    # r11/r12 prefixes — 3 rounds old entering r13, the MANDATORY core
+    # of the r13 prefix (oldest capabilities first within the block;
+    # the 4 CC queries that were also r10-checked re-attested in the
+    # r12 prefix above and are NOT here).
     "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
     "toxicity_lexicon_score", "pq_ann_topk",
     "pretrain_data_pipeline",
@@ -9072,9 +9055,28 @@ _ORACLE_TAIL = [
     "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
     "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
     "ichimoku_hourly",
-    "dedup_clusters", "knn_graph_components", "cluster_split",
-    "curation_pipeline",
     "ann_ivf_topk", "ann_ivf_seeded_topk",
+    # r11-checked block (CORRECTNESS_r11 row; 2 rounds old entering
+    # r13 — the r13 fill pool, oldest capabilities first; the 4 PQ-IVF
+    # tiers re-attested in the r12 prefix and are NOT here).
+    "streaming_hll_distinct", "retrieval_pipeline", "retrieval_eval_ivf",
+    "hard_negative_mining", "hll_distinct_users",
+    "user_interaction_pagerank", "corpus_release_diff",
+    "semantic_dedup", "incremental_semantic_dedup",
+    "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
+    "user_sessions", "zscore_er_slope", "asof_user_hourly",
+    "bucket_stats_daily", "cosine_topk", "cumsum_runmax",
+    "dedup_keep_last", "doc_exact_dedup", "events_pivot_daily",
+    "funnel_click_purchase", "gap_ranges_hourly", "lag_lead_returns",
+    "lang_stats", "ohlcv_5m", "ohlcv_1h_right_closed",
+    "ohlcv_daily_cascade", "pricing_summary", "quantile_value_by_type",
+    "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
+    "rolling_stats", "sampled_revenue_by_nation", "top_orders",
+    "true_range_atr", "vwap_daily", "streaming_simhash_dedup",
+    "c4_quality_flags",
+    "pq_rerank_topk",
+    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
+    "media_image_near_dup",
 ]
 
 def _reorder_registry() -> None:
