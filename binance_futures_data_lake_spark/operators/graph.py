@@ -77,37 +77,79 @@ def _prio_vec(ids):
     return z.astype(np.int64)
 
 
+def _mix64_vec(ids):
+    """BIJECTIVE 64-bit priority key for integer ids (r12): the full
+    splitmix64 finalizer (no 63-bit mask — every xorshift/odd-multiply
+    step is invertible mod 2^64), sign-bit-flipped so SIGNED int64
+    ordering equals unsigned-mix ordering. Bijective ⇒ no ties ⇒ the
+    key alone is a total order AND uniquely determines the id — which
+    is what lets the cross-partition root resolution be a plain
+    codegen ``F.min(long)`` instead of a ``min(struct)`` object
+    aggregate, with the root id recovered by :func:`_unmix64_vec`."""
+    import numpy as np
+
+    z = ids.astype(np.int64, copy=False).view(np.uint64) + np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z ^ np.uint64(1 << 63)).view(np.int64)
+
+
+def _unmix64_vec(keys):
+    """Exact inverse of :func:`_mix64_vec` (roundtrip pytest-pinned):
+    un-flip the sign bit, invert each xorshift (shift ≥ 22 needs two
+    unfold terms; shifts ≥ 64 vanish), multiply by the modular
+    inverses of the odd constants (0x96DE1B173F119089 and
+    0x319642B2D24D8EC3 = pow(C, -1, 2**64)), subtract the golden
+    increment."""
+    import numpy as np
+
+    z = keys.view(np.uint64) ^ np.uint64(1 << 63)
+    z = z ^ (z >> np.uint64(31)) ^ (z >> np.uint64(62))
+    z = z * np.uint64(0x319642B2D24D8EC3)
+    z = z ^ (z >> np.uint64(27)) ^ (z >> np.uint64(54))
+    z = z * np.uint64(0x96DE1B173F119089)
+    z = z ^ (z >> np.uint64(30)) ^ (z >> np.uint64(60))
+    z = z - np.uint64(0x9E3779B97F4A7C15)
+    return z.view(np.int64)
+
+
 def _minrank_nonroot_rows(u, v):
     """Vectorized in-partition fragment labeling (r12 — the loop-round
     kernel behind VERDICT r11 #2): label every node of the edge list
-    ``(u, v)`` with its connected fragment's (prio, id)-minimum member
-    and return the non-root rows ``(node, root, root_prio)`` — the
-    exact output set of the dict union-find it replaces (pinned by
-    tests/test_graph.py::test_vectorized_kernel_matches_dict_uf), at
-    numpy speed instead of ~120k Python dict ops/s.
+    ``(u, v)`` with its connected fragment's key-minimum member under
+    the bijective :func:`_mix64_vec` order and return the non-root rows
+    ``(node, rkey)`` — ``rkey`` is the ROOT's mix key, which both
+    orders the cross-partition resolution (plain codegen
+    ``F.min(long)``) and uniquely identifies the root
+    (:func:`_unmix64_vec` recovers the id). Exactness is pinned by
+    tests/test_graph.py::test_vectorized_kernel_matches_reference
+    against an independent keyed union-find.
 
     Mechanics: compact ids to 0..m-1 (np.unique with return_inverse —
     measured 2.5× faster than unique + searchsorted, whose random
     binary searches are cache-hostile at millions of lookups), rank
-    nodes by (prio, id) (lexsort — the rank IS the total order the
-    union-find used), then alternate (a) edge relaxation
-    (``np.minimum.at`` both directions), (b) pointer-jumping closure
-    (``r = r[order[r]]``, monotone since a node's best-known rank only
-    decreases), and (c) EDGE CONTRACTION — relabel edges to current
-    roots, drop self-loops, dedupe — so each subsequent pass touches a
-    geometrically smaller list (4 passes on a scattered-random
-    partition, only the first at full width). Terminates when the
-    contracted list is empty; at the fixpoint r[i] is the min rank in
-    i's component — the same root the keyed union-find converges to."""
+    nodes by mix key (bijective ⇒ argsort needs no tiebreak), then
+    alternate (a) edge relaxation (``np.minimum.at`` both directions),
+    (b) pointer-jumping closure (``r = r[order[r]]``, monotone since a
+    node's best-known rank only decreases), and (c) EDGE CONTRACTION —
+    relabel edges to current roots, drop self-loops, dedupe — so each
+    subsequent pass touches a geometrically smaller list (4 passes on a
+    scattered-random partition, only the first at full width).
+    Terminates when the contracted list is empty; at the fixpoint r[i]
+    is the min rank in i's component — the same root a union-find
+    keyed by the same order converges to."""
     import numpy as np
     import pandas as pd
 
     ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     iu = inv[: u.shape[0]]
     iv = inv[u.shape[0]:]
-    prios = _prio_vec(ids)
+    keys = _mix64_vec(ids)
     m = int(ids.size)
-    order = np.lexsort((ids, prios))
+    order = np.argsort(keys)
     rank = np.empty(m, dtype=np.int64)
     rank[order] = np.arange(m, dtype=np.int64)
     r = rank.copy()
@@ -132,8 +174,7 @@ def _minrank_nonroot_rows(u, v):
     nonroot = root_idx != np.arange(m, dtype=np.int64)
     return pd.DataFrame({
         "node": ids[nonroot],
-        "root": ids[root_idx[nonroot]],
-        "root_prio": prios[root_idx[nonroot]],
+        "rkey": keys[root_idx[nonroot]],
     })
 
 
@@ -426,16 +467,16 @@ def connected_components(
     else:
         # prepass=False: the r9 shape — loop straight on the symmetric
         # raw list; m0 degrades to the identity map over the node set,
-        # so label recovery below is unchanged
+        # so label recovery below is unchanged. m0 is built AFTER the
+        # loop (r12): it is only read by the label composition, and a
+        # lazily-checkpointed DataFrame's materialization can overlap
+        # later jobs — created here, its node-sized distinct over the
+        # full symmetric list was free to grind concurrently with (and
+        # throttle) round 1's kernel stage.
         sym = base.union(
             base.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).localCheckpoint(eager=False)
-        m0 = (
-            sym.select(F.col("u").alias("node"))
-            .distinct()
-            .withColumn("root", F.col("node"))
-            .localCheckpoint(eager=False)
-        )
+        m0 = None
     n_edges = sym.count()
     if on_round is not None:
         on_round({
@@ -444,42 +485,84 @@ def connected_components(
             "sec": round(time.perf_counter() - t0, 3),
         })
 
-    def _local_uf(batches):
-        """In-partition fragment labeling; emits (node, root, root_prio)
-        for every non-root. Roots are fragment (prio, id)-minima, so the
-        mapping strictly decreases (prio, id) — no cycles, guaranteed
-        progress; cross-partition candidates resolve by the same order
-        (min struct(root_prio, root)). Integer ids take the VECTORIZED
-        numpy kernel (r12 — VERDICT r11 #2: the per-edge Python dict
-        loop measured 3,674 executor-core-seconds of the scattered-10M
-        probe's 138 s round-1 map half, ~55× round 0's per-edge cost;
-        min-rank propagation is bit-identical and C-speed); non-integer
-        ids keep the dict union-find."""
-        import pandas.api.types as ptypes
+    # In-partition fragment labeling, two statically-chosen kernels
+    # (r12 — VERDICT r11 #2). INTEGER ids: the vectorized min-key
+    # kernel emits (node, rkey) where rkey is the root's BIJECTIVE
+    # _mix64_vec key — the instrumented scattered-10M probe showed the
+    # round-1 map half dominated not by the Python union-find alone but
+    # by the 3-column shuffle + the non-codegen min(struct) OBJECT
+    # aggregate (~700 executor-core-seconds of pure JVM CPU in the
+    # final agg); a bijective key turns the resolution into a plain
+    # codegen F.min(long) with the root id recovered by one zero-shuffle
+    # Arrow pass. NON-integer ids (md5 priorities aren't invertible):
+    # the dict union-find emitting (node, root, root_prio) with the
+    # min(struct) resolution, as before.
+    int_ids = id_type in ("bigint", "int", "smallint", "tinyint")
 
+    def _local_uf_int(batches):
+        """Arrow-native feed (r12): the in-worker debug timing on the
+        scattered-10M probe measured ~27 s/worker spent merely ITERATING
+        188 pandas batches (mapInPandas materializes a DataFrame per
+        batch) vs ~2 s collecting Arrow column buffers directly —
+        ``to_numpy(zero_copy_only=False)`` on an Arrow int64 array is a
+        buffer view (plus a null-check), not a per-row conversion."""
+        import os as _os
+        import time as _time
+
+        import numpy as np
+        import pyarrow as pa
+
+        t0 = _time.perf_counter()
         us, vs = [], []
-        vec = None
+        nb = 0
+        for rb in batches:
+            nb += 1
+            if rb.num_rows:
+                us.append(rb.column(0).to_numpy(zero_copy_only=False))
+                vs.append(rb.column(1).to_numpy(zero_copy_only=False))
+        if not us:
+            return
+        t1 = _time.perf_counter()
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        out = _minrank_nonroot_rows(u, v)
+        if _os.environ.get("BFDL_CC_KERNEL_DEBUG"):
+            import sys as _sys
+
+            print(
+                f"CCKERNEL feed={t1 - t0:.2f}s batches={nb} "
+                f"edges={u.size} kernel={_time.perf_counter() - t1:.2f}s",
+                file=_sys.stderr,
+            )
+        yield pa.record_batch(
+            [
+                pa.array(out["node"].to_numpy()),
+                pa.array(out["rkey"].to_numpy()),
+            ],
+            names=["node", "rkey"],
+        )
+
+    def _local_uf_obj(batches):
+        us, vs = [], []
         for pdf in batches:
-            if not len(pdf):
-                continue
-            if vec is None:
-                vec = ptypes.is_integer_dtype(pdf["u"])
-            if vec:
-                us.append(pdf["u"].to_numpy())
-                vs.append(pdf["v"].to_numpy())
-            else:
+            if len(pdf):
                 us.append(pdf["u"])
                 vs.append(pdf["v"])
-        if vec is None:
+        if not us:
             return
-        if vec:
-            import numpy as np
+        yield _dict_uf_nonroot_rows(us, vs)
 
-            yield _minrank_nonroot_rows(
-                np.concatenate(us), np.concatenate(vs)
+    def _unmix_rows(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            keys = rb.column(1).to_numpy(zero_copy_only=False)
+            yield pa.record_batch(
+                [rb.column(0), pa.array(_unmix64_vec(keys))],
+                names=["node", "root"],
             )
-        else:
-            yield _dict_uf_nonroot_rows(us, vs)
 
     # per-round node->root mapping tables; composed BACKWARD after the
     # loop (see docstring) instead of maintaining a node-sized label
@@ -501,15 +584,32 @@ def connected_components(
         # neighborhoods -> whole dense components contract in one pass);
         # width tracks the CURRENT edge count, not round 1's
         width = max(min_width, min(1024, -(-n_edges // target_edges_per_partition)))
-        m = (
-            cur.repartition(width, "u")
-            .mapInPandas(
-                _local_uf, f"node {id_type}, root {id_type}, root_prio long"
+        if int_ids:
+            m = (
+                cur.repartition(width, "u")
+                .mapInArrow(_local_uf_int, f"node {id_type}, rkey long")
+                .groupBy("node")
+                .agg(F.min("rkey").alias("rkey"))
+                .mapInArrow(_unmix_rows, f"node {id_type}, root long")
             )
-            .groupBy("node")
-            .agg(F.min(F.struct("root_prio", "root"))["root"].alias("root"))
-            .localCheckpoint(eager=False)
-        )
+            if id_type != "bigint":
+                m = m.select(
+                    "node", F.col("root").cast(id_type).alias("root")
+                )
+            m = m.localCheckpoint(eager=False)
+        else:
+            m = (
+                cur.repartition(width, "u")
+                .mapInPandas(
+                    _local_uf_obj,
+                    f"node {id_type}, root {id_type}, root_prio long",
+                )
+                .groupBy("node")
+                .agg(
+                    F.min(F.struct("root_prio", "root"))["root"].alias("root")
+                )
+                .localCheckpoint(eager=False)
+            )
         if on_stage is not None:
             n_map_rows = m.count()  # forces shuffle + UF + groupBy
             on_stage({
@@ -571,6 +671,14 @@ def connected_components(
         # the survivor edge list is collected (or empty); nothing reads it
         # again — the labels below derive from sym + maps + fin only
         prev_persisted.unpersist()
+    if m0 is None:
+        # deferred prepass=False identity map (see the round-0 branch)
+        m0 = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("root", F.col("node"))
+            .localCheckpoint(eager=False)
+        )
     # backward composition of the LOOP maps: g_i(x) = "apply m_i, then
     # m_{i+1..K}" — g = m_K; then per earlier round, remap m_i's roots
     # through g and union in g's rows outside dom(m_i). Every join is

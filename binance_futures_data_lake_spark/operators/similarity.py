@@ -512,7 +512,8 @@ def _nearest_cells_int(svec_col, cents: list[tuple[int, list[int]]], n: int):
 
 
 def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
-                        id_col: str = "vec_id", vec_col: str = "embedding"):
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        partition_reduce: bool = False):
     """DETERMINISTIC Lloyd-refined coarse quantizer: smallest-hash seed
     cells (:func:`ivf_seed_centroids`) refined by ``iters`` k-means steps in
     1e-6 fixed-point arithmetic — integer distances, integer-sum centroid
@@ -527,7 +528,24 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
     Returns ``[(cell_id, scaled_long_vec), ...]`` for
     :func:`ivf_lloyd_topk`. Reference: the IVF tier of the similarity stack
     (SURVEY §2 similarity search); quality vs brute force is pytest-gauged
-    like the other tiers."""
+    like the other tiers.
+
+    ``partition_reduce`` (r12 — VERDICT r11 #4): the default emits one
+    partial row per (Arrow batch, live cell), so the bounded driver
+    collect is batches × num_cells rows — hundreds at query-registry
+    scale (num_cells ≤ 8), but ~1M rows at deploy-index scale (a 1M
+    training sample in 10k-row batches × 10k cells), where the
+    driver-side PYTHON reduce dominates the training wall. With
+    ``partition_reduce=True`` the kernel accumulates across all of a
+    partition's batches first (collect ≤ partitions × num_cells rows)
+    and the driver reduces in vectorized int64 numpy. BIT-IDENTICAL
+    output either way — integer sums are associative, every float64
+    partial stays under 2^53 (grid values ≤ 1e6 need > 9e9 rows per
+    partition to overflow), and the rounding step is shared — pinned by
+    tests/test_similarity.py::test_lloyd_partition_reduce_bit_equal.
+    Default False so every oracle-replayed plan is byte-for-byte the
+    attested one; index builds at thousands of cells SHOULD pass True
+    (the ``--pq-build`` probe does)."""
     from binance_futures_data_lake_spark.operators.sketch import uniform_hash
 
     import numpy as np
@@ -558,25 +576,15 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
             c_mat = np.array([v for _, v in cents], dtype=np.float64)
             c2 = np.einsum("ij,ij->i", c_mat, c_mat)
 
-            def _partials(batches, _ct=c_mat.T, _c2=c2, _ids=cell_ids):
+            def _partials(batches, _ct=c_mat.T, _c2=c2, _ids=cell_ids,
+                          _acc=partition_reduce):
                 n_c = _ids.size
-                for rb in batches:
-                    n = rb.num_rows
-                    if n == 0:
-                        continue
-                    flat = np.asarray(rb.column(0).flatten(), dtype=np.float64)
-                    mat = flat.reshape(n, dim)
-                    d2 = (
-                        np.einsum("ij,ij->i", mat, mat)[:, None]
-                        - 2.0 * (mat @ _ct)
-                        + _c2[None, :]
-                    )
-                    code = np.argmin(d2, axis=1)
-                    cnt = np.bincount(code, minlength=n_c)
-                    sums = np.zeros((n_c, dim))
-                    np.add.at(sums, code, mat)
+                acc_cnt = np.zeros(n_c, dtype=np.int64) if _acc else None
+                acc_sum = np.zeros((n_c, dim)) if _acc else None
+
+                def _emit(cnt, sums):
                     live = np.flatnonzero(cnt)
-                    yield pa.record_batch(
+                    return pa.record_batch(
                         [
                             pa.array(_ids[live]),
                             pa.array(cnt[live].astype(np.int64)),
@@ -588,6 +596,34 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
                         names=["cell", "cnt", "sums"],
                     )
 
+                # same 64 MB d² transient bound as _grid_assign_residual
+                chunk = max(1, 8_000_000 // max(1, n_c))
+                for rb in batches:
+                    n = rb.num_rows
+                    if n == 0:
+                        continue
+                    flat = np.asarray(rb.column(0).flatten(), dtype=np.float64)
+                    mat = flat.reshape(n, dim)
+                    code = np.empty(n, dtype=np.int64)
+                    for lo in range(0, n, chunk):
+                        sm = mat[lo:lo + chunk]
+                        d2 = (
+                            np.einsum("ij,ij->i", sm, sm)[:, None]
+                            - 2.0 * (sm @ _ct)
+                            + _c2[None, :]
+                        )
+                        code[lo:lo + chunk] = np.argmin(d2, axis=1)
+                    if _acc:
+                        acc_cnt += np.bincount(code, minlength=n_c)
+                        np.add.at(acc_sum, code, mat)
+                        continue
+                    cnt = np.bincount(code, minlength=n_c)
+                    sums = np.zeros((n_c, dim))
+                    np.add.at(sums, code, mat)
+                    yield _emit(cnt, sums)
+                if _acc and acc_cnt.any():
+                    yield _emit(acc_cnt, acc_sum)
+
             # Reduce the per-batch partials ON THE DRIVER: the kernel
             # emits ≤ num_cells rows per Arrow batch, so the collect is
             # bounded by batches·num_cells (hundreds of rows at any
@@ -596,9 +632,27 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
             # relational reduce paid per iteration (~0.4 s of job floor
             # per step at local scale). Integer sums in Python are exact
             # and order-independent — centroids are bit-identical.
-            rows = svc.mapInArrow(
+            partials_df = svc.mapInArrow(
                 _partials, "cell long, cnt long, sums array<long>"
-            ).collect()
+            )
+            if partition_reduce:
+                # vectorized exact-int64 reduce: the collect is bounded
+                # by partitions × num_cells rows, and numpy integer adds
+                # are the same associative sums the Python loop computes
+                pdf = partials_df.toPandas()
+                cells_arr = pdf["cell"].to_numpy()
+                ucells, inv = np.unique(cells_arr, return_inverse=True)
+                cnt_tot = np.zeros(ucells.size, dtype=np.int64)
+                np.add.at(cnt_tot, inv, pdf["cnt"].to_numpy())
+                sums_tot = np.zeros((ucells.size, dim), dtype=np.int64)
+                np.add.at(sums_tot, inv, np.stack(pdf["sums"].to_numpy()))
+                cents = sorted(
+                    (int(c), [_round_half_away_int(int(s), int(n))
+                              for s in row])
+                    for c, n, row in zip(ucells, cnt_tot, sums_tot)
+                )
+                continue
+            rows = partials_df.collect()
             cnts: dict[int, int] = {}
             acc: dict[int, list[int]] = {}
             for r in rows:
@@ -1908,14 +1962,24 @@ def _grid_assign_residual(cents: list[tuple[int, list[int]]]):
     cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
     c_mat = np.array([v for _, v in cents], dtype=np.float64)
     c2 = np.einsum("ij,ij->i", c_mat, c_mat)
+    # bound the (rows × num_cells) distance transient to ~64 MB: at
+    # deploy cell counts (10k cells) a full 10k-row Arrow batch would
+    # allocate an 800 MB d² per WORKER — 32 local workers is an OOM,
+    # and a cluster executor should never need batch × cells floats
+    # either. Chunking is pure per-row math: identical idx/residuals.
+    chunk = max(1, 8_000_000 // max(1, c_mat.shape[0]))
 
     def assign(smat):
-        d2 = (
-            np.einsum("ij,ij->i", smat, smat)[:, None]
-            - 2.0 * (smat @ c_mat.T)
-            + c2[None, :]
-        )
-        idx = np.argmin(d2, axis=1)
+        n = smat.shape[0]
+        idx = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, chunk):
+            sm = smat[lo:lo + chunk]
+            d2 = (
+                np.einsum("ij,ij->i", sm, sm)[:, None]
+                - 2.0 * (sm @ c_mat.T)
+                + c2[None, :]
+            )
+            idx[lo:lo + chunk] = np.argmin(d2, axis=1)
         return idx, smat - c_mat[idx]
 
     return cell_ids, c_mat, assign

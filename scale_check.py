@@ -994,6 +994,178 @@ def pq_recipe_main() -> None:
     spark.stop()
 
 
+def pq_build_main() -> None:
+    """Index BUILD priced at 100M × ~10k cells (VERDICT r11 #4): the
+    ``--pq-cells`` build half only — sampled-Lloyd centroids + residual
+    codebooks (both trained on a 1M hash-mod sample), full-corpus
+    encode, grouped-layout write — plus a recall spot-check at one
+    nprobe against brute-force truth. Differences from --pq-cells, all
+    of them the 100M-shape lessons:
+
+    * the corpus is NEVER cached (100M × 64 floats is ~30-80 GB
+      resident; the generator is deterministic hash math, so each of
+      the three passes — train filter, encode, truth — recomputes it
+      column-side for ~a minute instead),
+    * centroids train with ``partition_reduce=True`` (the default
+      per-batch partial emit collects batches × num_cells ≈ 1M rows at
+      this shape and the driver-side Python reduce dominates training;
+      the partition-level accumulate + vectorized int64 reduce is
+      bit-identical — pinned by
+      test_lloyd_partition_reduce_bit_equal — and collects only
+      partitions × num_cells rows),
+    * only the grouped layout is written (10k one-file-per-cell
+      directories is a filesystem antipattern; cell % --groups with
+      cells sorted inside each file was the r11 nprobe≥16 winner).
+    """
+    import shutil
+    import tempfile
+
+    n_vecs = _arg("--rows", 100_000_000)
+    num_cells = _arg("--cells", 10_000)
+    train_cap = _arg("--train-rows", 1_000_000)
+    n_groups = _arg("--groups", 256)
+    npb = _arg("--nprobe", 16)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+    spark = get_spark("bfdl-pq-build")
+    from binance_futures_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_centroids,
+        pq_encode,
+        pq_ivf_adc_codes_topk,
+        pq_ivf_rerank_codes_topk,
+        pq_residual_codebooks_lloyd,
+        release_query_table_broadcasts,
+    )
+
+    dim, n_latent, ann_k = 64, 32, 10
+    block = n_vecs // n_latent
+
+    def _h01(*cols):
+        return ((F.xxhash64(*cols) % 1_000_003 + 1_000_003) % 1_000_003) / 1_000_003.0
+
+    clus = F.floor(F.col("vec_id") / block).cast("int")
+    comps = [
+        (
+            (2.0 * _h01(clus, F.lit(f"c{j}")) - 1.0)
+            + 0.35 * (2.0 * _h01(F.col("vec_id"), F.lit(f"n{j}")) - 1.0)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    ann = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*comps))
+    )
+    annq = ann.filter(
+        (F.col("vec_id") % block < 20) & (F.col("vec_id") < 5 * block)
+    )
+
+    mod = max(1, n_vecs // train_cap)
+    train = (
+        ann.filter(F.xxhash64("vec_id") % mod == 0) if mod > 1 else ann
+    ).cache()  # the SAMPLE is cached (≤1M rows); the corpus never is
+    n_train = train.count()
+
+    t0 = time.perf_counter()
+    cents = ivf_lloyd_centroids(
+        train, num_cells=num_cells, iters=2, partition_reduce=True
+    )
+    cents_sec = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"stage": "centroids", "sec": cents_sec,
+                      "live_cells": len(cents)}), file=sys.stderr)
+    t0 = time.perf_counter()
+    books = pq_residual_codebooks_lloyd(
+        train, cents, n_sub=16, ks=256, iters=2
+    )
+    books_sec = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"stage": "res_books", "sec": books_sec}),
+          file=sys.stderr)
+    train.unpersist()
+
+    def du_and_files(path: str) -> tuple[float, int]:
+        tot, nf = 0, 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    nf += 1
+                tot += os.path.getsize(os.path.join(root, fn))
+        return round(tot / 2**20, 1), nf
+
+    idx = tempfile.mkdtemp(prefix="bfdl_pqbuild_")
+    try:
+        t0 = time.perf_counter()
+        (
+            pq_encode(ann, cents, books)
+            .withColumn("cell_grp", F.col("cell") % n_groups)
+            .repartition("cell_grp")
+            .sortWithinPartitions("cell_grp", "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell_grp")
+            .parquet(idx)
+        )
+        encode_write_sec = round(time.perf_counter() - t0, 2)
+        mb, nf = du_and_files(idx)
+        print(json.dumps({"stage": "encode_write", "sec": encode_write_sec,
+                          "mb": mb, "files": nf}), file=sys.stderr)
+        codes_df = spark.read.parquet(idx).drop("cell_grp")
+
+        t0 = time.perf_counter()
+        truth = {
+            (r.q_id, r.neighbor_id)
+            for r in brute_force_topk(ann, annq, k=ann_k).collect()
+        }
+        truth_sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"stage": "truth", "sec": truth_sec}),
+              file=sys.stderr)
+
+        t0 = time.perf_counter()
+        found = {
+            (r.q_id, r.neighbor_id)
+            for r in pq_ivf_adc_codes_topk(
+                codes_df, annq, cents, books, k=ann_k, nprobe=npb
+            ).collect()
+        }
+        adc_sec = round(time.perf_counter() - t0, 2)
+        release_query_table_broadcasts()
+        adc_recall = round(len(found & truth) / len(truth), 4)
+        print(json.dumps({"stage": "adc_spot", "sec": adc_sec,
+                          "recall_at_10": adc_recall}), file=sys.stderr)
+        # deployed rerank spot: shortlist 10k/query (0.01% at 100M —
+        # |Q|·shortlist = 1M rerank rows, the broadcast-semi-join bound)
+        sl = 10_000
+        t0 = time.perf_counter()
+        found_rr = {
+            (r.q_id, r.neighbor_id)
+            for r in pq_ivf_rerank_codes_topk(
+                ann, codes_df, annq, cents, books, k=ann_k,
+                shortlist=sl, nprobe=npb,
+            ).collect()
+        }
+        rerank_sec = round(time.perf_counter() - t0, 2)
+        release_query_table_broadcasts()
+        rr_recall = round(len(found_rr & truth) / len(truth), 4)
+        print(json.dumps({
+            "mode": "pq_build", "n_vectors": n_vecs, "dim": dim,
+            "num_cells": num_cells, "live_cells": len(cents),
+            "n_train": n_train, "train_mod": mod,
+            "n_queries": 100, "k": ann_k, "n_sub": 16, "ks": 256,
+            "centroids_sec": cents_sec, "res_books_sec": books_sec,
+            "encode_write_sec": encode_write_sec,
+            "index_mb": mb, "index_files": nf,
+            "layout": f"partitionBy(cell % {n_groups}), cells sorted in file",
+            "truth_sec": truth_sec,
+            "spot_nprobe": npb,
+            "adc_spot": {"sec": adc_sec, "recall_at_10": adc_recall},
+            "rerank_spot": {"sec": rerank_sec, "recall_at_10": rr_recall,
+                            "shortlist": sl,
+                            "shortlist_pct_of_corpus":
+                                round(100.0 * sl / n_vecs, 3)},
+        }))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    spark.stop()
+
+
 def cc_main() -> None:
     """Instrumented contraction-CC probe (VERDICT r8 #3): the 10k-chain
     adversarial graph at ``--rows`` nodes with PER-ROUND shuffle
@@ -1878,6 +2050,9 @@ def main() -> None:
         return
     if "--pq-recipe" in sys.argv:
         pq_recipe_main()
+        return
+    if "--pq-build" in sys.argv:
+        pq_build_main()
         return
     if "--pq-cells" in sys.argv:
         pq_cells_main()

@@ -188,22 +188,43 @@ def test_connected_components_prepass_parity(spark):
         assert on[301] == 300
 
 
-def test_vectorized_kernel_matches_dict_uf():
-    """r12 (VERDICT r11 #2): the loop-round in-partition kernel is
-    vectorized for integer ids — min-rank propagation with edge
-    contraction must emit EXACTLY the dict union-find's non-root row
-    set ((node, fragment (prio,id)-min root, root priority)) on every
-    adversarial shape, including negative ids (two's-complement prio
-    parity) and duplicate/self-loop rows."""
+def test_vectorized_kernel_matches_reference():
+    """r12 (VERDICT r11 #2): the integer-id loop-round kernel is
+    vectorized — min-rank propagation with edge contraction under the
+    bijective _mix64_vec order must emit EXACTLY the non-root row set
+    of an INDEPENDENT keyed union-find ((node, rkey of the fragment's
+    key-min member)) on every adversarial shape, including negative ids
+    and duplicate/self-loop rows; and _unmix64_vec must invert
+    _mix64_vec bit-exactly."""
     import numpy as np
-    import pandas as pd
 
     from binance_futures_data_lake_spark.operators.graph import (
-        _dict_uf_nonroot_rows,
         _minrank_nonroot_rows,
+        _mix64_vec,
         _prio,
         _prio_vec,
+        _unmix64_vec,
     )
+
+    def reference_rows(u, v):
+        ids = sorted(set(u.tolist()) | set(v.tolist()))
+        key = dict(zip(ids, _mix64_vec(np.array(ids, dtype=np.int64)).tolist()))
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(u.tolist(), v.tolist()):
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if key[rb] < key[ra]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        return {(n, key[find(n)]) for n in ids if find(n) != n}
 
     rng = np.random.RandomState(7)
     cases = {
@@ -221,10 +242,15 @@ def test_vectorized_kernel_matches_dict_uf():
     for name, (u, v) in cases.items():
         u = u.astype(np.int64)
         v = v.astype(np.int64)
-        got = _minrank_nonroot_rows(u, v)
-        want = _dict_uf_nonroot_rows([pd.Series(u)], [pd.Series(v)])
-        assert set(map(tuple, got.itertuples(index=False))) == set(
-            map(tuple, want.itertuples(index=False))
-        ), name
-    xs = np.array([0, 1, -1, 2**62, -(2**62), 12345, -98765], dtype=np.int64)
+        got = set(map(tuple, _minrank_nonroot_rows(u, v).itertuples(index=False)))
+        assert got == reference_rows(u, v), name
+    # mix/unmix bijection roundtrip incl. negatives and extremes
+    xs = np.array([0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63),
+                   12345, -98765], dtype=np.int64)
+    assert np.array_equal(_unmix64_vec(_mix64_vec(xs)), xs)
+    # signed key order == unsigned mix order (the sign-flip contract)
+    ks = _mix64_vec(xs)
+    unsigned = ks.view(np.uint64) ^ np.uint64(1 << 63)
+    assert np.array_equal(np.argsort(ks), np.argsort(unsigned))
+    # the string-path priority stays bit-stable
     assert [_prio(int(x)) for x in xs] == _prio_vec(xs).tolist()

@@ -474,3 +474,53 @@ def test_ivf_mixed_id_types(spark, emb):
     }
     rows = out.collect()
     assert rows and all(r.q_id.startswith("q") for r in rows)
+
+
+def test_lloyd_partition_reduce_bit_equal(spark, emb):
+    """r12 (VERDICT r11 #4): partition_reduce=True swaps the per-batch
+    partial emit + Python driver reduce for a per-partition accumulate
+    + vectorized int64 numpy reduce. Integer sums are associative and
+    every float64 partial is exact under 2^53, so the trained centroids
+    must be BIT-IDENTICAL — across partitionings too."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        ivf_lloyd_centroids,
+    )
+
+    a = ivf_lloyd_centroids(emb, num_cells=8, iters=2)
+    b = ivf_lloyd_centroids(emb, num_cells=8, iters=2,
+                            partition_reduce=True)
+    c = ivf_lloyd_centroids(emb.repartition(13), num_cells=8, iters=2,
+                            partition_reduce=True)
+    assert a == b == c
+
+
+def test_grid_assign_chunking_exact():
+    """r12: _grid_assign_residual bounds its (rows × cells) distance
+    transient by chunking rows at deploy cell counts. Chunking is pure
+    per-row math — idx and residuals must equal the single-shot
+    computation on a multi-chunk config (9k cells → chunk ≈ 888)."""
+    import numpy as np
+
+    from binance_futures_data_lake_spark.operators.similarity import (
+        _grid_assign_residual,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n_cells, n_rows = 8, 9000, 2500
+    cents = [(i, rng.randint(-1_000_000, 1_000_000, dim).tolist())
+             for i in range(n_cells)]
+    smat = rng.randint(-1_000_000, 1_000_000, (n_rows, dim)).astype(
+        np.float64
+    )
+    cell_ids, c_mat, assign = _grid_assign_residual(cents)
+    idx, res = assign(smat)
+    # naive single-shot replay
+    c2 = np.einsum("ij,ij->i", c_mat, c_mat)
+    d2 = (
+        np.einsum("ij,ij->i", smat, smat)[:, None]
+        - 2.0 * (smat @ c_mat.T)
+        + c2[None, :]
+    )
+    want = np.argmin(d2, axis=1)
+    assert np.array_equal(idx, want)
+    assert np.array_equal(res, smat - c_mat[want])
