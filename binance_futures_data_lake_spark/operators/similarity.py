@@ -1066,10 +1066,17 @@ def semantic_dedup(
         F.col("id").alias("a_id"), F.col("cell"),
         F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
     )
+    # force sort-merge (r12): the planner's BroadcastHashJoin build side
+    # re-executes its subtree, running the scan→normalize→cell-assign
+    # union a SECOND time per materialization; shuffled on the same
+    # ``cell`` key with structurally identical projections, the two
+    # exchanges canonicalize to one and ReuseExchange runs the upstream
+    # once (guide §2.4/§3.1 — same fix as textdedup.hamming_near_pairs,
+    # measured there 5.48→0.87 s at sf0.1).
     b = cells.select(
         F.col("id").alias("b_id"), F.col("cell"),
         F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
-    )
+    ).hint("merge")
     cos = round6(
         _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     )
@@ -1507,16 +1514,26 @@ def knn_graph_mutual_edges(
     direct = cells.groupBy("cell").applyInPandas(
         _directed, f"a_id {id_type}, b_id {id_type}, cosine double"
     )
-    d2 = direct.select(
-        F.col("a_id").alias("r_a"), F.col("b_id").alias("r_b")
-    )
+    # Mutual filter as ONE aggregation instead of a self-join (r12). The
+    # join form re-executed the |cell|² GEMM kernel on BOTH sides (the
+    # broadcast build side replays its subtree; even as sort-merge the
+    # swapped key order (a,b)/(r_b,r_a) defeats exchange reuse) — the
+    # dominant stage ran twice per materialization. Because pairs are
+    # cell-scoped and each directed list is duplicate-free, a pair is
+    # mutual iff its canonical (least, greatest) key occurs exactly twice
+    # in the directed list; cos(a,b) == cos(b,a) exactly (boundary-guard
+    # discipline above), so min(cosine) is THE pair cosine. One GEMM
+    # pass + one narrow-row shuffle with map-side partial aggregation
+    # (guide §2.3/§2.4); measured sf0.1 knn_graph_components 5.7→?,
+    # parity pinned in tests/test_similarity.py.
     return (
-        direct.join(
-            d2,
-            (F.col("a_id") == F.col("r_b")) & (F.col("b_id") == F.col("r_a")),
+        direct.groupBy(
+            F.least("a_id", "b_id").alias("u"),
+            F.greatest("a_id", "b_id").alias("v"),
         )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"), "cosine")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("cosine").alias("cosine"))
+        .filter(F.col("__n") == 2)
+        .select("u", "v", "cosine")
     )
 
 

@@ -69,6 +69,14 @@ def kmv_distinct(
     (state build + :func:`kmv_estimate_from_state`).
     """
     by = list(by)
+    # r12 CLOSED NEGATIVE: sharing one distinct-(by, value) subtree
+    # between the estimate fold and the exact pass looks like a
+    # one-scan win (guide §2.4), but Catalyst collapses
+    # dedup(by,v) → project(hv) → dedup(by,hv) back into the single
+    # direct dedup(by,hv), so the two branches' exchanges never match
+    # and the executed plan is byte-equivalent to this form — the
+    # two-scan shape IS canonical here. Both scans partial-aggregate
+    # map-side, so each exchange is bounded by per-partition distincts.
     est = kmv_estimate_from_state(kmv_state(df, value_col, by, k), by, k)
     if not include_exact:
         return est
@@ -335,6 +343,10 @@ def hll_distinct(
     this formulation keeps the driver-checkable relational form.)
     """
     by = list(by)
+    # r12 CLOSED NEGATIVE — see kmv_distinct: the shared-distinct
+    # rewrite is undone by Catalyst (redundant distinct under the
+    # max-monoid register aggregate is eliminated), so this two-pass
+    # form is already the canonical plan.
     reg = hll_registers(df, value_col, by, m)
     agg_est = hll_estimate_from_registers(reg, by, m)
     if not include_exact:

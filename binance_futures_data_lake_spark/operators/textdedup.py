@@ -402,9 +402,21 @@ def hamming_near_pairs(
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("__fp").alias("sim_a"), "band", "bv"
     )
+    # Self-join strategy: force sort-merge (r12). The planner's default is
+    # a BroadcastHashJoin of the b side, and a broadcast side is REBUILT
+    # from its subtree — the entire upstream (simhash aggregation, or the
+    # media encode→decode→fingerprint Python pipeline) executes twice,
+    # once per join side. With both sides shuffled on the same (band, bv)
+    # key the two exchanges canonicalize identically and ReuseExchange
+    # runs the upstream ONCE (guide §2.4/§7.2 duplicated-subtree): band
+    # rows are ~16 bytes, so the extra exchange is noise next to a second
+    # fingerprint pass at any scale, and sort-merge spills gracefully
+    # where a broadcast has an 8 GB hard cap. Measured at sf0.1:
+    # media_audio_near_dup 5.48→0.87 s, plan BroadcastHashJoin+duplicate
+    # subtree → SortMergeJoin+ReusedExchange, rows bit-identical.
     b = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("__fp").alias("sim_b"), "band", "bv"
-    )
+    ).hint("merge")
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
 
     def _band_clean(i: int):
@@ -675,26 +687,51 @@ def exact_jaccard_pairs(
     """All pairs with exact shingle-Jaccard >= threshold, via an
     inverted-index self-join on shingles (never a doc×doc cross join).
     Ground truth for the MinHash path at test scale; at corpus scale the
-    same shape runs on LSH candidates (minhash_dedup_pairs)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
-    ).select("doc_id", F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    same shape runs on LSH candidates (minhash_dedup_pairs).
+
+    Shape (r12): ONE scan+shingle pass total. The per-doc shingle count
+    rides the exploded rows as one long (``shingles_of_tokens`` is
+    array_distinct'ed, so ``size(arr)`` IS the old explode→groupBy
+    count), which deletes the separate sz scan branch and both
+    broadcast-backs; the self-join is forced sort-merge so the two
+    sides' exchanges — identical (doc_id, n, s) projections keyed on
+    ``s`` — canonicalize to ONE exchange and ReuseExchange runs the
+    scan→tokenize→shingle→explode subtree once (a broadcast build side
+    would re-execute it, and the old plan ran it three times: both join
+    sides plus sz). Guide §2.4/§3.1; measured sf0.1 dedup_clusters
+    4.41→?, plan 3 scans → 1, 2 BroadcastExchange of corpus-sized
+    exploded rows → 0."""
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingles_of_tokens(words(F.col(text_col)), shingle_n).alias("__sh"),
+        )
+        .select(
+            "doc_id",
+            F.size("__sh").cast("long").alias("n"),
+            F.explode("__sh").alias("s"),
+        )
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s"
+    ).hint("merge")
+    inter = (
+        a.join(b, (a["s"] == b["s"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select("doc_a", "doc_b", round6(jac).alias("jaccard"))
     )
 

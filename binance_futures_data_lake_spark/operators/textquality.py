@@ -694,18 +694,22 @@ def bm25_topk(
     identical longs in every engine, so the per-term doubles match
     bit-for-bit before rounding.
 
-    Scale shape: the query-vocabulary prune happens MAP-SIDE, before
-    any exchange — exploded token instances broadcast-semi-join the
-    query term set inside the scan stage, so the (doc, term) collapse
-    shuffles only query-term instances, never the corpus vocabulary.
-    Document length comes straight from the token array
-    (``size(words)``, map-only — no corpus-wide aggregate), df is
-    computed on the pruned stream (df of a term only needs that term's
-    rows), and ``max_df_frac`` filters the |query-vocab|-row df table
-    BEFORE it broadcasts back — so a stopword query term is dropped
-    before, not after, its one-row-per-containing-doc fan-out
-    materializes. The only corpus-sized exchange left is the candidate
-    × dlen doc_id join that scoring inherently needs.
+    Scale shape (r12 — TWO corpus scans, the BM25 minimum): the
+    query-vocabulary prune happens MAP-SIDE, before any exchange —
+    exploded token instances broadcast-semi-join the query term set
+    inside the scan stage, so the (doc, term) collapse shuffles only
+    query-term instances, never the corpus vocabulary. Document length
+    rides the exploded rows as one long (computed from the token array
+    before the explode), so no separate corpus-sized dlen scan/join
+    exists; ``df`` is a count-over-``term`` window on the aggregated
+    (doc, term) rows — the earlier separate ``df`` branch re-ran the
+    whole scan→explode→semi-join subtree (column pruning made its
+    exchange non-identical, defeating ReuseExchange), and ``n_docs`` +
+    ``total_len`` collapse into ONE full-corpus aggregate (they were
+    two scans). ``max_df_frac`` filters on the windowed df — same
+    surviving rows, applied after the fan-out that the window already
+    requires. Guide §2.3/§2.4: 5 corpus scans → 2, and every remaining
+    exchange carries only query-term-pruned narrow rows.
 
     Output: ``q_id, doc_id, score, rnk`` (score 6-dp, rnk 1..k by score
     desc / doc_id asc).
@@ -721,31 +725,39 @@ def bm25_topk(
     ).distinct()
     # map-side prune: only query-term instances survive into the
     # (doc, term) collapse — the semi-join against the broadcast query
-    # vocabulary runs inside the scan stage, before any exchange
+    # vocabulary runs inside the scan stage, before any exchange. dl is
+    # 8 bytes per surviving instance; it collapses in the same agg.
     dt_q = (
-        toks.select("doc_id", F.explode("__toks").alias("term"))
+        toks.select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
         .join(F.broadcast(qt.select("term").distinct()), "term", "leftsemi")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("dl").alias("dl"))
     )
-    # dl straight off the token array — map-only, no corpus aggregate
-    dlen = toks.select("doc_id", F.size("__toks").cast("long").alias("dl"))
-    df_ = dt_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dlen.select(F.sum("dl").alias("total_len"))
+    # ONE full-corpus aggregate for both global stats (was two scans)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks").cast("long")).alias("total_len"),
     )
-    df_k = df_.crossJoin(F.broadcast(stats))
+    # df as a window on the aggregated rows: one row per (doc, term)
+    # with cnt >= 1, so count-over-term IS the document frequency —
+    # no second scan→explode pass, no broadcast-back join
+    cand = (
+        dt_q.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+    )
     if max_df_frac is not None:
-        # stopword guard applied to the |query-vocab|-row df table —
-        # the fan-out this prunes never materializes
-        df_k = df_k.filter(
+        # stopword guard — identical surviving rows: a term's windowed
+        # df equals the old df-table value for that term
+        cand = cand.filter(
             F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
         )
-    cand = (
-        dt_q.join(F.broadcast(df_k), "term")
-        .join(F.broadcast(qt), "term")
-        .join(dlen, "doc_id")
-    )
     avgdl = F.col("total_len") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
