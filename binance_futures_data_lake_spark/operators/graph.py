@@ -376,7 +376,14 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edge_df.toLocalIterator():
+        # collect(), not toLocalIterator (r12): the caller only enters
+        # this path under the driver_max_edges bound (≤ tens of MB), and
+        # toLocalIterator runs ONE SEQUENTIAL JOB PER PARTITION — ~8
+        # job floors of pure scheduling at local partition counts where
+        # one bounded collect job fetches everything (guide §1: job
+        # floors ARE the cost model at bench SF; the memory bound is
+        # unchanged because the iterator pinned whole partitions anyway).
+        for r in edge_df.collect():
             u, v = r[0], r[1]
             parent.setdefault(u, u)
             parent.setdefault(v, v)

