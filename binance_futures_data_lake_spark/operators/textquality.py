@@ -694,22 +694,31 @@ def bm25_topk(
     identical longs in every engine, so the per-term doubles match
     bit-for-bit before rounding.
 
-    Scale shape (r12 — TWO corpus scans, the BM25 minimum): the
-    query-vocabulary prune happens MAP-SIDE, before any exchange —
-    exploded token instances broadcast-semi-join the query term set
-    inside the scan stage, so the (doc, term) collapse shuffles only
-    query-term instances, never the corpus vocabulary. Document length
-    rides the exploded rows as one long (computed from the token array
-    before the explode), so no separate corpus-sized dlen scan/join
-    exists; ``df`` is a count-over-``term`` window on the aggregated
-    (doc, term) rows — the earlier separate ``df`` branch re-ran the
-    whole scan→explode→semi-join subtree (column pruning made its
-    exchange non-identical, defeating ReuseExchange), and ``n_docs`` +
-    ``total_len`` collapse into ONE full-corpus aggregate (they were
-    two scans). ``max_df_frac`` filters on the windowed df — same
-    surviving rows, applied after the fan-out that the window already
-    requires. Guide §2.3/§2.4: 5 corpus scans → 2, and every remaining
-    exchange carries only query-term-pruned narrow rows.
+    Scale shape (r12 — TWO corpus scans, down from five, no skewed
+    window): the query-vocabulary prune happens MAP-SIDE, before any
+    exchange — exploded token instances broadcast-semi-join the query
+    term set inside the scan stage, so the (doc, term) collapse
+    shuffles only query-term instances, never the corpus vocabulary.
+    Document length rides the exploded rows as one long (computed from
+    the token array before the explode), so the old separate
+    corpus-sized dlen scan/join is gone; ``n_docs`` + ``total_len``
+    collapse into ONE full-corpus aggregate (they were two scans); and
+    ``df`` is a map-side-combined ``groupBy(term)`` over the SAME
+    (doc, term) exchange the scoring branch consumes — its aggregate
+    deliberately references ``cnt`` and ``dl`` (a ``sum(when(cnt >= 1
+    and dl >= 0, 1))`` that provably equals ``count(*)``: cnt is a
+    group count ≥ 1, dl a non-negative array size) so column pruning
+    cannot shrink its copy of the shared subtree, the two branches'
+    exchanges canonicalize, and ReuseExchange runs the
+    scan→explode→semi-join pass ONCE. The rejected alternative — df as
+    a count-over-``term`` window on the (doc, term) rows — is the
+    few-groups-window scale-killer this module's kmv_state avoids:
+    a stopword query term puts its ENTIRE posting list in one task
+    (measured 31+1/32 straggler tails at 10× sf0.1; billions of rows
+    per task at deploy scale). The shared-exchange form keeps the df
+    shuffle skew-free too: the exchange is keyed (doc_id, term), so a
+    hot term's rows spread across partitions by doc, and the term
+    re-aggregate rides partial map-side counts (guide §2.3/§2.4/§2.5).
 
     Output: ``q_id, doc_id, score, rnk`` (score 6-dp, rnk 1..k by score
     desc / doc_id asc).
@@ -742,22 +751,30 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("__toks").cast("long")).alias("total_len"),
     )
-    # df as a window on the aggregated rows: one row per (doc, term)
-    # with cnt >= 1, so count-over-term IS the document frequency —
-    # no second scan→explode pass, no broadcast-back join
-    cand = (
-        dt_q.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    # df: skew-free map-side-combined aggregate over the SAME
+    # (doc_id, term) exchange the scoring branch reads. The filter
+    # clauses are tautologies (cnt >= 1: group count; dl >= 0: array
+    # size), present ONLY so column pruning keeps this branch's partial
+    # aggregate identical to the scoring branch's and ReuseExchange
+    # shares the scan→explode→semi-join subtree (see docstring; a bare
+    # count(*) prunes cnt/dl away and re-executes the whole pass).
+    df_ = dt_q.groupBy("term").agg(
+        F.sum(
+            F.when(
+                (F.col("cnt") >= 1) & (F.col("dl") >= 0), F.lit(1)
+            ).otherwise(F.lit(0))
         )
-        .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(stats))
+        .cast("long")
+        .alias("df")
     )
+    df_k = df_.crossJoin(F.broadcast(stats))
     if max_df_frac is not None:
-        # stopword guard — identical surviving rows: a term's windowed
-        # df equals the old df-table value for that term
-        cand = cand.filter(
+        # stopword guard applied to the |query-vocab|-row df table —
+        # the fan-out this prunes never materializes
+        df_k = df_k.filter(
             F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
         )
+    cand = dt_q.join(F.broadcast(df_k), "term").join(F.broadcast(qt), "term")
     avgdl = F.col("total_len") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)

@@ -88,10 +88,15 @@ def test_exact_jaccard_pairs_single_shingle_pass(spark):
     assert got == want
 
 
-def test_bm25_two_corpus_scans(spark, tmp_path_factory):
+def test_bm25_two_corpus_scans_no_term_window(spark, tmp_path_factory):
     """BM25 must touch the corpus exactly twice (query-pruned tokenize
-    pass + full-corpus stats pass) — the old shape scanned it 5x. The
-    query side (tiny by contract) may scan more than once."""
+    pass shared between the scoring and df branches via ReusedExchange,
+    plus the full-corpus stats pass) — the old shape scanned it 5x —
+    and df must NOT be a partition-by-term window (a stopword query
+    term would put its entire posting list in one task). The df
+    branch's pruning-defeating aggregate is what keeps the shared
+    exchange canonical — this pin fails if it is simplified back to
+    count(*)."""
     from binance_futures_data_lake_spark.operators.textquality import bm25_topk
 
     path = str(tmp_path_factory.mktemp("bm25") / "docs.parquet")
@@ -102,8 +107,9 @@ def test_bm25_two_corpus_scans(spark, tmp_path_factory):
     )
     plan = _final_plan(bm25_topk(docs, qs, k=3))
     assert len(re.findall(r"(?:File)?Scan parquet\b", plan)) == 2
-    # df comes from a count-over-term window, not a second explode pass
-    assert "Window" in plan
+    assert "ReusedExchange" in plan
+    # no windowspec partitioned by term anywhere in the plan
+    assert not re.search(r"windowspecdefinition\(term", plan)
 
 
 def test_knn_mutual_edges_no_self_join(spark):
@@ -129,3 +135,59 @@ def test_knn_mutual_edges_no_self_join(spark):
     assert all(r["u"] < r["v"] for r in rows)
     # mutual-kNN at kk=2 in the 2-vector cell {1,2} keeps (1,2)
     assert (1, 2) in {(r["u"], r["v"]) for r in rows}
+
+
+def test_semantic_dedup_one_pass_no_final_outer_rejoin(spark):
+    """semantic_dedup must be ONE left-outer cell self-join whose two
+    sides share the normalize+cell-assign subtree via ReusedExchange,
+    followed by one aggregate — exactly one join in the plan (the old
+    matches-then-rejoin form executed the subtree a third time for the
+    final corpus-sized outer join)."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        fixed_point_cents, semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0]),
+            (4, [0.01, 0.999]), (5, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = fixed_point_cents([[1.0, 0.0], [0.0, 1.0]])
+    out = semantic_dedup(emb, cents, threshold=0.9)
+    plan = _final_plan(out)
+    assert len(re.findall(r"SortMergeJoin", plan)) == 1
+    assert "LeftOuter" in plan
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" not in plan
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 5  # one row per vector, kept rows included
+    assert rows[2]["status"] == "near_dup" and rows[2]["match_id"] == 1
+    assert rows[1]["status"] == "kept" and rows[1]["match_id"] is None
+
+
+def test_semantic_match_existing_one_pass(spark):
+    """semantic_match_existing must classify every NEW vector with ONE
+    left-outer join — no second execution of the snapshot's
+    normalize+assign subtree behind a matches-then-rejoin."""
+    from binance_futures_data_lake_spark.operators.similarity import (
+        fixed_point_cents, semantic_match_existing,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(10, [0.999, 0.01]), (11, [0.6, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = fixed_point_cents([[1.0, 0.0], [0.0, 1.0]])
+    out = semantic_match_existing(existing, new, cents, threshold=0.9)
+    plan = _final_plan(out)
+    assert len(re.findall(r"\bJoin\b|SortMergeJoin|BroadcastHashJoin", plan)) == 1
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[10]["status"] == "near_dup" and rows[10]["match_id"] == 1
+    assert rows[11]["status"] == "kept" and rows[11]["match_id"] is None
