@@ -1065,18 +1065,9 @@ def semantic_dedup(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     base = normalized(corpus, id_col, vec_col).filter(F.col("nrm") > 0)
     sb = base.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
-    # The trailing isnotnull filters are tautologies (ids are non-null
-    # by contract, the 1-nearest cell of a nonempty centroid list is
-    # never null); they exist so BOTH join branches carry the exact
-    # constraint set the LEFT OUTER join below infers on its right side
-    # only — without them the inferred isnotnull lands asymmetrically,
-    # the two exchanges stop canonicalizing, and ReuseExchange cannot
-    # share the subtree (measured: 6 scans instead of 3).
-    cells = (
-        sb.withColumn("cell", _nearest_cells_int(F.col("s"), cents, 1)[0])
-        .select("id", "cell", "vec", "nrm")
-        .filter(F.col("cell").isNotNull() & F.col("id").isNotNull())
-    )
+    cells = sb.withColumn(
+        "cell", _nearest_cells_int(F.col("s"), cents, 1)[0]
+    ).select("id", "cell", "vec", "nrm")
     a = cells.select(
         F.col("id").alias("a_id"), F.col("cell"),
         F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
@@ -1089,43 +1080,25 @@ def semantic_dedup(
     # once (guide §2.4/§3.1 — same fix as textdedup.hamming_near_pairs,
     # measured there 5.48→0.87 s at sf0.1).
     b = cells.select(
-        F.col("id").alias("b_id"), F.col("cell").alias("b_cell"),
+        F.col("id").alias("b_id"), F.col("cell"),
         F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
     ).hint("merge")
     cos = round6(
         _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     )
-    # ONE pass (r12): the dedup decision is a LEFT OUTER self-join on
-    # cell with the predecessor and threshold tests as JOIN conditions —
-    # every vector survives (nulls when nothing matches), so the final
-    # corpus-sized outer join the old matches-then-rejoin form needed
-    # (a THIRD execution of the scan→normalize→cell-assign subtree)
-    # disappears, and one aggregate keyed (a_id, cell) — partial
-    # map-side, a_id lives in exactly one cell partition — yields one
-    # row per vector directly (guide §2.3/§2.4). min(struct) over the
-    # matched rows picks the smallest b_id and carries THAT pair's
-    # cosine; unmatched rows contribute NULL (the when-guard below —
-    # a bare struct(null, null) would be a non-null struct and corrupt
-    # the min).
-    joined = a.join(
-        b,
-        (F.col("cell") == F.col("b_cell"))
-        & (F.col("b_id") < F.col("a_id"))
-        & (cos >= F.lit(float(threshold))),
-        "left",
+    # min(struct) picks the smallest b_id and carries THAT pair's cosine
+    matches = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .select("a_id", cos.alias("cosine"), "b_id")
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .groupBy("a_id")
+        .agg(F.min(F.struct("b_id", "cosine")).alias("m"))
     )
     return (
-        joined.select(
-            "a_id", "cell",
-            F.when(
-                F.col("b_id").isNotNull(),
-                F.struct(F.col("b_id"), cos.alias("cosine")),
-            ).alias("mc"),
-        )
-        .groupBy("a_id", "cell")
-        .agg(F.min("mc").alias("m"))
+        cells.join(matches, cells.id == matches.a_id, "left")
         .select(
-            F.col("a_id").alias(id_col),
+            F.col("id").alias(id_col),
             F.col("cell"),
             F.when(F.col("m").isNotNull(), F.lit("near_dup"))
             .otherwise(F.lit("kept"))
@@ -1351,7 +1324,7 @@ def semantic_match_existing(
         eb.withColumn("s", _scaled_unit(F.col("vec"), F.col("nrm")))
         .withColumn("cell", _nearest_cells_int(F.col("s"), cents, 1)[0])
         .select(
-            F.col("id").alias("e_id"), F.col("cell").alias("e_cell"),
+            F.col("id").alias("e_id"), "cell",
             F.col("vec").alias("e_vec"), F.col("nrm").alias("e_nrm"),
         )
     )
@@ -1364,31 +1337,15 @@ def semantic_match_existing(
     cos = round6(
         _dot(F.col("vec"), F.col("e_vec")) / (F.col("nrm") * F.col("e_nrm"))
     )
-    # ONE pass over the snapshot side (r12): LEFT OUTER join on cell
-    # with the threshold as a JOIN condition — every new vector
-    # survives (nulls when no existing cellmate matches), so the old
-    # matches-then-rejoin form's second execution of the snapshot's
-    # normalize+assign subtree and its final outer join disappear; one
-    # (id, cell)-keyed aggregate yields one row per new vector (same
-    # restructure as semantic_dedup, guide §2.3/§2.4). The when-guard
-    # keeps unmatched rows NULL under min (a bare struct of nulls is a
-    # non-null struct and would corrupt the min).
-    joined = nc.join(
-        ec,
-        (F.col("cell") == F.col("e_cell"))
-        & (cos >= F.lit(float(threshold))),
-        "left",
+    matches = (
+        nc.join(ec, "cell")
+        .select(F.col("id").alias("n_id"), cos.alias("cosine"), "e_id")
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .groupBy("n_id")
+        .agg(F.min(F.struct("e_id", "cosine")).alias("m"))
     )
     return (
-        joined.select(
-            "id", "cell",
-            F.when(
-                F.col("e_id").isNotNull(),
-                F.struct(F.col("e_id"), cos.alias("cosine")),
-            ).alias("mc"),
-        )
-        .groupBy("id", "cell")
-        .agg(F.min("mc").alias("m"))
+        nc.join(matches, nc.id == matches.n_id, "left")
         .select(
             F.col("id").alias(id_col),
             F.col("cell"),
