@@ -120,6 +120,12 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 #: Canary floor resolution (r9, ADVICE r8 — no hardcoded host constant):
 #: 1. BFDL_CANARY_FLOOR_SEC env var, if set (explicit pin wins);
 #: 2. else the persisted floor file — the MINIMUM best-of-3 ever
@@ -269,6 +275,19 @@ def main() -> None:
     # otherwise be billed to the first pandas-kernel query)
     force(DQ.QUERIES["ohlcv_5m"](spark, sf_dir))
     force(DQ.QUERIES["ema_per_user"](spark, sf_dir))
+
+    # Measured per-job scheduling floor (VERDICT r12 #2/#3): the minimal
+    # Spark job this session can run — a count over a 1-row cached frame —
+    # timed best-of-7 after warmup. Round-over-round absolute walls are
+    # only comparable when the hosts' job floors match (r12's ten >10%
+    # "regressions" were all floor drift, adjudicated by judge-side plan
+    # diffing); this field makes the floor part of the artifact.
+    floor_df = spark.range(0, 1, 1, 1).cache()  # ONE partition: the
+    floor_df.count()                            # minimal 1-task job
+    spark_job_floor = min(
+        _timed(lambda: floor_df.count()) for _ in range(7)
+    )
+    floor_df.unpersist()
 
     # Two passes per query. The first pass pays one-time Catalyst planning +
     # whole-stage-codegen JIT (~0.7 s per unique plan shape in this JVM) —
@@ -425,9 +444,11 @@ def main() -> None:
         "cold_total_incl_plan_jit": cold_total,
         "queries_cold": cold,
         "llm_queries": llm,
+        "llm_total": round(sum(llm.values()), 4),
         "suite_wall_concurrent": suite_wall,
         "serial_10x": serial_10x,
         "load_canary": canary,
+        "spark_job_floor_sec": round(spark_job_floor, 4),
         "sf": sf_val,
     }
     # Full multi-section detail goes to a FILE and to early stdout. The
@@ -441,13 +462,20 @@ def main() -> None:
     ) as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full))
+    # Additions to the compact line are contract-safe (the driver tolerates
+    # extra keys; VERDICT r12 #2 asked for exactly these): the LLM_PIPELINE
+    # section — where the r12/r13 optimization work lands — and the measured
+    # Spark job floor for round-over-round drift adjudication.
     compact = {
         "metric": "headline_suite_wall_steady_state",
         "value": warm_total,
         "unit": "sec",
         "queries": warm,
+        "llm_queries": llm,
+        "llm_total": round(sum(llm.values()), 4),
         "suite_wall_concurrent": suite_wall,
         "load_canary": canary,
+        "spark_job_floor_sec": round(spark_job_floor, 4),
         "sf": sf_val,
     }
     if isinstance(serial_10x, dict) and "ratio_vs_duckdb" in serial_10x:

@@ -668,11 +668,12 @@ def dsir_fit(
     import math
 
     from binance_futures_data_lake_spark.operators.textdedup import (
-        token_hash, words,
+        token_hash, widen_narrow_scan, words,
     )
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    docs = widen_narrow_scan(docs)
     ex = docs.select(
         target.alias("__is_t"),
         F.explode(_dsir_grams(words(F.col(text_col)), bigram)).alias("__g"),
@@ -728,12 +729,13 @@ def dsir_logweights(
     Empty documents score 0 over 0 grams.
     """
     from binance_futures_data_lake_spark.operators.textdedup import (
-        token_hash, words,
+        token_hash, widen_narrow_scan, words,
     )
 
     n_buckets = len(lam_u)
     if n_buckets < 2:
         raise ValueError("lam_u must hold >= 2 buckets (see dsir_fit)")
+    docs = widen_narrow_scan(docs)
     # lit(list), not F.array(8192 cast lits): Catalyst folds BOTH forms
     # to the identical array Literal (verified: same optimized plan, same
     # steady-state runtime), but the per-element Cast(Literal) tree costs

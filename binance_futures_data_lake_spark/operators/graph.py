@@ -869,6 +869,15 @@ def pagerank(
         F.sum("w").cast("long").alias("w_out")), "u").localCheckpoint(eager=False)
     outw = outw.localCheckpoint(eager=False)
     tele = (micro * (100 - damping_pct)) // (100 * n)
+    # r13 closed negative (VERDICT r12 #5, measured and REVERTED): a
+    # static dangling FLAG on the node table plus a per-iteration 1-row
+    # driver collect of the dangling mass (replacing the anti-join +
+    # broadcast build) cuts jobs 13 -> 11 but REGRESSES the wall 1.82 ->
+    # 2.40 s at sf0.1: the dang BroadcastExchange jobs are submitted as
+    # ASYNC futures that overlap the driver's per-iteration planning,
+    # while a collect is a synchronous barrier per iteration. Job COUNT
+    # is not the cost — driver-side plan/optimize gaps are, and those are
+    # serialized either way. Keep the broadcast form.
     r = nodes.withColumn("r", F.lit(micro // n).cast("long"))
     for _ in range(iters):
         contrib = (

@@ -279,6 +279,17 @@ def synthetic_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     clips genuinely cross zero and zero-crossing stats are non-trivial;
     again pure arithmetic a SQL oracle replays. Other kinds keep opaque
     utf-8 payloads (a video decoder is out of scope)."""
+    from binance_futures_data_lake_spark.operators.textdedup import (
+        widen_narrow_scan,
+    )
+
+    # r13: the payload build AND the downstream decode kernels pipeline
+    # inside the input scan's stage (the binary column never crosses a
+    # shuffle), so a one-row-group fixture pins ALL the Python codec work
+    # to one task. Widen the narrow TEXT input before the build — the
+    # guarded exchange moves fixture text once, never media bytes, and
+    # never fires on a wide deploy-scale table (guide §2.5/§6).
+    docs = widen_narrow_scan(docs)
     if kind == "audio":
         import numpy as np
         import pandas as pd

@@ -31,6 +31,86 @@ from binance_futures_data_lake_spark.functions.scalars import round6
 MINHASH_P = 4_294_967_311
 
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Guarded input widening for CPU-heavy per-row text kernels
+    (guide §2.5 input skew / §6 input split sizing).
+
+    A parquet ROW GROUP is unsplittable, so a small file (every bench
+    fixture is one row group, at the 10x replica too) pins the whole
+    tokenize/shingle/md5 stage to a single task while every other core
+    idles — the map-side work, not the shuffle, is the wall for these
+    operators. Widen WITH A GUARD: round-robin repartition ONLY when the
+    input's split count is below the session's scheduler width
+    (``defaultParallelism``). At deploy scale a 100 TB table scan yields
+    thousands of splits, the guard never fires, and no full-text shuffle
+    is ever added on the big-data path (the §8 "shuffle heavy payloads
+    for parallelism" anti-pattern stays out); when it DOES fire the
+    exchange moves only the narrow input (fixture text, well under the
+    split size) exactly once. Round-robin repartition is
+    retry-deterministic (sortBeforeRepartition, SPARK-23207) and every
+    consumer here is key-aggregated or key-joined, so results are
+    row-order-independent.
+
+    ``spark.bfdl.text.minPartitions`` overrides the threshold; ``0``
+    disables the widening entirely.
+    """
+    spark = df.sparkSession
+    try:
+        conf_v = spark.conf.get("spark.bfdl.text.minPartitions", None)
+    except Exception:
+        conf_v = None
+    width = (
+        int(conf_v)
+        if conf_v is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    if width <= 0:
+        return df
+    # "Too narrow" is a SIZE test, not a split-count test: split counts
+    # overstate parallelism when one row group holds all the rows (the
+    # other splits are empty), so compare the relation's estimated bytes
+    # against what `width` busy splits would need. Size estimates only
+    # shrink with pruning/filters, so a false negative (not widening a
+    # big input) is the failure mode — never a 100 TB shuffle.
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    split_bytes = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
+                              128 * 1024 * 1024)
+    if size >= width * split_bytes:
+        return df
+    # already wide — e.g. this frame was widened upstream (operators
+    # compose: incremental_dedup widens its inputs before calling
+    # minhash_signatures, which widens too) or is a post-shuffle frame;
+    # a second round-robin exchange would be pure waste
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ("1m", "128MB", "134217728")."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                   ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
+
+
 def words(col, lowercase: bool = True):
     c = F.lower(col) if lowercase else col
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
@@ -105,6 +185,7 @@ def minhash_signatures(
     aggregate; map-side partial aggregation keeps the shuffle at
     k rows/doc.
     """
+    docs = widen_narrow_scan(docs)
     tok = (
         docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks"))
         .select("doc_id", F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("tok"))
@@ -225,6 +306,7 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (the verify stage)."""
+    docs = widen_narrow_scan(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
     ).select("doc_id", shingles_of_tokens(F.col("__toks"), shingle_n).alias("sh"))
@@ -270,6 +352,7 @@ def simhash(
     60 — the token hash widens with the fingerprint, so high bits carry
     real entropy (a fixed 32-bit token hash would leave bits 32+ constant
     across the corpus and degenerate any band built from them)."""
+    docs = widen_narrow_scan(docs)
     tok = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -652,6 +735,8 @@ def benchmark_overlap(
     no self-join. Output: one row per corpus doc with distinct-shingle
     count, overlap count, overlap fraction and the contaminated flag.
     """
+    corpus = widen_narrow_scan(corpus)
+    benchmark = widen_narrow_scan(benchmark)
     bsh = (
         benchmark.select(words(F.col(text_col)).alias("__toks"))
         .select(F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"))
@@ -700,7 +785,16 @@ def exact_jaccard_pairs(
     would re-execute it, and the old plan ran it three times: both join
     sides plus sz). Guide §2.4/§3.1; measured sf0.1 dedup_clusters
     4.41→2.49 s, plan 3 scans → 1, 2 BroadcastExchange of corpus-sized
-    exploded rows → 0."""
+    exploded rows → 0.
+
+    r13: the self-join keys on ``xxhash64(shingle)`` instead of the
+    shingle STRING — the exchange carries 8 bytes per instance instead
+    of the ~40-byte shingle text and the SMJ sorts longs, not strings
+    (guide §2.3 "shuffle keys, not payloads"; same documented
+    engineering bet as scrub_cross_doc_spans' span keys: a 64-bit
+    collision would need two distinct shingles in the same doc pair,
+    ~1e-7 at corpus scale, and n_common is off by one only then)."""
+    docs = widen_narrow_scan(docs)
     sh = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -709,8 +803,11 @@ def exact_jaccard_pairs(
         .select(
             "doc_id",
             F.size("__sh").cast("long").alias("n"),
-            F.explode("__sh").alias("s"),
+            F.explode("__sh").alias("__s"),
         )
+        # hash BELOW the exchange in codegen (a transform() over the
+        # array would run interpreted — the r12 in-row closed negative)
+        .select("doc_id", "n", F.xxhash64("__s").alias("s"))
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s"
@@ -776,6 +873,8 @@ def incremental_dedup(
     union), so an id colliding across sides — a re-delivered doc_id —
     still verifies new-text-vs-existing-text, not against itself.
     """
+    existing = widen_narrow_scan(existing)
+    new = widen_narrow_scan(new)
     ids = (F.col(id_col).alias("doc_id"),)
     if exact_tbl is not None:
         # persisted index contract: (text_md5, exact_id), upsert-grown
@@ -887,6 +986,7 @@ def bloom_bitset(
     """
     if m_bits < 64 or k < 1:
         raise ValueError(f"need m_bits >= 64, k >= 1; got {m_bits}, {k}")
+    benchmark = widen_narrow_scan(benchmark)
     bsh = (
         benchmark.select(words(F.col(text_col)).alias("__toks"))
         .select(F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"))
@@ -951,6 +1051,7 @@ def bloom_decontam(
     (Bloom false positives can only ADD hits, never drop one; size
     ``m_bits`` for the target FP rate ``(1 - e^(-k·n/m))^k``).
     """
+    corpus = widen_narrow_scan(corpus)
     n_words = (m_bits + 62) // 63
     if len(bloom_words) != n_words:
         raise ValueError(

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from binance_futures_data_lake_spark.functions.scalars import round6
-from binance_futures_data_lake_spark.operators.textdedup import ngrams_of_tokens, words
+from binance_futures_data_lake_spark.operators.textdedup import (
+    ngrams_of_tokens,
+    widen_narrow_scan,
+    words,
+)
 
 # Gopher-rule thresholds (Rae et al. 2021 table A1 shape, adapted to the
 # synthetic docs' scale — the *rule forms* are what the operator owns;
@@ -286,11 +290,7 @@ def cross_doc_spans(
     cardinality, perfectly distributable). Output:
     ``span, n_docs, n_occurrences``.
     """
-    from binance_futures_data_lake_spark.operators.textdedup import (
-        ngrams_of_tokens,
-        words,
-    )
-
+    docs = widen_narrow_scan(docs)
     sp = docs.select(
         F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
     ).select(
@@ -330,8 +330,7 @@ def unigram_logprob(
     is then Σ cnt·log10(p) / Σ cnt. No vocabulary ever collects to the
     driver. Output: ``doc_id, n_tokens, logprob_avg`` (6-dp).
     """
-    from binance_futures_data_lake_spark.operators.textdedup import words
-
+    docs = widen_narrow_scan(docs)
     dt = (
         docs.select(
             F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
@@ -399,9 +398,8 @@ def scrub_cross_doc_spans(
     9.4 s — parity at a replica whose cross-copy twins make EVERY span
     shared) and 2.75 s → 0.91 s at sf0.1.
     """
-    from binance_futures_data_lake_spark.operators.textdedup import words
-
     k = int(span_tokens)
+    docs = widen_narrow_scan(docs)
     base = docs.select(
         F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") > 0)
@@ -725,6 +723,10 @@ def bm25_topk(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # NOT widened (widen_narrow_scan): bm25's per-row work is one
+    # whitespace split — the broadcast semi-join prunes everything else
+    # map-side — and the r13 A/B measured the added exchange as a net
+    # loss (0.94 -> 1.05 s best-of-6 at sf0.1, prebuilt plans).
     toks = docs.select(
         F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("__toks")
     )

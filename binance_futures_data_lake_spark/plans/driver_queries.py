@@ -8974,42 +8974,79 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # Round-12 rotation (executing the r11 NOTE at this spot + VERDICT
-    # r11 #1). Invariant: every oracle query driver-green within the
+    # Round-13 rotation (executing the r12 NOTE at this spot + VERDICT
+    # r12 #1). Invariant: every oracle query driver-green within the
     # last THREE rounds, SELFCHECK-green every round. Ages entering
-    # r12 (computed by set-difference over CORRECTNESS_r01..r11):
-    # 42 r9-checked (3 rounds old — MANDATORY, the whole head block of
-    # the r11 tail), 46 r10-checked, 50 r11-checked, 1 rows-only-by-
-    # design (ml_lr_embeddings). The prefix is exactly 42 mandatory +
-    # 8 BEHAVIOR-TOUCHED — behavior-touched outranks the r10-block
-    # oldest-first fill order, and this round produced exactly 8:
-    #   dedup_clusters / knn_graph_components / cluster_split /
-    #     curation_pipeline — the connected-components loop-round
-    #     kernel was VECTORIZED this round (graph.py
-    #     _minrank_nonroot_rows: numpy min-rank propagation + edge
-    #     contraction replaces the per-edge Python dict union-find for
-    #     integer ids; bit-identical output pinned by
-    #     test_vectorized_kernel_matches_dict_uf, VERDICT r11 #2), so
-    #     every CC-backed oracle query re-attests on the new kernel.
-    #   pq_ivf_adc_topk / pq_ivf_codes_topk — their query-table
-    #     broadcasts are now registry-tracked for
-    #     release_query_table_broadcasts (ADVICE r11); the touched
-    #     lines sit on the query path, so both re-attest.
-    #   pq_ivf_rerank_topk / pq_ivf_rerank_codes_topk — consumers of
-    #     the two touched shortlist producers (same precedent as the
-    #     r11 shared-tail re-attestation).
-    # No r10-block fills this round (46 r10-checked entries are 2
-    # rounds old — within invariant; they become the r13 mandatory
-    # core minus the 4 CC entries re-attested here).
-    #
-    # r13 NOTE (execute next round): entering r13, the 42 r10-checked
-    # entries at the HEAD of _ORACLE_TAIL carry a CORRECTNESS_r10 row
-    # that is 3 rounds old — they are the MANDATORY core of the r13
-    # prefix (42 + any r13-NEW/behavior-touched leaves ~8 fill slots
-    # from the 46-entry r11-checked block that follows, oldest
-    # capabilities first). The names checked THIS round (this _FRONT)
-    # are 1 round old entering r13 and sit freshest.
-    # --- the 42 r9-aged (CORRECTNESS_r09 row is 3 rounds old) ---
+    # r13: 42 r10-checked (3 rounds old — MANDATORY, the whole head
+    # block of the r12 tail), 46 r11-checked, 50 r12-checked, 1
+    # rows-only-by-design (ml_lr_embeddings). The prefix is exactly
+    # 42 mandatory + 8 BEHAVIOR-TOUCHED. VERDICT r12's gate gap: the
+    # r12 session-2 rewrites (bm25 2-scan, SemDeDup SMJ+revert, the
+    # jaccard/hamming ReuseExchange family) landed AFTER the r12
+    # rotation commit, so their operators changed without a driver-
+    # attested row — "behavior-touched outranks fill order" is applied
+    # HERE against the final r12 diff, media_image_near_dup and
+    # bm25_topk first as the verdict ranked them. Six of the ten named
+    # queries are not already in the mandatory block (hybrid_rrf_topk,
+    # simhash_near_pairs, shingle_jaccard_pairs, minhash_near_dup_pairs
+    # are — they re-attest via the mandatory core), leaving 2 slots for
+    # the r13-behavior-touched with the OLDEST attestation rows:
+    # bloom_decontam and dsir_select (both r11-attested, both
+    # plan-changed this round by the guarded scan widening). The
+    # remaining r13-touched queries (dedup_clusters,
+    # scrub_cross_doc_spans, incremental_corpus_dedup,
+    # media_audio_near_dup, media_image_features, perplexity_bucket_mix,
+    # dup_spans_cross_doc, doc_unigram_logprob, benchmark_decontam,
+    # curation/cluster pipelines, streaming_incremental_dedup) all
+    # carry a 1-round-old CORRECTNESS_r12 row and stay within the
+    # 3-round invariant; they are SELFCHECK-green at r13 HEAD
+    # (the residual VERDICT r12 accepted under "as slots allow").
+    # --- the 42 r10-aged (CORRECTNESS_r10 row is 3 rounds old) ---
+    "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
+    "toxicity_lexicon_score", "pq_ann_topk",
+    "pretrain_data_pipeline",
+    "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
+    "minhash_signatures", "simhash_values", "case_label_ladder",
+    "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
+    "router_gate_from_cases", "ml_keep_frac_grid", "calendar_weekly_ohlcv",
+    "scrub_ffill_gates", "point_lookup_neighbors", "ann_lsh_topk",
+    "sweep_pipeline", "backtest_event_kernel", "range_boxes",
+    "sticky_regime_hourly", "regime_cases", "streaming_ohlcv_bars",
+    "streaming_doc_quality", "media_audio_features",
+    "pack_sequences_nextfit", "minhash_near_dup_pairs",
+    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
+    "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
+    "ichimoku_hourly",
+    "ann_ivf_topk", "ann_ivf_seeded_topk",
+    # --- 8 behavior-touched (rationale above) ---
+    "media_image_near_dup", "bm25_topk",
+    "semantic_dedup", "incremental_semantic_dedup",
+    "retrieval_pipeline", "streaming_simhash_dedup",
+    "bloom_decontam", "dsir_select",
+]
+_ORACLE_TAIL = [
+    # Head block: the r11-checked queries not re-attested by the r12/r13
+    # prefixes — 2 rounds old entering r13 (they would be the mandatory
+    # core of an r14 prefix; oldest capabilities first).
+    "streaming_hll_distinct", "retrieval_eval_ivf",
+    "hard_negative_mining", "hll_distinct_users",
+    "user_interaction_pagerank", "corpus_release_diff",
+    "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
+    "user_sessions", "zscore_er_slope", "asof_user_hourly",
+    "bucket_stats_daily", "cosine_topk", "cumsum_runmax",
+    "dedup_keep_last", "doc_exact_dedup", "events_pivot_daily",
+    "funnel_click_purchase", "gap_ranges_hourly", "lag_lead_returns",
+    "lang_stats", "ohlcv_5m", "ohlcv_1h_right_closed",
+    "ohlcv_daily_cascade", "pricing_summary", "quantile_value_by_type",
+    "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
+    "rolling_stats", "sampled_revenue_by_nation", "top_orders",
+    "true_range_atr", "vwap_daily",
+    "c4_quality_flags",
+    "pq_rerank_topk",
+    "temperature_mixture",
+    # r12-checked block (CORRECTNESS_r12 row; 1 round old entering r13
+    # — freshest, includes the r13-touched queries listed in the _FRONT
+    # rationale that did not fit the 8 slots).
     "media_audio_near_dup", "streaming_incremental_dedup",
     "token_budget_plan",
     "curation_planning_pipeline", "pii_redact_docs", "perplexity_bucket_mix",
@@ -9028,55 +9065,10 @@ _FRONT = [
     "bpe_learn_merges", "bpe_tokenize_stats", "kmv_distinct_users",
     "streaming_kmv_distinct", "streaming_cms_heavy_hitters",
     "streaming_sessionization", "token_weighted_sample",
-    # --- 8 behavior-touched (rationale above) ---
     "dedup_clusters", "knn_graph_components", "cluster_split",
     "curation_pipeline",
     "pq_ivf_adc_topk", "pq_ivf_codes_topk",
     "pq_ivf_rerank_topk", "pq_ivf_rerank_codes_topk",
-]
-_ORACLE_TAIL = [
-    # Head block: the 42 r10-checked queries not re-attested by the
-    # r11/r12 prefixes — 3 rounds old entering r13, the MANDATORY core
-    # of the r13 prefix (oldest capabilities first within the block;
-    # the 4 CC queries that were also r10-checked re-attested in the
-    # r12 prefix above and are NOT here).
-    "hybrid_rrf_topk", "cms_heavy_hitters", "doremi_domain_weights",
-    "toxicity_lexicon_score", "pq_ann_topk",
-    "pretrain_data_pipeline",
-    "ema_per_user", "brand_volume", "doc_token_stats", "word_jaccard_pairs",
-    "minhash_signatures", "simhash_values", "case_label_ladder",
-    "ml_forward_labels", "pack_sequences", "structure_breaks_hourly",
-    "router_gate_from_cases", "ml_keep_frac_grid", "calendar_weekly_ohlcv",
-    "scrub_ffill_gates", "point_lookup_neighbors", "ann_lsh_topk",
-    "sweep_pipeline", "backtest_event_kernel", "range_boxes",
-    "sticky_regime_hourly", "regime_cases", "streaming_ohlcv_bars",
-    "streaming_doc_quality", "media_audio_features",
-    "pack_sequences_nextfit", "minhash_near_dup_pairs",
-    "simhash_near_pairs", "embed_cosine_near_dup", "embed_near_dup_lsh",
-    "shingle_jaccard_pairs", "doc_fingerprint", "doc_quality", "lang_id",
-    "ichimoku_hourly",
-    "ann_ivf_topk", "ann_ivf_seeded_topk",
-    # r11-checked block (CORRECTNESS_r11 row; 2 rounds old entering
-    # r13 — the r13 fill pool, oldest capabilities first; the 4 PQ-IVF
-    # tiers re-attested in the r12 prefix and are NOT here).
-    "streaming_hll_distinct", "retrieval_pipeline", "retrieval_eval_ivf",
-    "hard_negative_mining", "hll_distinct_users",
-    "user_interaction_pagerank", "corpus_release_diff",
-    "semantic_dedup", "incremental_semantic_dedup",
-    "k_consecutive_and_islands", "mae_mfe_hourly", "ml_confidence_keep",
-    "user_sessions", "zscore_er_slope", "asof_user_hourly",
-    "bucket_stats_daily", "cosine_topk", "cumsum_runmax",
-    "dedup_keep_last", "doc_exact_dedup", "events_pivot_daily",
-    "funnel_click_purchase", "gap_ranges_hourly", "lag_lead_returns",
-    "lang_stats", "ohlcv_5m", "ohlcv_1h_right_closed",
-    "ohlcv_daily_cascade", "pricing_summary", "quantile_value_by_type",
-    "range_join_ship_windows", "revenue_by_nation", "rolling_pctl_of_last",
-    "rolling_stats", "sampled_revenue_by_nation", "top_orders",
-    "true_range_atr", "vwap_daily", "streaming_simhash_dedup",
-    "c4_quality_flags",
-    "pq_rerank_topk",
-    "temperature_mixture", "bm25_topk", "dsir_select", "bloom_decontam",
-    "media_image_near_dup",
 ]
 
 def _reorder_registry() -> None:

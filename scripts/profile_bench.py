@@ -7,7 +7,8 @@ session configured exactly like bench.py's sf0.1 section:
 - number of Spark jobs / stages / tasks the action runs (statusTracker,
   scoped by job group) — the per-job scheduling floor is ~45 ms, so job
   and stage counts ARE the cost model at this SF,
-- ``explain("formatted")`` written to ``plans/r12/<query>_<tag>.txt``
+- ``explain("formatted")`` written to ``plans/<round>/<query>_<tag>.txt``
+  (round dir from ``$BFDL_PLANS_ROUND``, default r13)
   plus one-line plan-shape stats (Exchange / Sort / BatchEvalPython /
   ArrowEvalPython / codegen-span counts) for the plan-diff evidence.
 
@@ -70,7 +71,9 @@ def main() -> int:
     tracker = sc.statusTracker()
 
     names = only or (B.HEADLINE + B.LLM_PIPELINE)
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("BFDL_PLANS_ROUND", "r13")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     # warmup (same as bench)

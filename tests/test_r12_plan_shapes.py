@@ -165,6 +165,12 @@ def test_semantic_dedup_inner_pair_join_shares_subtree(spark):
     # the ONLY LeftOuter join is the final cheap rejoin; the pair join
     # (the one whose condition carries the cosine fold) must be Inner
     assert re.search(r"SortMergeJoin\b.*\bInner\b", plan)
+    # and no BroadcastHashJoin may carry the PAIR join: a BHJ build side
+    # would re-execute the shared normalize+cell-assign subtree (ADVICE
+    # r12 re-add, scoped to the pair join: the pair join is the only
+    # INNER join in the plan — AQE may legitimately turn the final
+    # LeftOuter rejoin into a BHJ, and does under the vanilla session)
+    assert not re.search(r"BroadcastHashJoin\b[^\n]*\bInner\b", plan)
     rows = {r["vec_id"]: r for r in out.collect()}
     assert len(rows) == 5  # one row per vector, kept rows included
     assert rows[2]["status"] == "near_dup" and rows[2]["match_id"] == 1
