@@ -50,7 +50,19 @@ def _dot(a, b):
 
 
 def normalized(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, vec double[], nrm) projection shared by every tier."""
+    """(id, vec double[], nrm) projection shared by every tier.
+
+    r13 closed negative (measured, NOT widened): widening the embeddings
+    input behind the textdedup.widen_narrow_scan guard regressed every
+    similarity consumer at sf0.1 — knn_graph_components 3.07 -> 3.72 s,
+    retrieval_eval_ivf 0.81 -> 0.87, pq_rerank_topk 0.39 -> 0.49,
+    cosine_topk 0.21 -> 0.27 (best-of-3 noop, idle box). Two causes:
+    (a) embedding rows are narrow and few, so 32 Arrow round-trips of
+    ~60 rows cost more than one serial pass; (b) the guard's size probe
+    runs at plan-build time, which cache_plan=False consumers (knn, the
+    Lloyd trainers) pay EVERY run. Deploy-scale embedding tables are
+    wide by construction; the text kernels keep the widen because their
+    per-row work (md5-per-shingle) is 10-100x heavier per byte."""
     v = _as_double_vec(F.col(vec_col))
     return emb.select(F.col(id_col).alias("id"), v.alias("vec")).withColumn("nrm", _norm(F.col("vec")))
 
@@ -1643,7 +1655,7 @@ def assign_cells_arrow(
 
     if not cents:
         raise ValueError("cents must be non-empty")
-    cents = sorted(cents)
+    cents = sorted(cents)  # NOT widened — see the normalized() negative
     id_type = dict(corpus.dtypes)[id_col]
     vec_type = dict(corpus.dtypes)[vec_col]
     cell_ids = np.array([c for c, _ in cents], dtype=np.int64)

@@ -82,12 +82,14 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
                               128 * 1024 * 1024)
     if size >= width * split_bytes:
         return df
-    # already wide — e.g. this frame was widened upstream (operators
-    # compose: incremental_dedup widens its inputs before calling
-    # minhash_signatures, which widens too) or is a post-shuffle frame;
-    # a second round-robin exchange would be pure waste
-    if df.rdd.getNumPartitions() >= width:
-        return df
+    # No partition-count backstop: asking the RDD for its partition count
+    # triggers full physical planning of the subtree at plan-BUILD time,
+    # which cache_plan=False queries pay every run (measured: +0.2-0.7 s
+    # per similarity-tier run). Composed operators that widen an
+    # already-widened frame produce adjacent Repartition nodes that
+    # Catalyst's CollapseRepartition folds to one exchange (verified:
+    # incremental_corpus_dedup's plan is byte-identical with and without
+    # the backstop).
     return df.repartition(width)
 
 
